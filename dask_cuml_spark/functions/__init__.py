@@ -1,0 +1,3 @@
+from dask_cuml_spark.functions.vector import dot, l2_sq, l2, cosine_unit
+
+__all__ = ["dot", "l2_sq", "l2", "cosine_unit"]

@@ -1,0 +1,57 @@
+"""Vector math over array<float> columns — pure Spark higher-order
+functions (zip_with + aggregate), the JVM-codegen substitute for the
+reference's per-GPU columnar kernels (cuML distance primitives,
+SURVEY.md §2A A4 / §4.2).
+
+All arithmetic is promoted to double and folded left-to-right, which is
+bitwise-identical to DuckDB's list_zip + list_transform +
+list_aggregate('sum') — verified empirically (round-trip exact) — so these
+are oracle-safe without rounding.
+
+No Python UDFs here: at 100 TB these expressions run inside whole-stage
+codegen; an equivalent pandas_udf would pay Arrow serialization per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _to_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Double-precision dot product of two array columns."""
+    prods = F.zip_with(
+        _to_col(a), _to_col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Double-precision squared L2 distance."""
+    diffs = F.zip_with(
+        _to_col(a),
+        _to_col(b),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance."""
+    return F.sqrt(l2_sq(a, b))
+
+
+def cosine_unit(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity for unit-norm vectors (≡ dot product —
+    fixtures are exactly unit-norm, FIXTURES.md)."""
+    return dot(a, b)
+
+
+def norm_sq(a: Column | str) -> Column:
+    """Squared L2 norm of an array column."""
+    return dot(a, a)

@@ -1,0 +1,62 @@
+"""Table loading — the engine's scan layer.
+
+Fixtures are one parquet file per table (TESTDATA.md). At 100 TB each
+"table" is a directory of many parquet files, possibly hive-partitioned;
+``spark.read.parquet`` handles both identically, and Catalyst gives us
+predicate pushdown + column pruning + partition pruning for free — the
+reference (dask_cudf.read_parquet) had to do row-group filtering by hand
+(SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Resolve a table name to its parquet path inside a fixture dir."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects;
+        # read it as int64 nanoseconds. DuckDB truncates the same column
+        # to µs, so queries use ts_us = ts_ns DIV 1000 as the canonical
+        # cross-engine unit (FIXTURES.md rule 4).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+            "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load fixture tables as a dict of DataFrames (lazy scans)."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

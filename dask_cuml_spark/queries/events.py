@@ -1,0 +1,259 @@
+"""Event-stream operators (SURVEY.md §2D D6-D8): sessionization, funnel,
+retention, JSON property extraction — batch-first over the `events` table.
+The Structured Streaming variants live in dask_cuml_spark/streaming/.
+
+The reference has no streaming (SURVEY §1.4); these are the north-star
+extensions. Timestamp discipline: parquet stores ns, Spark reads int64 ns
+(ts / ts_us / ts_t columns via io.load_table), DuckDB truncates to µs —
+all arithmetic is done on ts_us (bigint microseconds) so both engines see
+identical integers.
+
+Scale notes: sessionization is a single window per user_id (one shuffle on
+user_id — at 100 TB this is the natural partitioning for per-user state);
+funnel/retention are conditional aggregations (partial agg map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dask_cuml_spark.io import load_table
+from dask_cuml_spark.registry import register
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap in microseconds
+
+
+# ---------------------------------------------------------------------------
+# q20 — sessionization (D6): 30-min-gap sessions per user; lag → gap flag →
+# running sum = session id; then per-session stats.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_sessionization",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), lagged AS (
+  SELECT user_id, event_id, ts_us,
+         LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_us
+  FROM base
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def q20_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts_us",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — funnel (D7): signup → purchase conversion per user, then a global
+# summary. Conditional-aggregation pattern: one pass over events.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_funnel",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+  CAST(SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM per_user
+""",
+)
+def q21_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
+            "first_purchase"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)
+        ).alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — JSON property extraction (D8): get_json_object over events.props.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — retention (D7): week-over-week returning users within Jan 2024.
+# ---------------------------------------------------------------------------
+@register(
+    "q23_retention",
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+              / (7.0 * 86400 * 1000000)) AS BIGINT) AS week
+  FROM events
+)
+SELECT a.week AS week, COUNT(*) AS retained
+FROM weekly a JOIN weekly b
+  ON a.user_id = b.user_id AND b.week = a.week + 1
+GROUP BY a.week
+""",
+)
+def q23_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    epoch0 = 1_704_067_200_000_000  # 2024-01-01 UTC in µs
+    weekly = e.select(
+        "user_id",
+        F.floor((F.col("ts_us") - epoch0) / (7.0 * 86400 * 1_000_000)).alias(
+            "week"
+        ),
+    ).distinct()
+    a, b = weekly.alias("a"), weekly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.week") == F.col("a.week") + 1),
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — event-type stats over value (dask_cudf groupby-describe on a
+# stream-shaped table).
+# ---------------------------------------------------------------------------
+@register(
+    "q24_event_value_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+)
+def q24_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — hourly event-time windows (C-checklist event-time windows, batch
+# form of the streaming tumbling window).
+# ---------------------------------------------------------------------------
+@register(
+    "q25_hourly_windows",
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q25_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    return (
+        e.groupBy(
+            (F.expr(f"ts_us DIV {hour_us}") * hour_us).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,384 @@
+"""Text analysis + deduplication (SURVEY.md §2D D1/D2/D4/D5, §2A A11/A14):
+tokenization, tf-idf, top-terms, exact dedup, n-gram Jaccard near-dup,
+language/source slicing, quality scoring, naive-bayes decomposition.
+
+Reference parity: cuml.dask feature_extraction.text (CountVectorizer/TFIDF)
+[SURVEY §2A A14] and the north-star LLM-pipeline dedup/text ops.
+
+Scale design:
+  - tokenize = split+explode: narrow → shuffle only at the groupBy(term),
+    which is the canonical word-count shape (map-side partial agg wins).
+  - tf-idf: two aggregates (tf per doc-term, df per term) + a broadcast
+    join of the (small) term->idf map back onto tf.
+  - exact dedup at 100 TB: group on (hash of normalized text) first so the
+    shuffle key is 8 bytes, not the document; fixtures are small enough to
+    group on text directly while the declared operator hashes.
+  - n-gram Jaccard near-dup: token-set self-join pre-filtered by shared
+    tokens — the relational formulation of MinHash verification; the
+    probabilistic MinHash/LSH variant is in operators/dedup.py (ROWS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dask_cuml_spark.io import load_table
+from dask_cuml_spark.registry import register
+
+
+def tokens(col: str = "text"):
+    """Whitespace tokenizer as a Spark expression (fixtures are
+    single-space separated; FIXTURES.md)."""
+    return F.split(F.col(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# q30 — token counts (D4 tokenize+tf): global top-20 terms with tie-break.
+# ---------------------------------------------------------------------------
+@register(
+    "q30_top_terms",
+    oracle="""
+SELECT t.term AS term, COUNT(*) AS n
+FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+GROUP BY t.term
+ORDER BY n DESC, term
+LIMIT 20
+""",
+)
+def q30_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — tf-idf top term per document (A14/D4). idf = ln(N/df); top-1 by
+# (score desc, term asc) per doc — deterministic tie-break.
+# ---------------------------------------------------------------------------
+@register(
+    "q31_tfidf_top_term",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score
+FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored
+) s
+WHERE rk = 1
+""",
+)
+def q31_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # O(1) metadata-ish count; model state not data
+    tok = d.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "term", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — exact dedup summary (D1): docs vs distinct normalized texts; the
+# keep-min(doc_id) representative per duplicate group.
+# ---------------------------------------------------------------------------
+@register(
+    "q32_exact_dedup",
+    oracle="""
+WITH groups AS (
+  SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+  FROM documents
+  GROUP BY text
+)
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_docs,
+  COUNT(*) AS n_distinct,
+  CAST(SUM(n_copies - 1) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+FROM groups
+""",
+)
+def q32_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    groups = d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return groups.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n_copies") - 1).alias("n_removed"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+            "n_dup_groups"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — language/source slice-and-dice (D5).
+# ---------------------------------------------------------------------------
+@register(
+    "q33_lang_source_slice",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q33_lang_source_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — text quality scoring (north-star text analysis): token count,
+# distinct tokens, type-token ratio, mean token length — the standard
+# LLM-data quality features, all JVM-side array expressions (no UDF).
+# ---------------------------------------------------------------------------
+@register(
+    "q34_text_quality",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS ttr,
+       ROUND((n_chars - len(string_split(text, ' ')) + 1.0)
+             / len(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents
+""",
+)
+def q34_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tok = F.array_size(toks)
+    n_dis = F.array_size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct_tokens"),
+        F.round(n_dis.cast("double") / n_tok, 6).alias("ttr"),
+        F.round(
+            (F.col("n_chars") - n_tok + 1.0) / n_tok, 6
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — n-gram (token) Jaccard near-dup (D2, exact relational form): for a
+# doc subset, pairwise Jaccard over distinct-token sets via a shared-token
+# self-join — the verification stage of MinHash dedup, SQL-oracled.
+# ---------------------------------------------------------------------------
+@register(
+    "q35_jaccard_near_dup",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.term AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE doc_id < 100
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.6
+""",
+)
+def q35_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("term")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — naive-bayes decomposition (A11): per-(lang, term) smoothed
+# log-likelihood + class log-prior — the entire MultinomialNB fit as SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "q36_naive_bayes_fit",
+    oracle="""
+WITH tok AS (
+  SELECT lang, t.term AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+), class_term AS (
+  SELECT lang, term, COUNT(*) AS n_wc FROM tok GROUP BY lang, term
+), class_tot AS (
+  SELECT lang, COUNT(*) AS n_c FROM tok GROUP BY lang
+), vocab AS (
+  SELECT COUNT(DISTINCT term) AS v FROM tok
+), prior AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), total AS (
+  SELECT COUNT(*) AS n FROM documents
+)
+SELECT ct.lang, ct.term,
+       ROUND(LN((ct.n_wc + 1.0) / (t.n_c + v.v)), 6) AS log_likelihood,
+       ROUND(LN(CAST(p.n_docs AS DOUBLE) / tt.n), 6) AS log_prior
+FROM class_term ct
+JOIN class_tot t USING (lang)
+JOIN prior p USING (lang)
+CROSS JOIN vocab v
+CROSS JOIN total tt
+""",
+)
+def q36_naive_bayes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens()).alias("term"))
+    class_term = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n_wc")
+    )
+    class_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    vocab = tok.agg(F.countDistinct("term").alias("v"))
+    prior = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        class_term.join(F.broadcast(class_tot), "lang")
+        .join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.log((F.col("n_wc") + 1.0) / (F.col("n_c") + F.col("v"))), 6
+            ).alias("log_likelihood"),
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n")), 6
+            ).alias("log_prior"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — label encode (A15): dense_rank over distinct labels — the
+# deterministic StringIndexer.
+# ---------------------------------------------------------------------------
+@register(
+    "q37_label_encode",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(DENSE_RANK() OVER (ORDER BY lang) - 1 AS BIGINT) AS lang_code
+FROM documents
+""",
+)
+def q37_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("lang")
+    return d.select(
+        "doc_id",
+        "lang",
+        (F.dense_rank().over(w) - 1).cast("long").alias("lang_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — document fingerprint (north-star): deterministic arithmetic rolling
+# hash (polynomial over token codes, mod 2^61-1) — identical in both
+# engines because it's integer arithmetic over the same token sequence.
+# Cheap char-code proxy: per-token (length, first-char) code to stay
+# SQL-portable; collision-grade fingerprint, not cryptographic.
+# ---------------------------------------------------------------------------
+@register(
+    "q38_fingerprint",
+    oracle="""
+WITH tok AS (
+  -- unnest + generate_subscripts must both sit in the SELECT clause so
+  -- DuckDB zips them positionally (FROM-clause UNNEST does not align).
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT doc_id,
+       CAST(SUM((LENGTH(term) * 131 + (ascii(term) % 97) + pos % 1024)
+                * ((pos % 31) + 1)) AS BIGINT) AS fingerprint
+FROM tok
+GROUP BY doc_id
+""",
+)
+def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens()).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    code = (
+        F.length("term") * 131
+        + (F.ascii("term") % 97)
+        + F.col("pos") % 1024
+    ) * ((F.col("pos") % 31) + 1)
+    return tok.groupBy("doc_id").agg(
+        F.sum(code).cast("long").alias("fingerprint")
+    )

@@ -1,0 +1,379 @@
+"""Vector / neighbor / clustering operators (SURVEY.md §2A A1/A4/A10,
+§2D D3/D9): brute-force kNN, centroid assignment, one Lloyd iteration,
+cosine top-k, cosine near-dup self-join, kNN-classifier vote, multimodal
+document×embedding join.
+
+Reference parity: dask_cuml/neighbors/nearest_neighbors.py (brute-force
+shards + global top-k merge) and dask_cuml/cluster/kmeans.py (per-GPU
+partials + centroid allreduce) [SURVEY §3.1, §3.2] — here the "shard-local
+top-k then merge" is exactly Spark's window-ranking after AQE, and the
+centroid allreduce is a partial+final groupBy aggregate.
+
+Scale notes: the query side is broadcast (few rows) so the candidate scan
+is a single map stage — no shuffle of the big side; the window top-k
+partitions by query_id. At 100 TB candidates, swap the crossJoin for the
+LSH-bucketed variant in operators/knn.py.
+
+All distances use functions.vector (double-precision fold — bitwise equal
+to the DuckDB list-lambda oracle; verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dask_cuml_spark.functions.vector import dot, l2_sq
+from dask_cuml_spark.io import load_table
+from dask_cuml_spark.registry import register
+
+# DuckDB lambda equivalents of functions.vector (kept textually in sync).
+_SQL_L2SQ = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+)
+_SQL_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+# ---------------------------------------------------------------------------
+# q40 — brute-force kNN (A4): 20 queries × all vectors, global top-5 by
+# (L2, id). Reference: FAISS per shard + distance-ordered merge.
+# ---------------------------------------------------------------------------
+@register(
+    "q40_knn_bruteforce",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), pairs AS (
+  SELECT query_id, neighbor_id,
+         {_SQL_L2SQ.format(a="qv", b="cv")} AS dist_sq
+  FROM q, c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(SQRT(dist_sq), 6) AS dist, rk
+FROM (
+  SELECT query_id, neighbor_id, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist_sq, neighbor_id) AS rk
+  FROM pairs
+) t
+WHERE rk <= 5
+""",
+)
+def q40_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", l2_sq("qv", "cv").alias("dist_sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.sqrt("dist_sq"), 6).alias("dist"),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — k-means centroid assignment (A1 predict step): argmin-distance to
+# 10 given centroids (first 10 vectors), deterministic (dist, cid) order.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_centroid_assignment",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < 10
+), pairs AS (
+  SELECT e.vec_id, cent.centroid_id,
+         {_SQL_L2SQ.format(a="e.embedding", b="cent.cv")} AS dist_sq
+  FROM embeddings e, cent
+)
+SELECT vec_id, centroid_id, ROUND(SQRT(dist_sq), 6) AS dist
+FROM (
+  SELECT vec_id, centroid_id, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist_sq, centroid_id) AS rk
+  FROM pairs
+) t
+WHERE rk = 1
+""",
+)
+def q41_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    pairs = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id", l2_sq("embedding", "cv").alias("dist_sq")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "centroid_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id", "centroid_id", F.round(F.sqrt("dist_sq"), 6).alias("dist")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — one Lloyd iteration (A1 update step): assignment → per-(centroid,
+# dimension) mean. This is the reference's per-iteration allreduce as a
+# partial+final aggregate (SURVEY §3.1 step 5).
+# ---------------------------------------------------------------------------
+@register(
+    "q42_lloyd_iteration",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < 10
+), assign AS (
+  SELECT vec_id, centroid_id, embedding
+  FROM (
+    SELECT e.vec_id, cent.centroid_id, e.embedding,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="cent.cv")},
+                      cent.centroid_id) AS rk
+    FROM embeddings e, cent
+  ) t WHERE rk = 1
+), dims AS (
+  SELECT centroid_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(UNNEST(embedding) AS DOUBLE) AS val
+  FROM assign
+)
+SELECT centroid_id, pos, ROUND(AVG(val), 6) AS new_center,
+       COUNT(*) AS n_members_dim
+FROM dims
+GROUP BY centroid_id, pos
+""",
+)
+def q42_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "centroid_id")
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "centroid_id",
+            "embedding",
+            l2_sq("embedding", "cv").alias("dist_sq"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    dims = assign.select(
+        "centroid_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "centroid_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return dims.groupBy("centroid_id", "pos").agg(
+        F.round(F.avg("val"), 6).alias("new_center"),
+        F.count(F.lit(1)).alias("n_members_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — cosine top-k similarity search (D3): unit-norm ⇒ cosine = dot.
+# ---------------------------------------------------------------------------
+@register(
+    "q43_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), pairs AS (
+  SELECT query_id, neighbor_id,
+         {_SQL_DOT.format(a="qv", b="cv")} AS cos_sim
+  FROM q, c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rk
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM pairs
+) t
+WHERE rk <= 5
+""",
+)
+def q43_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot("qv", "cv").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — multimodal row (D9): text + metadata + embedding carried through a
+# join; array ops stay JVM-side.
+# ---------------------------------------------------------------------------
+@register(
+    "q44_multimodal_join",
+    oracle=f"""
+SELECT d.doc_id, d.lang, d.n_chars, e.label,
+       ROUND(CAST(e.embedding[1] AS DOUBLE), 6) AS e0,
+       ROUND({_SQL_DOT.format(a="e.embedding", b="e.embedding")}, 6) AS norm_sq
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def q44_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+        F.round(dot("embedding", "embedding"), 6).alias("norm_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — cosine near-dup self-join (D2 embedding variant): all pairs above
+# a similarity threshold. Both engines compute bitwise-equal dots, so the
+# threshold cut is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "q45_cosine_near_dup",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {_SQL_DOT.format(a="a.embedding", b="b.embedding")} >= 0.35
+""",
+)
+def q45_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = dot("ea", "eb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= 0.35)
+        .select(
+            "id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 — kNN classifier vote (A10): 5-NN majority label with deterministic
+# (votes desc, label asc) tie-break.
+# ---------------------------------------------------------------------------
+@register(
+    "q46_knn_classify",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, label
+  FROM embeddings WHERE vec_id >= 20
+), knn AS (
+  SELECT query_id, neighbor_id, label
+  FROM (
+    SELECT query_id, neighbor_id, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY {_SQL_L2SQ.format(a="qv", b="cv")}, neighbor_id) AS rk
+    FROM q, c
+  ) t WHERE rk <= 5
+), votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes FROM knn GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, n_votes
+FROM (
+  SELECT query_id, label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS rk
+  FROM votes
+) t WHERE rk = 1
+""",
+)
+def q46_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "label",
+    )
+    wk = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    knn = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            l2_sq("qv", "cv").alias("dist_sq"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+    )
+    votes = knn.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults favor the local test harness (local[N], small shuffle partition
+count) but every knob is scale-aware: on a real cluster you pass
+``master=None`` (inherit spark-submit) and a higher ``shuffle_partitions``.
+
+Design notes for 100 TB (SURVEY.md §4):
+  - AQE on: runtime partition coalescing + skew-join splitting replaces the
+    reference's hand-tuned Dask partition counts.
+  - Arrow on: the Python<->JVM boundary is columnar, mirroring the
+    reference's Arrow-format GPU shards.
+  - Broadcast threshold left at default (10 MB) locally; dimension tables
+    (region/nation/supplier) are explicitly F.broadcast()-hinted in queries
+    so the plan is broadcast-join even if stats are missing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dask_cuml_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    master=None → respect $SPARK_GRAFT_CPUS (default local[*]) so the bench
+    driver controls parallelism.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        # Local: match core count so small-SF stages don't fragment.
+        # Cluster deployments should override (e.g. 2-3x total cores).
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Keep driver logs quiet in tests/bench.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
