@@ -1,0 +1,189 @@
+"""Deduplication operators (north-star D1/D2; SURVEY.md §2D).
+
+exact_dedup      — keep-min(doc_id) per normalized text. At 100 TB the
+                   group key is xxhash64(text) (8-byte shuffle key), with
+                   the winner row recovered by a self-semi-join.
+minhash_signatures / minhash_lsh_candidates / minhash_near_dup —
+                   MinHash + banded LSH near-dup: shingle → k hash
+                   permutations (xxhash64 with seed) → band buckets →
+                   bucket join → exact Jaccard verify. Everything is a
+                   DataFrame op; the only "custom" math is hashing, which
+                   stays JVM-side via F.xxhash64.
+simhash          — 64-bit SimHash over token hashes (majority bit vote),
+                   hamming-distance candidate pairs.
+
+MinHash/SimHash signatures are engine-specific (xxhash64 seeds), so these
+are ROWS-checked + golden-set pytest, not DuckDB-oracled (SURVEY §2D D2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return the deduplicated frame: one representative (min id) per
+    distinct text. Groups on the hash, not the text, so the shuffle key
+    is 8 bytes at any scale."""
+    h = F.xxhash64(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles as an array column (built-ins only)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.array_size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return df.withColumn("shingles", F.array_distinct(sh))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig[num_hashes]): sig_i = min over shingles of
+    xxhash64(shingle, seed=i)."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col(shingle_col), lambda s: F.xxhash64(s, F.lit(i))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(id_col, sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band_hash): candidate
+    pairs (id_a < id_b). The shuffle key is (band, hash) — constant-size
+    regardless of document size."""
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (the cheap verify stage)."""
+    a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b")
+    )
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.array_size("sh_a") + F.array_size("sh_b")
+    ).cast("double") - inter
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    bucket-join → exact-Jaccard verify."""
+    sh = shingles(df.select(id_col, text_col), text_col, n)
+    sigs = minhash_signatures(sh, id_col, "shingles", num_hashes)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands
+    )
+    return jaccard_verify(cands, sh, id_col, "shingles", threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, majority vote per bit.
+
+    One groupBy(id) with 64 conditional-sum aggregates (all partial-agg
+    friendly), then the bit-pattern reassembled from literals — a single
+    shuffle on id, all JVM-side. Bit 63 uses the signed-long
+    representation of 1<<63.
+    """
+    tok = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).withColumn("h", F.xxhash64("term"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(0)
+    return votes.select(id_col, sig.alias("simhash"))

@@ -1,0 +1,125 @@
+"""KMeans (reference: dask_cuml/cluster/kmeans.py — Lloyd's algorithm,
+per-GPU shard partials with centroid allreduce per iteration; SURVEY.md
+§2A A1, §3.1).
+
+Spark-first translation of the MNMG loop:
+  - centroids live on the driver (O(k·d) model state) and are broadcast
+    into the assignment expression each iteration;
+  - the assignment + per-cluster partial sums is ONE groupBy aggregate
+    (Catalyst partial+final agg ≡ the NCCL allreduce);
+  - the input DataFrame is cached once, so each iteration is a single
+    scan-free stage over the cached columnar blocks.
+
+Assignment uses functions.vector l2_sq (codegen, no UDF). Sums are done
+per-dimension with F.aggregate over the array column — the whole
+iteration never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _assignment_expr(vec_col: str, centers: np.ndarray) -> Column:
+    """argmin_c ||x - c||² as a fold over literal centroid arrays with a
+    deterministic (dist, cid) tie-break."""
+    best_id: Column = F.lit(0)
+    best_d: Column | None = None
+    for cid, center in enumerate(centers):
+        lit_center = F.array(*[F.lit(float(v)) for v in center])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                lit_center,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_id
+
+
+@dataclass
+class KMeans:
+    """Lloyd's algorithm with given or sampled initial centers.
+
+    init='first-k' takes the k lowest-id vectors — deterministic, which
+    the oracle/test contract requires (FIXTURES.md: never assert label
+    recovery; assert deterministic assignments/centroids instead).
+    """
+
+    k: int = 10
+    max_iter: int = 10
+    tol: float = 1e-6
+    cluster_centers_: np.ndarray | None = field(default=None, init=False)
+    n_iter_: int = field(default=0, init=False)
+
+    def fit(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        initial_centers: np.ndarray | None = None,
+    ) -> "KMeans":
+        df = df.select(id_col, vec_col).cache()
+        try:
+            if initial_centers is None:
+                rows = (
+                    df.orderBy(id_col).limit(self.k).select(vec_col).collect()
+                )
+                centers = np.array([r[0] for r in rows], dtype=np.float64)
+            else:
+                centers = np.asarray(initial_centers, dtype=np.float64)
+            dim = centers.shape[1]
+
+            for it in range(self.max_iter):
+                assign = df.withColumn(
+                    "_cid", _assignment_expr(vec_col, centers)
+                )
+                # per-cluster, per-dimension sums + counts in one aggregate:
+                # elementwise array sum via reduce over zip_with(+)
+                sums = (
+                    assign.groupBy("_cid")
+                    .agg(
+                        F.count(F.lit(1)).alias("_n"),
+                        *[
+                            F.sum(
+                                F.element_at(vec_col, i + 1).cast("double")
+                            ).alias(f"_s{i}")
+                            for i in range(dim)
+                        ],
+                    )
+                    .collect()
+                )
+                new_centers = centers.copy()
+                for row in sums:
+                    cid, n = row["_cid"], row["_n"]
+                    if n > 0:
+                        new_centers[cid] = [row[f"_s{i}"] / n for i in range(dim)]
+                shift = float(np.max(np.linalg.norm(new_centers - centers, axis=1)))
+                centers = new_centers
+                self.n_iter_ = it + 1
+                if shift < self.tol:
+                    break
+            self.cluster_centers_ = centers
+            return self
+        finally:
+            df.unpersist()
+
+    def predict(
+        self, df: DataFrame, vec_col: str = "embedding", output_col: str = "cluster"
+    ) -> DataFrame:
+        assert self.cluster_centers_ is not None, "call fit() first"
+        return df.withColumn(
+            output_col, _assignment_expr(vec_col, self.cluster_centers_)
+        )

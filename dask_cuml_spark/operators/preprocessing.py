@@ -1,0 +1,100 @@
+"""Preprocessing operators (reference: cuml/dask/preprocessing + cuml
+preprocessing used around dask workflows; SURVEY.md §2A A15-A17).
+
+StandardScaler / MinMaxScaler — fit computes O(k) stats in one aggregate;
+transform is a pure column expression (codegen, broadcast-free since the
+stats are literals by transform time).
+LabelEncoder — distinct + dense_rank, returned as a small mapping frame
+joined back (broadcast).
+train_test_split — seeded hash-based split: deterministic, reproducible
+across runs AND across cluster sizes (unlike randomSplit, which is
+partition-dependent) — at 100 TB that reproducibility matters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass
+class StandardScaler:
+    """z = (x - mean) / stddev_samp per column."""
+
+    with_mean: bool = True
+    with_std: bool = True
+    stats_: dict[str, tuple[float, float]] = field(default_factory=dict, init=False)
+
+    def fit(self, df: DataFrame, cols: list[str]) -> "StandardScaler":
+        aggs = []
+        for c in cols:
+            aggs.append(F.avg(c).alias(f"mu_{c}"))
+            aggs.append(F.stddev_samp(c).alias(f"sd_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        self.stats_ = {c: (row[f"mu_{c}"], row[f"sd_{c}"]) for c in cols}
+        return self
+
+    def transform(self, df: DataFrame, suffix: str = "_z") -> DataFrame:
+        out = df
+        for c, (mu, sd) in self.stats_.items():
+            expr = F.col(c)
+            if self.with_mean:
+                expr = expr - float(mu)
+            if self.with_std:
+                expr = expr / float(sd)
+            out = out.withColumn(f"{c}{suffix}", expr)
+        return out
+
+
+@dataclass
+class MinMaxScaler:
+    """x01 = (x - min) / (max - min) per column."""
+
+    stats_: dict[str, tuple[float, float]] = field(default_factory=dict, init=False)
+
+    def fit(self, df: DataFrame, cols: list[str]) -> "MinMaxScaler":
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"lo_{c}"))
+            aggs.append(F.max(c).alias(f"hi_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        self.stats_ = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+        return self
+
+    def transform(self, df: DataFrame, suffix: str = "_01") -> DataFrame:
+        out = df
+        for c, (lo, hi) in self.stats_.items():
+            out = out.withColumn(
+                f"{c}{suffix}", (F.col(c) - float(lo)) / (float(hi) - float(lo))
+            )
+        return out
+
+
+def label_encode(df: DataFrame, col: str, output_col: str | None = None) -> DataFrame:
+    """Deterministic StringIndexer: codes assigned by sorted label order
+    (dense_rank over the distinct set, broadcast back)."""
+    output_col = output_col or f"{col}_code"
+    mapping = (
+        df.select(col)
+        .distinct()
+        .withColumn(
+            output_col,
+            (F.dense_rank().over(Window.orderBy(col)) - 1).cast("long"),
+        )
+    )
+    return df.join(F.broadcast(mapping), col)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_fraction: float = 0.25, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic hash split on the id column. Same rows land in the
+    same side regardless of partitioning/cluster size."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    cut = int(test_fraction * 10_000)
+    test = df.filter(bucket < cut)
+    train = df.filter(bucket >= cut)
+    return train, test

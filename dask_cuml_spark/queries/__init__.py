@@ -13,3 +13,4 @@ from dask_cuml_spark.queries import events  # noqa: F401
 from dask_cuml_spark.queries import text  # noqa: F401
 from dask_cuml_spark.queries import vector  # noqa: F401
 from dask_cuml_spark.queries import ml  # noqa: F401
+from dask_cuml_spark.queries import streaming_queries  # noqa: F401

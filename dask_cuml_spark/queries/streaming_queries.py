@@ -1,0 +1,68 @@
+"""Structured Streaming operators declared as oracle-checked queries.
+
+These run a real streaming query (readStream → session_window/window →
+memory sink, Trigger.AvailableNow) to completion and return the result
+as a DataFrame. Because session_window(gap) produces exactly the same
+sessions as the batch lag+cumsum formulation on this data (ns precision
+makes exact-gap boundary collisions impossible), both streaming queries
+share a DuckDB oracle — a stronger check than the rows-only fallback the
+driver would otherwise apply to streaming ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dask_cuml_spark.registry import register
+from dask_cuml_spark.streaming.sessionize import (
+    stream_hourly_counts,
+    stream_sessionize,
+)
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q70_stream_sessionization",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), lagged AS (
+  SELECT user_id, event_id, ts_us,
+         LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_us
+  FROM base
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def q70_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_sessionize(spark, sf_dir)
+
+
+@register(
+    "q71_stream_hourly_counts",
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q71_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_hourly_counts(spark, sf_dir)
