@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Keep the default 10 MB auto-broadcast threshold: raising it to
+        # 64 MB was measured SLOWER here (driver builds the hash relation
+        # single-threaded; shuffling 150k-row tables beats broadcasting
+        # them). True dimension tables get explicit broadcast() hints in
+        # the queries instead.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Keep driver logs quiet in tests/bench.
