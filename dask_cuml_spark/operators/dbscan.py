@@ -1,0 +1,138 @@
+"""DBSCAN (reference successor: cuml/dask/cluster/dbscan.py; SURVEY.md
+§2A A13 — flagged "no MLlib impl"). Relational formulation:
+
+  1. ε-neighborhood self-join (pairs within eps) — at scale this is the
+     expensive step; here it goes through the blocked GEMM kernel
+     (operators/gemm.py) since ||a-b||² = |a|² + |b|² - 2a·b.
+  2. core points = those with ≥ min_pts neighbors (groupBy count).
+  3. clusters = connected components of the core-core graph, computed by
+     iterative label propagation (each round: label = min(label over
+     neighbors); converges in O(graph diameter) rounds — the standard
+     large-graph CC algorithm when no graph library is available).
+  4. border points attach to any core neighbor's cluster; everything
+     else is noise (-1).
+
+Driver only ever sees convergence counters; labels live in DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_cuml_spark.operators.gemm import pairwise_similarity_above
+
+
+def _eps_pairs(
+    df: DataFrame, eps: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric pairs (a, b), a != b, with L2(a,b) <= eps. Unit-norm-free:
+    uses dot >= (|a|²+|b|²-eps²)/2 per pair via the GEMM kernel on the
+    squared-distance form."""
+    # For general vectors we need |a|²; compute dot-threshold per pair is
+    # awkward in one GEMM pass, so run GEMM on similarity and convert:
+    # here we exploit d² = na + nb - 2·dot with norms joined in.
+    sims = pairwise_similarity_above(
+        df, threshold=-1e18, id_col=id_col, vec_col=vec_col, upper_triangle=True
+    )
+    norms = df.select(
+        F.col(id_col).alias("_nid"),
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("_norm_sq"),
+    )
+    na = norms.select(F.col("_nid").alias("id_a"), F.col("_norm_sq").alias("na"))
+    nb = norms.select(F.col("_nid").alias("id_b"), F.col("_norm_sq").alias("nb"))
+    pairs = (
+        sims.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("dist_sq", F.col("na") + F.col("nb") - 2 * F.col("sim"))
+        .filter(F.col("dist_sq") <= eps * eps)
+        .select("id_a", "id_b")
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+
+
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_pts: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Returns (id, cluster) with noise = -1. Cluster ids are the min
+    member id of each component (deterministic)."""
+    pairs = _eps_pairs(df, eps, id_col, vec_col).cache()
+    try:
+        degrees = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
+        cores = degrees.filter(F.col("deg") >= min_pts).select(
+            F.col("id_a").alias("id")
+        ).cache()
+        core_edges = (
+            pairs.join(cores.withColumnRenamed("id", "id_a"), "id_a")
+            .join(
+                cores.select(F.col("id").alias("id_b")),
+                "id_b",
+            )
+            .select("id_a", "id_b")
+        ).cache()
+
+        labels = cores.withColumn("label", F.col("id"))
+        for _ in range(max_rounds):
+            neighbor_min = (
+                core_edges.join(
+                    labels.select(
+                        F.col("id").alias("id_b"), F.col("label").alias("nl")
+                    ),
+                    "id_b",
+                )
+                .groupBy("id_a")
+                .agg(F.min("nl").alias("min_nl"))
+            )
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels.id == neighbor_min.id_a, "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("min_nl", F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+
+        border = (
+            pairs.join(
+                labels.select(F.col("id").alias("id_b"), "label"), "id_b"
+            )
+            .join(cores.withColumnRenamed("id", "id_a"), "id_a", "left_anti")
+            .groupBy("id_a")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("id_a").alias("id"), "label")
+        )
+        assigned = labels.unionByName(border)
+        return (
+            df.select(F.col(id_col).alias("id"))
+            .join(assigned, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("label", F.lit(-1)).cast("long").alias("cluster"),
+            )
+        )
+    finally:
+        pairs.unpersist()

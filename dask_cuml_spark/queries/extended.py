@@ -1,0 +1,352 @@
+"""Extended checklist coverage (SURVEY.md §2C gaps + remaining §2B/§2D):
+as-of join, cube, source/sink round-trips (CSV/JSON/ORC/partitioned
+parquet), map functions, ranking windows, language-ID heuristic,
+BPE-ish token counting, kNN regression.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dask_cuml_spark.io import load_table
+from dask_cuml_spark.registry import register
+from dask_cuml_spark.sources import formats
+
+
+# ---------------------------------------------------------------------------
+# q60 — as-of join (C-checklist, no Spark native): for each "query point"
+# (customer's first event-month demand), the most recent order at or
+# before a cutoff — here: each customer's latest order strictly before
+# 1998-01-01, formulated as join + deterministic top-1. At 100 TB the
+# union-window trick avoids the range-join blowup; at key-bounded
+# cardinality this join+rank IS the right plan (the per-key candidate
+# set is small).
+# ---------------------------------------------------------------------------
+@register(
+    "q60_asof_join",
+    oracle="""
+SELECT c_custkey, o_orderkey AS asof_orderkey,
+       epoch_us(o_orderdate) AS asof_date_us, o_totalprice
+FROM (
+  SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+   AND o.o_orderdate < TIMESTAMP '1998-01-01'
+) t
+WHERE rk = 1
+""",
+)
+def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_custkey",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            # parquet ms-timestamps surface as TIMESTAMP_NTZ in Spark 4;
+            # cast under the UTC session tz to match DuckDB's epoch_us
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "asof_date_us"
+            ),
+            "o_totalprice",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — cube (C-checklist grouping sets family; q11 covers rollup).
+# ---------------------------------------------------------------------------
+@register(
+    "q61_cube",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q61_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — partitioned parquet sink round-trip (B2): write orders
+# hive-partitioned by status, read back, aggregate. Oracle aggregates the
+# source directly — the round-trip must be lossless.
+# ---------------------------------------------------------------------------
+@register(
+    "q62_partitioned_write",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q62_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"dcs_part_write_{os.path.basename(sf_dir)}"
+    )
+    formats.write_partitioned_parquet(o, out, ["o_orderstatus"])
+    back = formats.read_parquet(spark, out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — CSV/JSON/ORC source round-trip (B1): nation written to all three
+# formats, read back, 3-way joined. Oracle reads the parquet source.
+# ---------------------------------------------------------------------------
+@register(
+    "q63_multiformat_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       n_nationkey AS key_csv, n_nationkey AS key_json, n_nationkey AS key_orc
+FROM nation
+""",
+)
+def q63_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    base = os.path.join(
+        tempfile.gettempdir(), f"dcs_fmt_{os.path.basename(sf_dir)}"
+    )
+    formats.write_csv(n, f"{base}/csv")
+    formats.write_json(n, f"{base}/json")
+    formats.write_orc(n, f"{base}/orc")
+    csv = formats.read_csv(spark, f"{base}/csv", schema=n.schema).select(
+        F.col("n_nationkey").alias("key_csv")
+    )
+    js = formats.read_json(spark, f"{base}/json", schema=n.schema).select(
+        F.col("n_nationkey").alias("key_json")
+    )
+    orc = formats.read_orc(spark, f"{base}/orc").select(
+        F.col("n_nationkey").alias("key_orc")
+    )
+    return (
+        n.join(csv, n.n_nationkey == csv.key_csv)
+        .join(js, n.n_nationkey == js.key_json)
+        .join(orc, n.n_nationkey == orc.key_orc)
+        .select(
+            "n_nationkey", "n_name", "n_regionkey", "key_csv", "key_json", "key_orc"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — map functions (C-checklist): events.props parsed into a typed
+# map, keys/values extracted and aggregated.
+# ---------------------------------------------------------------------------
+@register(
+    "q64_map_functions",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_maps,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_values
+FROM events
+GROUP BY event_type
+""",
+)
+def q64_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.withColumn("m", m)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_maps"),
+            F.sum(
+                F.when(F.array_contains(F.map_keys("m"), "k"), 1).otherwise(0)
+            ).alias("n_with_k"),
+            F.sum(F.element_at("m", "k")).alias("sum_values"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — ranking window functions beyond row_number (C-checklist): rank,
+# dense_rank, ntile, percent_rank, cume_dist in one pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q65_ranking_windows",
+    oracle="""
+SELECT c_custkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def q65_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — language-ID heuristic (north-star text analysis): marker-token
+# ratio. The fixture vocabulary carries no real language signal
+# (FIXTURES.md), so the operator contract is the deterministic score, not
+# recovery of the lang column.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_language_id",
+    oracle="""
+SELECT doc_id,
+       ROUND(CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('key', 'agg', 'row', 'scan'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS marker_ratio,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('key', 'agg', 'row', 'scan'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) >= 0.12
+            THEN 'markerlang' ELSE 'other' END AS lang_pred
+FROM documents
+""",
+)
+def q66_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    markers = F.filter(
+        toks, lambda t: t.isin("key", "agg", "row", "scan")
+    )
+    ratio = F.size(markers).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.round(ratio, 6).alias("marker_ratio"),
+        F.when(ratio >= 0.12, "markerlang").otherwise("other").alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — token counting, whitespace + BPE-ish (north-star): whitespace
+# tokens plus a subword estimate (ceil(len/4) per token — the "4 chars ≈
+# 1 token" heuristic), both pure expressions.
+# ---------------------------------------------------------------------------
+@register(
+    "q67_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+            t -> CAST(CEIL(LENGTH(t) / 4.0) AS BIGINT))) AS BIGINT)
+         AS n_subword_est
+FROM documents
+""",
+)
+def q67_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sub = F.aggregate(
+        F.transform(
+            toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        sub.alias("n_subword_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — kNN regressor (A10): predict the mean label of the 5 nearest
+# neighbors (labels have no geometric signal here — the contract is the
+# deterministic aggregation of a deterministic neighbor set).
+# ---------------------------------------------------------------------------
+@register(
+    "q68_knn_regressor",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, label
+  FROM embeddings WHERE vec_id >= 20
+), knn AS (
+  SELECT query_id, label
+  FROM (
+    SELECT query_id, neighbor_id, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY list_aggregate(list_transform(list_zip(qv, cv),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                 * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               neighbor_id) AS rk
+    FROM q, c
+  ) t WHERE rk <= 5
+)
+SELECT query_id, ROUND(AVG(CAST(label AS DOUBLE)), 6) AS label_pred
+FROM knn
+GROUP BY query_id
+""",
+)
+def q68_knn_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.functions.vector import l2_sq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "label",
+    )
+    n_par = spark.sparkContext.defaultParallelism
+    w = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    knn = (
+        c.repartition(n_par)
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", "label", l2_sq("qv", "cv").alias("dist_sq"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    return knn.groupBy("query_id").agg(
+        F.round(F.avg(F.col("label").cast("double")), 6).alias("label_pred")
+    )

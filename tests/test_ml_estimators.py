@@ -1,0 +1,153 @@
+"""Tests for the estimator surface backed by PCA/MLlib/DBSCAN/NB —
+reference strategy: golden = numpy/sklearn-equivalent closed forms on
+synthetic data, tolerance-based for iterative fits (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_cuml_spark.io import load_table
+from dask_cuml_spark.operators.datasets import make_blobs, make_regression
+from dask_cuml_spark.operators.dbscan import dbscan
+from dask_cuml_spark.operators.mllib_wrappers import (
+    ElasticNetWrapper,
+    KMeansMLlib,
+    LogisticRegressionWrapper,
+    RandomForestWrapper,
+    vector_roundtrip,
+)
+from dask_cuml_spark.operators.naive_bayes import MultinomialNB
+from dask_cuml_spark.operators.pca import PCA
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_pca_matches_numpy(spark):
+    l = load_table(spark, SF, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    model = PCA(n_components=2).fit(l, cols)
+    pdf = l.select(cols).toPandas()
+    X = pdf.to_numpy(dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    comps = vecs[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    np.testing.assert_allclose(model.components_, comps, rtol=1e-6)
+    np.testing.assert_allclose(model.explained_variance_, vals[order], rtol=1e-6)
+
+
+def test_pca_transform_variance_ordering(spark):
+    l = load_table(spark, SF, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    model = PCA(n_components=2).fit(l, cols)
+    out = model.transform(l)
+    row = out.agg(
+        F.var_samp("pc0").alias("v0"), F.var_samp("pc1").alias("v1")
+    ).collect()[0]
+    np.testing.assert_allclose(row["v0"], model.explained_variance_[0], rtol=1e-6)
+    assert row["v0"] >= row["v1"]
+
+
+def test_logistic_regression_separable(spark):
+    # linearly separable synthetic data -> near-perfect accuracy
+    df = make_regression(spark, n_samples=2000, n_features=2, noise=0.0, seed=7)
+    labeled = df.withColumn("cls", (F.col("y") > 0).cast("int"))
+    m = LogisticRegressionWrapper(max_iter=30).fit(labeled, ["x0", "x1"], "cls")
+    scored = m.predict(labeled)
+    acc = scored.agg(
+        F.avg(F.when(F.col("prediction") == F.col("cls"), 1.0).otherwise(0.0))
+    ).collect()[0][0]
+    assert acc > 0.97, acc
+
+
+def test_random_forest_learns_threshold(spark):
+    df = make_regression(spark, n_samples=2000, n_features=2, noise=0.0, seed=9)
+    labeled = df.withColumn("cls", (F.col("x0") > 0).cast("int"))
+    m = RandomForestWrapper(num_trees=10, max_depth=4).fit(
+        labeled, ["x0", "x1"], "cls"
+    )
+    scored = m.predict(labeled)
+    acc = scored.agg(
+        F.avg(F.when(F.col("prediction") == F.col("cls"), 1.0).otherwise(0.0))
+    ).collect()[0][0]
+    assert acc > 0.95, acc
+
+
+def test_elastic_net_shrinks_coefficients(spark):
+    df = make_regression(spark, n_samples=3000, n_features=3, noise=0.5, seed=11)
+    ols_like = ElasticNetWrapper(alpha=0.0, l1_ratio=0.0).fit(
+        df, ["x0", "x1", "x2"], "y"
+    )
+    lasso = ElasticNetWrapper(alpha=5.0, l1_ratio=1.0).fit(
+        df, ["x0", "x1", "x2"], "y"
+    )
+    assert np.abs(lasso.coef_).sum() < np.abs(ols_like.coef_).sum()
+    # atol: true coefficients can be near zero (noise=0.5 on y)
+    np.testing.assert_allclose(ols_like.coef_, df.coef_, atol=0.05)
+
+
+def test_kmeans_mllib_recovers_blobs(spark):
+    blobs = make_blobs(
+        spark, n_samples=1500, n_features=4, centers=3, cluster_std=0.5, seed=3
+    ).withColumn("features", F.col("features").cast("array<float>"))
+    m = KMeansMLlib(k=3, max_iter=20, seed=3).fit(blobs, "features")
+    scored = m.predict(blobs, "features")
+    # every true blob maps to exactly one dominant predicted cluster
+    conf = (
+        scored.groupBy("label", "cluster").count().toPandas()
+        .pivot_table(index="label", columns="cluster", values="count", fill_value=0)
+    )
+    purity = conf.max(axis=1).sum() / conf.values.sum()
+    assert purity > 0.99, purity
+
+
+def test_dbscan_blobs_and_noise(spark):
+    blobs = make_blobs(
+        spark, n_samples=300, n_features=2, centers=2, cluster_std=0.3, seed=5
+    ).select(
+        F.col("id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+        "label",
+    )
+    out = dbscan(blobs, eps=1.0, min_pts=5).toPandas()
+    clustered = out[out.cluster >= 0]
+    assert len(clustered) > 250  # dense blobs mostly clustered
+    # two dominant clusters
+    top = clustered.cluster.value_counts()
+    assert len(top) == 2, top
+    # cluster labels align with true blobs
+    joined = out.merge(
+        blobs.select("vec_id", "label").toPandas(), on="vec_id"
+    )
+    joined = joined[joined.cluster >= 0]
+    purity = (
+        joined.groupby(["label", "cluster"]).size().groupby("label").max().sum()
+        / len(joined)
+    )
+    assert purity > 0.98, purity
+
+
+def test_naive_bayes_separable_vocab(spark):
+    rows = []
+    for i in range(100):
+        rows.append((i, "apple banana cherry apple", "fruit"))
+        rows.append((100 + i, "carrot potato onion carrot", "veg"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    nb = MultinomialNB().fit(df)
+    pred = nb.predict(df).toPandas()
+    truth = df.select("doc_id", "lang").toPandas()
+    m = pred.merge(truth, on="doc_id")
+    assert (m.pred_class == m.lang).all()
+
+
+def test_vector_roundtrip_bridge(spark):
+    e = load_table(spark, SF, "embeddings").limit(20)
+    rt = vector_roundtrip(e, "embedding").toPandas()
+    for a, b in zip(rt.embedding, rt.embedding_rt):
+        assert list(a) == list(b)
