@@ -16,12 +16,18 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {report}"
 
 
+# The explicit rows-only allowlist: iterative fits and hash-seed-specific
+# ops whose numeric behavior is pytest-verified instead (SURVEY.md §5.2).
+ROWS_ONLY = {"q76_kmeans_fit", "q77_dbscan", "q78_minhash_near_dup"}
+
+
 def test_every_query_has_oracle_or_is_flagged():
-    # Non-SQL-expressible ops are allowed to omit the oracle, but we track
-    # them explicitly so the inventory is honest.
-    allowed_rows_only = {
-        name for name in QUERIES if name not in ORACLES
-    }
-    # all current declared queries are SQL-oracled unless listed here
-    assert all(n.startswith(("q7", "stream_", "rows_")) or n in ORACLES
-               for n in QUERIES), f"unexpected rows-only: {allowed_rows_only}"
+    rows_only = {name for name in QUERIES if name not in ORACLES}
+    assert rows_only == ROWS_ONLY, f"unexpected rows-only set: {rows_only}"
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
