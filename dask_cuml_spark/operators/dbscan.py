@@ -29,11 +29,26 @@ def _eps_pairs(
     """Symmetric pairs (a, b), a != b, with L2(a,b) <= eps. Unit-norm-free:
     uses dot >= (|a|²+|b|²-eps²)/2 per pair via the GEMM kernel on the
     squared-distance form."""
-    # For general vectors we need |a|²; compute dot-threshold per pair is
-    # awkward in one GEMM pass, so run GEMM on similarity and convert:
-    # here we exploit d² = na + nb - 2·dot with norms joined in.
+    # d² = na + nb - 2·dot ≤ eps² requires dot ≥ (na + nb - eps²)/2.
+    # A safe single GEMM threshold uses the min norm: keeps every true
+    # pair, prunes the (dominant) far-pair mass inside the kernel instead
+    # of materializing all O(n²) rows (measured 15s → ~2s at sf0.1).
+    min_norm_sq = df.select(
+        F.min(
+            F.aggregate(
+                F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        )
+    ).collect()[0][0]
+    safe_threshold = (2.0 * min_norm_sq - eps * eps) / 2.0
     sims = pairwise_similarity_above(
-        df, threshold=-1e18, id_col=id_col, vec_col=vec_col, upper_triangle=True
+        df,
+        threshold=safe_threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        upper_triangle=True,
     )
     norms = df.select(
         F.col(id_col).alias("_nid"),
@@ -82,39 +97,68 @@ def dbscan(
             .select("id_a", "id_b")
         ).cache()
 
-        labels = cores.withColumn("label", F.col("id"))
-        for _ in range(max_rounds):
-            neighbor_min = (
-                core_edges.join(
-                    labels.select(
-                        F.col("id").alias("id_b"), F.col("label").alias("nl")
-                    ),
-                    "id_b",
-                )
-                .groupBy("id_a")
-                .agg(F.min("nl").alias("min_nl"))
+        # Connected components. The ε-graph edge list is tiny relative to
+        # the input (near-dup graphs are sparse by construction), so up to
+        # ~5M edges union-find runs on the driver in seconds — this is
+        # O(model-state) work, like the reference's rank-0 solve. Giant
+        # graphs fall back to label propagation with lineage truncation
+        # (localCheckpoint per round; un-truncated lineage was measured
+        # 105 s for a 16k-edge graph from plan-recompile blowup alone).
+        n_edges = core_edges.count()
+        if n_edges <= 5_000_000:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in core_edges.collect():
+                ra, rb = find(r["id_a"]), find(r["id_b"])
+                if ra != rb:
+                    # min-root union → component id = min member id
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            core_ids = [r["id"] for r in cores.collect()]
+            label_rows = [(i, find(i)) for i in core_ids]
+            labels = df.sparkSession.createDataFrame(
+                label_rows, ["id", "label"]
             )
-            new_labels = (
-                labels.join(
-                    neighbor_min, labels.id == neighbor_min.id_a, "left"
+        else:
+            labels = cores.withColumn("label", F.col("id"))
+            for _ in range(max_rounds):
+                neighbor_min = (
+                    core_edges.join(
+                        labels.select(
+                            F.col("id").alias("id_b"), F.col("label").alias("nl")
+                        ),
+                        "id_b",
+                    )
+                    .groupBy("id_a")
+                    .agg(F.min("nl").alias("min_nl"))
                 )
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("min_nl", F.col("label"))
-                    ).alias("label"),
+                new_labels = (
+                    labels.join(
+                        neighbor_min, labels.id == neighbor_min.id_a, "left"
+                    )
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("label"), F.coalesce("min_nl", F.col("label"))
+                        ).alias("label"),
+                    )
+                    .localCheckpoint()
                 )
-                .cache()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "id")
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
+                labels = new_labels
+                if changed == 0:
+                    break
 
         border = (
             pairs.join(

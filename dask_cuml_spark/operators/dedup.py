@@ -55,18 +55,23 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """(id, sig[num_hashes]): sig_i = min over shingles of
-    xxhash64(shingle, seed=i)."""
-    sig = F.array(
+    xxhash64(shingle, seed=i).
+
+    Shingles are exploded once and the k minima run as ONE partial+final
+    aggregate (codegen, map-side combine) — measured faster than k
+    array-lambda transforms, and the shape that scales: the shuffle
+    carries k longs per doc regardless of document size."""
+    exploded = df.select(id_col, F.explode(F.col(shingle_col)).alias("_sh"))
+    agg = exploded.groupBy(id_col).agg(
         *[
-            F.array_min(
-                F.transform(
-                    F.col(shingle_col), lambda s: F.xxhash64(s, F.lit(i))
-                )
-            )
+            F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
     )
-    return df.select(id_col, sig.alias("sig"))
+    return agg.select(
+        id_col,
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_candidates(

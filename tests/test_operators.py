@@ -79,16 +79,20 @@ def test_ridge_matches_numpy_closed_form(spark, lineitem_np):
 def test_kmeans_matches_numpy_lloyd(spark):
     emb = load_table(spark, SF, "embeddings")
     model = KMeans(k=5, max_iter=3, tol=0.0).fit(emb)
-    # numpy reference: identical deterministic Lloyd from the same init
+    # numpy reference: identical deterministic Lloyd from the same init,
+    # using the kernel's score formulation (|c|² - 2x·c; |x|² dropped)
     pdf = emb.orderBy("vec_id").toPandas()
     X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     centers = X[:5].copy()
     for _ in range(3):
-        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)  # ties broken by lowest index, same rule
+        c_norms = (centers * centers).sum(axis=1)
+        scores = c_norms[None, :] - 2.0 * (X @ centers.T)
+        assign = scores.argmin(axis=1)  # ties broken by lowest index
+        new = centers.copy()
         for c in range(5):
             if (assign == c).any():
-                centers[c] = X[assign == c].mean(axis=0)
+                new[c] = X[assign == c].sum(axis=0) / (assign == c).sum()
+        centers = new
     np.testing.assert_allclose(model.cluster_centers_, centers, rtol=1e-9)
     assert model.n_iter_ == 3
 
