@@ -66,3 +66,19 @@ GROUP BY 1, 2
 )
 def q71_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_hourly_counts(spark, sf_dir)
+
+
+@register(
+    "q79_stream_stateful_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q79_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state via applyInPandasWithState; final state
+    equals the batch groupBy, giving the stateful path a full SQL oracle."""
+    from dask_cuml_spark.streaming.stateful import stream_user_totals
+
+    return stream_user_totals(spark, sf_dir)

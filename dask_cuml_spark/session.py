@@ -17,6 +17,7 @@ Design notes for 100 TB (SURVEY.md §4):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +57,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Keep driver logs quiet in tests/bench.
         .config("spark.ui.enabled", "false")
+        # Warehouse outside the repo (bucketed-table tests write here).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "dcs_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,128 @@
+"""Scale-path features: salted joins/aggs, bucketed co-located joins,
+approximate aggregate accuracy — the M6 items (SURVEY.md §7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_cuml_spark.io import load_table
+from dask_cuml_spark.operators.skew import salted_global_agg, salted_join
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    salted = (
+        salted_join(
+            o.withColumnRenamed("o_custkey", "k"),
+            c.withColumnRenamed("c_custkey", "k"),
+            on="k",
+            salt=8,
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert [(r["c_mktsegment"], r["n"]) for r in plain] == [
+        (r["c_mktsegment"], r["n"]) for r in salted
+    ]
+    for a, b in zip(plain, salted):
+        assert abs(a["s"] - b["s"]) < 1e-6
+
+
+def test_salted_global_agg_matches(spark):
+    l = load_table(spark, SF, "lineitem")
+    expect = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r["l_returnflag"]: r["total"]
+        for r in salted_global_agg(
+            l, "l_returnflag", F.count(F.lit(1)), "total", merge="sum", salt=8
+        ).collect()
+    }
+    assert expect == got
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Bucketing both sides on the join key pre-partitions data on disk:
+    the join needs no Exchange on its inputs (the co-located join that
+    replaces a 100-TB shuffle with a bucket-aligned scan). Only the
+    post-join groupBy may exchange → exactly 1 Exchange in the plan."""
+    import shutil
+    import tempfile
+    import os
+
+    o = load_table(spark, SF, "orders")
+    l = load_table(spark, SF, "lineitem")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(tempfile.gettempdir(), "dcs_warehouse", t)
+        shutil.rmtree(loc, ignore_errors=True)
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        l.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        got = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # AQE prints Final + Initial plans; judge only the final one
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1, final[:2500]
+        assert "SortMergeJoin" in final
+        assert "Bucketed: true" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    expect = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {(r["o_orderstatus"], r["n"]) for r in got} == {
+        (r["o_orderstatus"], r["n"]) for r in expect
+    }
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """approx_count_distinct / percentile_approx are the declared 100-TB
+    substitutes for exact countDistinct / percentile (PLANS.md); pin
+    their error on fixture data."""
+    o = load_table(spark, SF, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50a"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["p50a"] - row["p50"]) / row["p50"] < 0.01
