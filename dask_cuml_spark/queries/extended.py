@@ -350,3 +350,62 @@ def q68_knn_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.groupBy("query_id").agg(
         F.round(F.avg(F.col("label").cast("double")), 6).alias("label_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — time-RANGE window frame (B16 rangeBetween; q17 covers ROWS):
+# trailing-1-hour value sum per user over the event stream.
+# ---------------------------------------------------------------------------
+@register(
+    "q80_range_window",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts_us
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+         AS val_trailing_1h
+FROM base
+""",
+)
+def q80_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("val_trailing_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — one-hot encoding (A15 OneHotEncoder): known-category wide form,
+# engine-portable and join-free.
+# ---------------------------------------------------------------------------
+@register(
+    "q81_one_hot",
+    oracle="""
+SELECT doc_id,
+       CAST(lang = 'en' AS INT) AS lang_en,
+       CAST(lang = 'zh' AS INT) AS lang_zh,
+       CAST(lang = 'es' AS INT) AS lang_es,
+       CAST(lang = 'de' AS INT) AS lang_de,
+       CAST(lang = 'fr' AS INT) AS lang_fr
+FROM documents
+""",
+)
+def q81_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        *[
+            (F.col("lang") == lang).cast("int").alias(f"lang_{lang}")
+            for lang in ("en", "zh", "es", "de", "fr")
+        ],
+    )
