@@ -96,16 +96,25 @@ def lsh_knn(
     holds ~N/2^h rows so the per-bucket cross product is bounded.
     """
     rng = np.random.default_rng(seed)
-    matched = None
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
-        cb = candidates.withColumn("_bucket", _bucket_expr(cand_vec, planes))
-        qb = queries.withColumn("_bucket", _bucket_expr(query_vec, planes))
-        m = cb.join(F.broadcast(qb), "_bucket").select(
-            query_id, cand_id, query_vec, cand_vec
+    all_planes = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+
+    def with_buckets(df: DataFrame, vec: str) -> DataFrame:
+        # all tables' buckets in ONE pass over the input (posexplode of a
+        # bucket array) — one scan + one join total, not n_tables unions
+        buckets = F.array(
+            *[_bucket_expr(vec, planes) for planes in all_planes]
         )
-        matched = m if matched is None else matched.unionByName(m)
-    deduped = matched.dropDuplicates([query_id, cand_id])
+        return df.select(
+            "*", F.posexplode(buckets).alias("_table", "_bucket")
+        )
+
+    cb = with_buckets(candidates, cand_vec)
+    qb = with_buckets(queries, query_vec)
+    deduped = (
+        cb.join(F.broadcast(qb), ["_table", "_bucket"])
+        .select(query_id, cand_id, query_vec, cand_vec)
+        .dropDuplicates([query_id, cand_id])
+    )
     pairs = deduped.select(
         query_id, cand_id, l2_sq(query_vec, cand_vec).alias("dist_sq")
     )

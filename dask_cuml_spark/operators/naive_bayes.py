@@ -13,6 +13,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def hashing_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 256,
+) -> DataFrame:
+    """HashingVectorizer / HashingTF (SURVEY §2A A14): term → bucket via
+    xxhash64 mod N, counts per (doc, bucket). Long format — the sparse
+    representation that scales (wide arrays don't). Deterministic given
+    Spark's xxhash64; cross-engine oracle not possible (hash differs), so
+    this is pytest-checked."""
+    tok = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    return (
+        tok.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_features))
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 @dataclass
 class MultinomialNB:
     alpha: float = 1.0

@@ -354,3 +354,59 @@ def q58_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(y), 2).alias("s_y"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — OLS fit → predict end-to-end (A2 predict): closed-form parameters
+# from the sum leaves, then per-row scoring + residual — the entire
+# fit+transform pipeline as one SQL-checkable dataflow.
+# ---------------------------------------------------------------------------
+@register(
+    "q59_ols_predict",
+    oracle="""
+WITH s AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(l_quantity) AS sx,
+    SUM(l_extendedprice) AS sy,
+    SUM(l_quantity * l_quantity) AS sxx,
+    SUM(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem
+), params AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icept
+  FROM s
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND(p.icept + p.slope * l_quantity, 4) AS pred,
+       ROUND(l_extendedprice - (p.icept + p.slope * l_quantity), 4) AS resid
+FROM lineitem, params p
+WHERE l_orderkey % 100 = 0
+""",
+)
+def q59_ols_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = l.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    params = s.select(
+        slope.alias("slope"), ((sy - slope * sx) / n).alias("icept")
+    )
+    pred = F.col("icept") + F.col("slope") * F.col("l_quantity")
+    return (
+        l.filter(F.col("l_orderkey") % 100 == 0)
+        .crossJoin(F.broadcast(params))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(pred, 4).alias("pred"),
+            F.round(F.col("l_extendedprice") - pred, 4).alias("resid"),
+        )
+    )

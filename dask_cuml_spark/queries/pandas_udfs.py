@@ -229,3 +229,44 @@ def q78_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_dup(d, n=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q82 — LSH approximate kNN (A4 scale path — rows-only; recall +
+# determinism pytest-checked in tests/test_operators.py).
+# ---------------------------------------------------------------------------
+@register("q82_lsh_knn")  # no oracle: approximate by design
+def q82_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.knn import lsh_knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    return lsh_knn(q, c, dim=64, k=5, n_planes=6, n_tables=4)
+
+
+# ---------------------------------------------------------------------------
+# q83 — LogisticRegression predict (A7, LBFGS-iterative — rows-only;
+# accuracy pytest-checked in tests/test_ml_estimators.py): binary target
+# returnflag=='R' from lineitem numerics, seeded fit, class counts out.
+# ---------------------------------------------------------------------------
+@register("q83_logreg_predict")  # no oracle: iterative LBFGS fit
+def q83_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.mllib_wrappers import (
+        LogisticRegressionWrapper,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "is_return", (F.col("l_returnflag") == "R").cast("int")
+    )
+    model = LogisticRegressionWrapper(max_iter=20).fit(
+        l, ["l_quantity", "l_discount", "l_tax"], "is_return"
+    )
+    scored = model.predict(l)
+    return scored.groupBy("is_return", "prediction").agg(
+        F.count(F.lit(1)).alias("n")
+    )

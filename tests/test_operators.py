@@ -258,3 +258,22 @@ def test_multimodal_frame_sample_one_to_many(spark):
     frames = frame_sample(attach_fake_binary(d), every_n=2).toPandas()
     assert len(frames) >= 10
     assert (frames.frame_idx % 2 == 0).all()
+
+
+def test_hashing_tf_consistent_and_complete(spark):
+    from dask_cuml_spark.operators.naive_bayes import hashing_tf
+
+    d = load_table(spark, SF, "documents").limit(100)
+    tf = hashing_tf(d, num_features=64)
+    pdf = tf.toPandas()
+    assert (pdf.bucket >= 0).all() and (pdf.bucket < 64).all()
+    # total term mass preserved
+    total_terms = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    assert pdf.tf.sum() == total_terms
+    # same term always lands in the same bucket
+    again = hashing_tf(d, num_features=64).toPandas()
+    a = pdf.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    assert a.equals(b)

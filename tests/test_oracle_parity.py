@@ -18,7 +18,13 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 # The explicit rows-only allowlist: iterative fits and hash-seed-specific
 # ops whose numeric behavior is pytest-verified instead (SURVEY.md §5.2).
-ROWS_ONLY = {"q76_kmeans_fit", "q77_dbscan", "q78_minhash_near_dup"}
+ROWS_ONLY = {
+    "q76_kmeans_fit",
+    "q77_dbscan",
+    "q78_minhash_near_dup",
+    "q82_lsh_knn",
+    "q83_logreg_predict",
+}
 
 
 def test_every_query_has_oracle_or_is_flagged():
