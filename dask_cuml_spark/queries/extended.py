@@ -47,7 +47,7 @@ WHERE rk = 1
 def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
     )
     w = Window.partitionBy("c_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
@@ -59,11 +59,13 @@ def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             F.col("o_orderkey").alias("asof_orderkey"),
-            # parquet ms-timestamps surface as TIMESTAMP_NTZ in Spark 4;
-            # cast under the UTC session tz to match DuckDB's epoch_us
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
-                "asof_date_us"
-            ),
+            # NTZ-safe epoch micros: timestampdiff over NTZ operands is
+            # session-timezone-independent (a bare cast to TIMESTAMP would
+            # shift by the driver session's tz and break the oracle)
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).alias("asof_date_us"),
             "o_totalprice",
         )
     )

@@ -46,7 +46,7 @@ GROUP BY l_returnflag, l_linestatus
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -263,7 +263,7 @@ def q07_fillna_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     agg = (
-        l.filter(F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp"))
+        l.filter(F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp_ntz"))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_items"), F.sum("l_quantity").alias("qty"))
     )

@@ -37,3 +37,19 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema) > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "q60_asof_join", "q20_sessionization", "q06_orders_by_month"],
+)
+def test_parity_survives_non_utc_session_tz(spark, sf_dir, name):
+    """The driver controls the SparkSession; timestamp queries must hash-
+    match the (timezone-naive) DuckDB oracle under ANY session timezone."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ok, report = run_pair(spark, sf_dir, name)
+        assert ok, f"{name} under non-UTC tz: {report}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
