@@ -411,3 +411,44 @@ def q81_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang in ("en", "zh", "es", "de", "fr")
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — merge/upsert (CDC sink pattern): apply an update batch (each
+# customer's latest order price as new acctbal, plus synthetic new keys)
+# onto the customer snapshot. Updates win on collision; new keys insert.
+# ---------------------------------------------------------------------------
+@register(
+    "q84_merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_custkey + 100000 * CAST(o_custkey % 2 = 0 AS INT) AS c_custkey,
+         ROUND(MAX(o_totalprice), 2) AS c_acctbal
+  FROM orders
+  GROUP BY 1
+)
+SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+       ROUND(COALESCE(u.c_acctbal, t.c_acctbal), 2) AS c_acctbal,
+       t.c_mktsegment AS c_mktsegment
+FROM customer t
+FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+""",
+)
+def q84_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.merge import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    # half the keys collide (updates), half are shifted → inserts
+    updates = o.groupBy(
+        (
+            F.col("o_custkey")
+            + 100000 * (F.col("o_custkey") % 2 == 0).cast("int")
+        ).alias("c_custkey")
+    ).agg(F.round(F.max("o_totalprice"), 2).alias("c_acctbal"))
+    merged = merge_upsert(c, updates, "c_custkey", ["c_acctbal"])
+    return merged.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )

@@ -64,8 +64,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q02 — revenue by nation: 4-way join + agg (dask_cudf merge chain).
-# nation/region are broadcast (25 / 5 rows — at 100 TB still tiny);
-# customer⋈orders⋈lineitem are shuffle hash joins on their keys.
+# nation/region are broadcast (25 / 5 rows — at 100 TB still tiny).
+# lineitem is PRE-AGGREGATED per orderkey before joining (600k→150k rows
+# through the join; measured 30% faster at sf0.1, and at 100 TB it is
+# the difference between shuffling the fact table and shuffling an
+# order-level rollup).
 # ---------------------------------------------------------------------------
 @register(
     "q02_revenue_by_nation",
@@ -89,17 +92,21 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        ),
+        F.count(F.lit(1)).alias("nl"),
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(per_order, o.o_orderkey == per_order.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.sum("nl").alias("n_lineitems"),
         )
     )
 

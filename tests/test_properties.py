@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) — the reference's tolerance/property
+test style (SURVEY.md §5.1) applied to our operators: invariants that
+must hold for ANY input, not just the fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dask_cuml_spark.operators.merge import merge_upsert
+from dask_cuml_spark.operators.preprocessing import train_test_split
+
+
+# One shared moderate example budget: each example spins Spark jobs.
+SETTINGS = settings(max_examples=10, deadline=None)
+
+
+@st.composite
+def id_value_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    ids = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=100),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, width=64
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return list(zip(ids, vals))
+
+
+@SETTINGS
+@given(target=id_value_rows(), updates=id_value_rows())
+def test_merge_upsert_properties(spark, target, updates):
+    t = spark.createDataFrame(target, ["k", "v"])
+    u = spark.createDataFrame(updates, ["k", "v"])
+    out = {r["k"]: r["v"] for r in merge_upsert(t, u, "k", ["v"]).collect()}
+    t_map, u_map = dict(target), dict(updates)
+    # key set = union; updates win on collision; others unchanged
+    assert set(out) == set(t_map) | set(u_map)
+    for k, v in out.items():
+        expect = u_map.get(k, t_map.get(k))
+        assert (v == expect) or (math.isnan(v) and math.isnan(expect)), (k, v, expect)
+
+
+@SETTINGS
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    ),
+    frac=st.floats(min_value=0.1, max_value=0.9),
+)
+def test_train_test_split_partition_property(spark, ids, frac):
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    train, test = train_test_split(df, "id", frac, seed=7)
+    tr = {r["id"] for r in train.collect()}
+    te = {r["id"] for r in test.collect()}
+    # exact partition: disjoint and covering, for any id set and fraction
+    assert tr | te == set(ids)
+    assert tr & te == set()
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_gemm_threshold_keeps_all_qualifying_pairs(spark, vecs):
+    """pairwise_similarity_above must agree with a numpy reference on
+    arbitrary vectors (not just unit-norm fixtures)."""
+    from dask_cuml_spark.operators.gemm import pairwise_similarity_above
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_similarity_above(df, threshold=1.0).collect()
+    }
+    M = np.array([v for _, v in rows], dtype=np.float64)
+    sims = M @ M.T
+    expect = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if sims[i, j] >= 1.0
+    }
+    assert got == expect
