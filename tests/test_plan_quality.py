@@ -57,3 +57,11 @@ def test_q40_candidate_side_parallelized(spark):
     # the repartition before the broadcast-NLJ must survive optimization
     assert "Exchange RoundRobinPartitioning" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q03_rank_limit_pushdown(spark):
+    """Spark 4's WindowGroupLimit must fire partial (map-side) + final —
+    the reference's shard-local-top-k + merge (SURVEY §3.2) for free;
+    confirms no custom Catalyst rule is needed (SURVEY §4.2)."""
+    plan = _plan(spark, "q03_top_orders_per_customer")
+    assert plan.count("WindowGroupLimit") == 2, plan[:1500]

@@ -126,3 +126,69 @@ def test_approx_aggregates_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p50a"] - row["p50"]) / row["p50"] < 0.01
+
+
+def test_stateful_stream_across_multiple_batches(spark):
+    """Cross-batch state merge: the fixture is one file (one micro-batch),
+    which never exercises state carry-over. Re-shard events into 4 files,
+    replay with maxFilesPerTrigger=1 (4 batches), and require the final
+    per-user state to equal the batch aggregate."""
+    import shutil
+    import tempfile
+    import os
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from dask_cuml_spark.streaming.stateful import (
+        _OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        _update_user_totals,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    shard_dir = os.path.join(tempfile.gettempdir(), "dcs_event_shards")
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    src.repartition(4).write.parquet(shard_dir)
+
+    stream = spark.readStream.schema(src.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(shard_dir)
+    totals = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("multi_batch_totals")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = len(q.recentProgress)
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    snap = spark.table("multi_batch_totals")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        snap.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
+    )
+    expect = src.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in expect.collect()}
+    assert got == want
