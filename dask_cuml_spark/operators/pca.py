@@ -73,3 +73,53 @@ class PCA:
                 )
             out = out.withColumn(f"{prefix}{c_idx}", expr)
         return out
+
+
+@dataclass
+class TruncatedSVD:
+    """TruncatedSVD (A6 second half: cuml/dask/decomposition/tsvd.py) —
+    PCA without centering: eigendecomposition of the raw second-moment
+    matrix XᵀX/n. Same one-pass Gram aggregate, same driver-side solve,
+    same sign convention."""
+
+    n_components: int = 2
+    components_: np.ndarray | None = field(default=None, init=False)
+    explained_variance_: np.ndarray | None = field(default=None, init=False)
+    feature_cols_: list[str] = field(default_factory=list, init=False)
+
+    def fit(self, df: DataFrame, feature_cols: list[str]) -> "TruncatedSVD":
+        k = len(feature_cols)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(
+                    F.sum(
+                        F.col(feature_cols[i]) * F.col(feature_cols[j])
+                    ).alias(f"g_{i}_{j}")
+                )
+        row = df.agg(*aggs).collect()[0]
+        n = float(row["n"])
+        gram = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                gram[i, j] = gram[j, i] = row[f"g_{i}_{j}"] / n
+        vals, vecs = np.linalg.eigh(gram)
+        order = np.argsort(vals)[::-1][: self.n_components]
+        comps = vecs[:, order].T
+        for c in comps:
+            if c[np.argmax(np.abs(c))] < 0:
+                c *= -1
+        self.components_ = comps
+        self.explained_variance_ = vals[order]
+        self.feature_cols_ = list(feature_cols)
+        return self
+
+    def transform(self, df: DataFrame, prefix: str = "sv") -> DataFrame:
+        assert self.components_ is not None, "call fit() first"
+        out = df
+        for c_idx, comp in enumerate(self.components_):
+            expr = F.lit(0.0)
+            for f_idx, col in enumerate(self.feature_cols_):
+                expr = expr + F.col(col) * float(comp[f_idx])
+            out = out.withColumn(f"{prefix}{c_idx}", expr)
+        return out

@@ -151,3 +151,24 @@ def test_vector_roundtrip_bridge(spark):
     rt = vector_roundtrip(e, "embedding").toPandas()
     for a, b in zip(rt.embedding, rt.embedding_rt):
         assert list(a) == list(b)
+
+
+def test_truncated_svd_matches_numpy(spark):
+    from dask_cuml_spark.operators.pca import TruncatedSVD
+
+    l = load_table(spark, SF, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    model = TruncatedSVD(n_components=2).fit(l, cols)
+    X = l.select(cols).toPandas().to_numpy(dtype=np.float64)
+    gram = X.T @ X / len(X)
+    vals, vecs = np.linalg.eigh(gram)
+    order = np.argsort(vals)[::-1][:2]
+    comps = vecs[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    np.testing.assert_allclose(model.components_, comps, rtol=1e-6)
+    # transform projects onto the components (no centering)
+    out = model.transform(l.limit(50)).select("sv0", *cols).toPandas()
+    proj = out[cols].to_numpy() @ model.components_[0]
+    np.testing.assert_allclose(out["sv0"].to_numpy(), proj, rtol=1e-9)
