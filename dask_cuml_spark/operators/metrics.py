@@ -50,3 +50,32 @@ def confusion_matrix(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
     return df.groupBy(
         F.col(label_col).alias("actual"), F.col(pred_col).alias("predicted")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def adjusted_rand_score(df: DataFrame, label_col: str, pred_col: str) -> float:
+    """ARI between two labelings (reference: cuml.metrics
+    adjusted_rand_score; SURVEY §2A A19). One distributed contingency
+    aggregate; the O(k²) pair-counting closes on the driver."""
+    cont = (
+        df.groupBy(label_col, pred_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    def comb2(x: float) -> float:
+        return x * (x - 1) / 2.0
+
+    n = sum(r["n"] for r in cont)
+    sum_ij = sum(comb2(r["n"]) for r in cont)
+    a: dict = {}
+    b: dict = {}
+    for r in cont:
+        a[r[label_col]] = a.get(r[label_col], 0) + r["n"]
+        b[r[pred_col]] = b.get(r[pred_col], 0) + r["n"]
+    sum_a = sum(comb2(v) for v in a.values())
+    sum_b = sum(comb2(v) for v in b.values())
+    expected = sum_a * sum_b / comb2(n)
+    max_index = (sum_a + sum_b) / 2.0
+    if max_index == expected:
+        return 1.0
+    return float((sum_ij - expected) / (max_index - expected))

@@ -382,3 +382,41 @@ def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id").agg(
         F.sum(code).cast("long").alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — CountVectorizer (A14): alphabetical vocabulary index (the
+# deterministic fit) + per-doc sparse counts (the transform), long format.
+# ---------------------------------------------------------------------------
+@register(
+    "q39_count_vectorizer",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+), vocab AS (
+  SELECT term, CAST(DENSE_RANK() OVER (ORDER BY term) - 1 AS BIGINT)
+           AS term_idx
+  FROM (SELECT DISTINCT term FROM tok) v
+)
+SELECT tok.doc_id, vocab.term_idx, COUNT(*) AS tf
+FROM tok JOIN vocab USING (term)
+GROUP BY tok.doc_id, vocab.term_idx
+""",
+)
+def q39_count_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("term"))
+    vocab = (
+        tok.select("term")
+        .distinct()
+        .withColumn(
+            "term_idx",
+            (F.dense_rank().over(Window.orderBy("term")) - 1).cast("long"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "term_idx")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -381,3 +381,45 @@ def q46_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "n_votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — IVF index search, full probe (D3 scale path): coarse k-means
+# cells + probe-then-rank. With nprobe == n_cells the result is EXACTLY
+# brute-force kNN (self included), which gives the whole IVF machinery —
+# coarse quantizer, cell assignment, probe selection, per-cell search,
+# global merge — a full SQL oracle. Partial-probe recall is
+# pytest-checked (tests/test_operators.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q47_ivf_search_full_probe",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), pairs AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_SQL_L2SQ.format(a="qv", b="c.embedding")} AS dist_sq
+  FROM q, embeddings c
+)
+SELECT query_id, neighbor_id, ROUND(SQRT(dist_sq), 6) AS dist, rk
+FROM (
+  SELECT query_id, neighbor_id, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist_sq, neighbor_id) AS rk
+  FROM pairs
+) t
+WHERE rk <= 5
+""",
+)
+def q47_ivf_search_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.ivf import IVFIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    idx = IVFIndex(n_cells=8, kmeans_iters=3).fit(e)
+    out = idx.search(q, k=5, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rk"
+    )

@@ -277,3 +277,48 @@ def test_hashing_tf_consistent_and_complete(spark):
     a = pdf.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
     b = again.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_ivf_index_recall_and_full_probe_exactness(spark):
+    from dask_cuml_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    exact = brute_force_knn(q, c.withColumnRenamed("neighbor_id", "vec_id")
+                            .withColumnRenamed("cv", "embedding")
+                            .select(F.col("vec_id").alias("neighbor_id"),
+                                    F.col("embedding").alias("cv")), k=5)
+    exact_set = set(zip(*[exact.toPandas()[c] for c in ("query_id", "neighbor_id")]))
+
+    idx = IVFIndex(n_cells=8, kmeans_iters=3).fit(emb)
+    # full probe (nprobe = n_cells) must equal exact brute force
+    full = idx.search(q, k=5, nprobe=8).toPandas()
+    full_set = set(zip(full.query_id, full.neighbor_id))
+    assert full_set == exact_set
+    # partial probe trades recall for scan fraction but keeps some overlap
+    part = idx.search(q, k=5, nprobe=3).toPandas()
+    part_set = set(zip(part.query_id, part.neighbor_id))
+    recall = len(part_set & exact_set) / len(exact_set)
+    assert recall >= 0.3, recall
+    # determinism
+    again = idx.search(q, k=5, nprobe=3).toPandas()
+    assert set(zip(again.query_id, again.neighbor_id)) == part_set
+
+
+def test_adjusted_rand_score_known_values(spark):
+    from dask_cuml_spark.operators.metrics import adjusted_rand_score
+
+    # identical labelings -> 1.0
+    e = load_table(spark, SF, "embeddings").withColumn("pred", F.col("label"))
+    assert abs(adjusted_rand_score(e, "label", "pred") - 1.0) < 1e-12
+    # label-permuted -> still 1.0 (ARI is permutation-invariant)
+    perm = e.withColumn("pred", (F.col("label") + 3) % 10)
+    assert abs(adjusted_rand_score(perm, "label", "pred") - 1.0) < 1e-12
+    # independent labeling -> ~0
+    rand = e.withColumn("pred", (F.col("vec_id") * 7919) % 10)
+    assert abs(adjusted_rand_score(rand, "label", "pred")) < 0.05
