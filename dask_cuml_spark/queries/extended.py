@@ -414,6 +414,37 @@ def q81_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q85 — explicit GROUPING SETS (completing the grouping family beyond
+# q11 rollup / q61 cube): chosen set list, via Spark SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "q85_grouping_sets",
+    oracle="""
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q85_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs"
+    )
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS total_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q84 — merge/upsert (CDC sink pattern): apply an update batch (each
 # customer's latest order price as new acctbal, plus synthetic new keys)
 # onto the customer snapshot. Updates win on collision; new keys insert.

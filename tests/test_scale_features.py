@@ -192,3 +192,43 @@ def test_stateful_stream_across_multiple_batches(spark):
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in expect.collect()}
     assert got == want
+
+
+def test_streaming_dedup_with_watermark(spark):
+    """Streaming exact-dedup (LLM-pipeline ingest pattern): replay the
+    event shards with duplicated files; dropDuplicates on event_id within
+    a watermark must restore the distinct set."""
+    import shutil
+    import tempfile
+    import os
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dup_dir = os.path.join(tempfile.gettempdir(), "dcs_dup_events")
+    shutil.rmtree(dup_dir, ignore_errors=True)
+    # two identical shards = every event duplicated across micro-batches
+    src.write.parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dup_dir)
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    deduped = stream.withWatermark("ts_t", "10 minutes").dropDuplicates(
+        ["event_id"]
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.table("dedup_stream").count()
+    assert got == src.count(), (got, src.count())
