@@ -414,6 +414,46 @@ def q81_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q86 — table profiling (data-quality pass over a table: null counts,
+# distinct counts, min/max per column — the dask_cudf describe/isna
+# combination a pipeline runs before training).
+# ---------------------------------------------------------------------------
+@register(
+    "q86_profile_table",
+    oracle="""
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_name,
+  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_bal,
+  COUNT(DISTINCT c_nationkey) AS distinct_nations,
+  COUNT(DISTINCT c_mktsegment) AS distinct_segments,
+  ROUND(MIN(c_acctbal), 2) AS min_bal,
+  ROUND(MAX(c_acctbal), 2) AS max_bal,
+  MIN(c_custkey) AS min_key,
+  MAX(c_custkey) AS max_key
+FROM customer
+""",
+)
+def q86_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias(
+            "null_name"
+        ),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias(
+            "null_bal"
+        ),
+        F.countDistinct("c_nationkey").alias("distinct_nations"),
+        F.countDistinct("c_mktsegment").alias("distinct_segments"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q85 — explicit GROUPING SETS (completing the grouping family beyond
 # q11 rollup / q61 cube): chosen set list, via Spark SQL.
 # ---------------------------------------------------------------------------
