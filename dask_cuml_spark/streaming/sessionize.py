@@ -17,6 +17,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dask_cuml_spark.streaming import _state_partitions
 
 
 def stream_sessionize(
@@ -49,7 +50,7 @@ def stream_sessionize(
         )
     )
     name = f"sessions_{abs(hash(sf_dir)) % 10_000_000}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _state_partitions(spark, 8):
         q = (
             sessions.writeStream.format("memory")
             .queryName(name)
@@ -94,7 +95,7 @@ def stream_hourly_counts(
         )
     )
     name = f"hourly_{abs(hash(sf_dir)) % 10_000_000}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _state_partitions(spark, 8):
         q = (
             counts.writeStream.format("memory")
             .queryName(name)
