@@ -322,6 +322,98 @@ def q36_naive_bayes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q87 — naive-bayes predict (A11 second half): argmax over class scores
+# (sum of smoothed log-likelihoods + log-prior) for a doc subset.
+# Ranking happens on the ROUNDED score so both engines rank identical
+# values; (score desc, lang asc) tie-break.
+# ---------------------------------------------------------------------------
+@register(
+    "q87_naive_bayes_predict",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, t.term AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+), class_term AS (
+  SELECT lang, term, COUNT(*) AS n_wc FROM tok GROUP BY lang, term
+), class_tot AS (
+  SELECT lang, COUNT(*) AS n_c FROM tok GROUP BY lang
+), vocab AS (
+  SELECT COUNT(DISTINCT term) AS v FROM tok
+), prior AS (
+  SELECT lang, LN(CAST(COUNT(*) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM documents)) AS log_prior
+  FROM documents GROUP BY lang
+), model AS (
+  SELECT ct.lang, ct.term, LN((ct.n_wc + 1.0) / (t.n_c + v.v)) AS loglik
+  FROM class_term ct JOIN class_tot t USING (lang) CROSS JOIN vocab v
+), doc_tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE doc_id < 100
+), scores AS (
+  SELECT dt.doc_id, m.lang,
+         ROUND(SUM(m.loglik) + MAX(p.log_prior), 6) AS score
+  FROM doc_tok dt
+  JOIN model m ON dt.term = m.term
+  JOIN prior p ON m.lang = p.lang
+  GROUP BY dt.doc_id, m.lang
+)
+SELECT doc_id, lang AS pred_lang, score
+FROM (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rk
+  FROM scores
+) t WHERE rk = 1
+""",
+)
+def q87_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens()).alias("term"))
+    class_term = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n_wc")
+    )
+    class_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    vocab = tok.agg(F.countDistinct("term").alias("v"))
+    total = d.count()
+    prior = d.groupBy("lang").agg(
+        F.log(F.count(F.lit(1)).cast("double") / float(total)).alias(
+            "log_prior"
+        )
+    )
+    model = (
+        class_term.join(F.broadcast(class_tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "term",
+            F.log((F.col("n_wc") + 1.0) / (F.col("n_c") + F.col("v"))).alias(
+                "loglik"
+            ),
+        )
+    )
+    doc_tok = d.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.explode(tokens()).alias("term")
+    )
+    scores = (
+        doc_tok.join(F.broadcast(model), "term")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum("loglik") + F.max("log_prior"), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q37 — label encode (A15): dense_rank over distinct labels — the
 # deterministic StringIndexer.
 # ---------------------------------------------------------------------------
