@@ -1,0 +1,144 @@
+"""Additional substrate coverage: grouped quantiles (holistic agg per
+group), unpivot/melt (dask_cudf melt), regexp functions, and a Python
+UDTF (Spark 3.5+ user-defined table function — the C-checklist UDTF row
+as a real UDTF, not just the mapInPandas shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_cuml_spark.io import load_table
+from dask_cuml_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# q88 — grouped quantiles (D10 per-group form): exact median + p90 per
+# market segment (holistic aggregate after the group shuffle; at 100 TB
+# swap percentile() for percentile_approx — PLANS.md).
+# ---------------------------------------------------------------------------
+@register(
+    "q88_group_quantiles",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(QUANTILE_CONT(c_acctbal, 0.5), 6) AS median_bal,
+       ROUND(QUANTILE_CONT(c_acctbal, 0.9), 6) AS p90_bal,
+       COUNT(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q88_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — unpivot / melt (dask_cudf melt): wide numeric columns → long
+# (measure, value) rows, aggregated per measure.
+# ---------------------------------------------------------------------------
+@register(
+    "q89_unpivot_melt",
+    oracle="""
+WITH long AS (
+  SELECT l_orderkey, measure, value
+  FROM lineitem
+  UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))
+)
+SELECT measure, COUNT(*) AS n, ROUND(SUM(value), 4) AS total,
+       ROUND(AVG(value), 6) AS mean
+FROM long
+GROUP BY measure
+""",
+)
+def q89_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — regexp functions (B10 completion: extract + count + replace).
+# ---------------------------------------------------------------------------
+@register(
+    "q90_regexp_ops",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       CAST(LENGTH(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT)
+         AS consonant_len,
+       CAST(regexp_matches(p_type, 'STEEL|BRASS') AS INT) AS is_metal
+FROM part
+WHERE p_partkey % 7 = 0
+""",
+)
+def q90_regexp_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("p_name", "[aeiou]", "")).cast("long").alias(
+            "consonant_len"
+        ),
+        F.col("p_type").rlike("STEEL|BRASS").cast("int").alias("is_metal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 — Python UDTF (C-checklist UDTF as a true table function, Spark
+# 3.5+): one row in → one row per token with position, then aggregated.
+# Oracle = the posexplode equivalent.
+# ---------------------------------------------------------------------------
+@register(
+    "q91_python_udtf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+  WHERE doc_id < 50
+)
+SELECT doc_id, CAST(MAX(pos) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN pos % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_odd_positions
+FROM tok
+GROUP BY doc_id
+""",
+)
+def q91_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, term: string, pos: bigint")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, term in enumerate(text.split(" ")):
+                yield doc_id, term, i + 1
+
+    spark.udtf.register("dcs_tokenize", Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.select("doc_id", "text").createOrReplaceTempView("docs_for_udtf")
+    tok = spark.sql(
+        "SELECT t.* FROM docs_for_udtf, "
+        "LATERAL dcs_tokenize(doc_id, text) t"
+    )
+    return tok.groupBy("doc_id").agg(
+        F.max("pos").alias("n_tokens"),
+        F.sum(F.when(F.col("pos") % 2 == 1, 1).otherwise(0)).alias(
+            "n_odd_positions"
+        ),
+    )
