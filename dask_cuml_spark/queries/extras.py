@@ -99,6 +99,57 @@ def q90_regexp_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q92 — time-interval self-join (C-checklist range/interval join on the
+# time axis; q14 covers value ranges): purchase events paired with the
+# same user's error events within the following 5 minutes. Bounded-range
+# condition on integer microseconds — at scale this joins on user_id and
+# prunes by the band inside the join, no cross product.
+# ---------------------------------------------------------------------------
+@register(
+    "q92_interval_join",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+)
+SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       e.event_id AS error_id, e.ts_us - p.ts_us AS lag_us
+FROM base p
+JOIN base e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts_us > p.ts_us AND e.ts_us <= p.ts_us + 300000000
+""",
+)
+def q92_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts_us").alias("e_ts"),
+    )
+    five_min_us = 300_000_000
+    return (
+        p.join(
+            err,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") > F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + five_min_us),
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "error_id",
+            (F.col("e_ts") - F.col("p_ts")).alias("lag_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q91 — Python UDTF (C-checklist UDTF as a true table function, Spark
 # 3.5+): one row in → one row per token with position, then aggregated.
 # Oracle = the posexplode equivalent.
