@@ -384,6 +384,40 @@ def q46_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q48 — k-means transform (A1 transform: full distance matrix to the k
+# centroids — the reference's KMeans.transform output, long format).
+# ---------------------------------------------------------------------------
+@register(
+    "q48_kmeans_transform",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < 10
+)
+SELECT e.vec_id, cent.centroid_id,
+       ROUND(SQRT({_SQL_L2SQ.format(a="e.embedding", b="cent.cv")}), 6)
+         AS dist
+FROM embeddings e, cent
+WHERE e.vec_id < 200
+""",
+)
+def q48_kmeans_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    return (
+        _par(e.filter(F.col("vec_id") < 200))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(F.sqrt(l2_sq("embedding", "cv")), 6).alias("dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q47 — IVF index search, full probe (D3 scale path): coarse k-means
 # cells + probe-then-rank. With nprobe == n_cells the result is EXACTLY
 # brute-force kNN (self included), which gives the whole IVF machinery —
