@@ -69,6 +69,32 @@ def q71_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q93_stream_stream_join",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+)
+SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       e.event_id AS error_id, e.ts_us - p.ts_us AS lag_us
+FROM base p
+JOIN base e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts_us > p.ts_us AND e.ts_us <= p.ts_us + 300000000
+""",
+)
+def q93_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run to completion ≡ the batch interval
+    join (q92's oracle) — watermarked two-stream correlation with a full
+    SQL check."""
+    from dask_cuml_spark.streaming.stream_join import (
+        stream_purchase_error_join,
+    )
+
+    return stream_purchase_error_join(spark, sf_dir)
+
+
+@register(
     "q79_stream_stateful_totals",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
