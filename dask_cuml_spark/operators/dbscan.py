@@ -85,7 +85,9 @@ def dbscan(
     pairs = _eps_pairs(df, eps, id_col, vec_col).cache()
     try:
         degrees = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
-        cores = degrees.filter(F.col("deg") >= min_pts).select(
+        # reference (cuml/sklearn) counts the point in its own
+        # ε-neighborhood: core ⇔ deg(excluding self) + 1 >= min_pts
+        cores = degrees.filter(F.col("deg") + 1 >= min_pts).select(
             F.col("id_a").alias("id")
         ).cache()
         core_edges = (
@@ -105,7 +107,19 @@ def dbscan(
         # (localCheckpoint per round; un-truncated lineage was measured
         # 105 s for a 16k-edge graph from plan-recompile blowup alone).
         n_edges = core_edges.count()
-        if n_edges <= 5_000_000:
+        if n_edges == 0:
+            # no core-core edges: isolated cores form singleton clusters
+            # (their own id); explicit schema — createDataFrame cannot
+            # infer types from an empty row list
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [StructField("id", LongType()), StructField("label", LongType())]
+            )
+            labels = df.sparkSession.createDataFrame(
+                [(r["id"], r["id"]) for r in cores.collect()], schema
+            )
+        elif n_edges <= 5_000_000:
             parent: dict[int, int] = {}
 
             def find(x: int) -> int:

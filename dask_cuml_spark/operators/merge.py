@@ -23,10 +23,16 @@ def merge_upsert(
 ) -> DataFrame:
     """Return target with `updates` applied: row-per-key, updates win on
     collision, new keys appended. Non-updated columns keep target values
-    (NULL for pure inserts)."""
+    (NULL for pure inserts).
+
+    NULL-update semantics (CDC): a matched update row fully wins on its
+    update_cols — an explicit NULL in the update OVERWRITES the target's
+    value (match on the update KEY, not coalesce on the value, so
+    null-out fields propagate)."""
     t = target.alias("t")
     u = updates.alias("u")
     joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    matched = F.col(f"u.{key}").isNotNull()
     out_cols = [
         F.coalesce(F.col(f"t.{key}"), F.col(f"u.{key}")).alias(key)
     ]
@@ -35,7 +41,9 @@ def merge_upsert(
             continue
         if c in update_cols and c in updates.columns:
             out_cols.append(
-                F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+                F.when(matched, F.col(f"u.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
             )
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))

@@ -38,9 +38,23 @@ def hashing_tf(
 
 @dataclass
 class MultinomialNB:
+    """Smoothing semantics (matches sklearn/cuml MultinomialNB): a term in
+    the training vocabulary but unseen in class c contributes
+    fallback(c) = log(alpha / (n_c + alpha*V)) to that class's score;
+    out-of-vocabulary terms are ignored; a doc with no in-vocab terms is
+    predicted from the priors alone.
+
+    Scored without a doc×class×vocab blowup via the delta decomposition
+      score(d, c) = log_prior(c) + n_invocab(d)·fallback(c)
+                    + Σ_{t seen in c} (loglik(c,t) − fallback(c))
+    — one token join for the deltas plus a docs×classes broadcast cross
+    join (|classes| is small), so the wide stages stay O(tokens)."""
+
     alpha: float = 1.0
-    model_: DataFrame | None = field(default=None, init=False)  # (class, term, loglik)
-    priors_: DataFrame | None = field(default=None, init=False)  # (class, log_prior)
+    model_: DataFrame | None = field(default=None, init=False)  # (cls, term, loglik)
+    priors_: DataFrame | None = field(default=None, init=False)  # (cls, log_prior)
+    class_stats_: DataFrame | None = field(default=None, init=False)  # (cls, log_prior, fallback)
+    vocab_: DataFrame | None = field(default=None, init=False)  # (term)
 
     def fit(
         self,
@@ -71,14 +85,30 @@ class MultinomialNB:
             )
             .cache()
         )
-        total = df.count()
+        self.vocab_ = tok.select("term").distinct().cache()
+        total_df = df.agg(F.count(F.lit(1)).alias("_n_total"))
         self.priors_ = (
             df.groupBy(F.col(class_col).alias("cls"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(total_df))
             .select(
                 "cls",
-                F.log(F.col("n_docs") / F.lit(float(total))).alias("log_prior"),
+                F.log(
+                    F.col("n_docs") / F.col("_n_total").cast("double")
+                ).alias("log_prior"),
             )
+            .cache()
+        )
+        self.class_stats_ = (
+            class_tot.crossJoin(F.broadcast(vocab))
+            .select(
+                "cls",
+                F.log(
+                    F.lit(self.alpha)
+                    / (F.col("n_c") + self.alpha * F.col("v"))
+                ).alias("fallback"),
+            )
+            .join(F.broadcast(self.priors_), "cls")
             .cache()
         )
         return self
@@ -94,14 +124,31 @@ class MultinomialNB:
         tok = df.select(
             id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
         )
-        # unseen terms contribute the same constant to every class score;
-        # dropping them (inner join) leaves the argmax unchanged
-        scores = (
-            tok.join(F.broadcast(self.model_), "term")
+        # keep only in-vocab tokens (with multiplicity); OOV terms carry no
+        # class information under multinomial smoothing
+        invocab = tok.join(F.broadcast(self.vocab_), "term")
+        n_iv = invocab.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_iv"))
+        # per-class delta above the fallback for (class, term) pairs seen
+        # in training — the only part that needs the token join
+        deltas = self.model_.join(
+            F.broadcast(self.class_stats_.select("cls", "fallback")), "cls"
+        ).select("cls", "term", (F.col("loglik") - F.col("fallback")).alias("delta"))
+        dsum = (
+            invocab.join(F.broadcast(deltas), "term")
             .groupBy(id_col, "cls")
-            .agg(F.sum("loglik").alias("ll"))
-            .join(F.broadcast(self.priors_), "cls")
-            .withColumn("score", F.col("ll") + F.col("log_prior"))
+            .agg(F.sum("delta").alias("dsum"))
+        )
+        scores = (
+            df.select(id_col)
+            .join(n_iv, id_col, "left")
+            .crossJoin(F.broadcast(self.class_stats_))
+            .join(dsum, [id_col, "cls"], "left")
+            .withColumn(
+                "score",
+                F.col("log_prior")
+                + F.coalesce("n_iv", F.lit(0)) * F.col("fallback")
+                + F.coalesce("dsum", F.lit(0.0)),
+            )
         )
         w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "cls")
         return (

@@ -41,7 +41,7 @@ WITH base AS (
   FROM base
 ), flagged AS (
   SELECT user_id, event_id, ts_us,
-         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {GAP_US}
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us >= {GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM lagged
 ), sess AS (
@@ -67,7 +67,10 @@ def q20_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.when(
             F.lag("ts_us").over(w).isNull()
-            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > GAP_US),
+            # >= matches Spark session_window's half-open [t, t+gap):
+            # an event exactly gap after its predecessor opens a new
+            # session (keeps q20 ≡ q70's streaming formulation)
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) >= GAP_US),
             1,
         )
         .otherwise(0)

@@ -499,7 +499,8 @@ WITH updates AS (
   GROUP BY 1
 )
 SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
-       ROUND(COALESCE(u.c_acctbal, t.c_acctbal), 2) AS c_acctbal,
+       ROUND(CASE WHEN u.c_custkey IS NOT NULL
+                  THEN u.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal,
        t.c_mktsegment AS c_mktsegment
 FROM customer t
 FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey

@@ -2,11 +2,11 @@
 
 These run a real streaming query (readStream → session_window/window →
 memory sink, Trigger.AvailableNow) to completion and return the result
-as a DataFrame. Because session_window(gap) produces exactly the same
-sessions as the batch lag+cumsum formulation on this data (ns precision
-makes exact-gap boundary collisions impossible), both streaming queries
-share a DuckDB oracle — a stronger check than the rows-only fallback the
-driver would otherwise apply to streaming ops.
+as a DataFrame. session_window(gap) uses a half-open [t, t+gap) window,
+so an event exactly gap after its predecessor starts a NEW session; the
+shared batch/SQL oracle uses the matching `delta >= gap` condition, and
+both streaming queries share that DuckDB oracle — a stronger check than
+the rows-only fallback the driver would otherwise apply to streaming ops.
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ WITH base AS (
   FROM base
 ), flagged AS (
   SELECT user_id, event_id, ts_us,
-         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us >= {_GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM lagged
 ), sess AS (

@@ -323,7 +323,12 @@ def q36_naive_bayes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q87 — naive-bayes predict (A11 second half): argmax over class scores
-# (sum of smoothed log-likelihoods + log-prior) for a doc subset.
+# for a doc subset, with sklearn/cuml smoothing semantics: an in-vocab
+# term unseen in class c contributes fallback(c) = ln(1/(n_c + V));
+# docs with no in-vocab terms are predicted from the priors. Scored via
+# the delta decomposition
+#   score = log_prior + n_invocab·fallback + Σ_seen (loglik − fallback)
+# so the wide stages stay O(tokens) (no doc×class×vocab blowup).
 # Ranking happens on the ROUNDED score so both engines rank identical
 # values; (score desc, lang asc) tie-break.
 # ---------------------------------------------------------------------------
@@ -339,24 +344,43 @@ WITH tok AS (
   SELECT lang, COUNT(*) AS n_c FROM tok GROUP BY lang
 ), vocab AS (
   SELECT COUNT(DISTINCT term) AS v FROM tok
+), vocab_terms AS (
+  SELECT DISTINCT term FROM tok
 ), prior AS (
   SELECT lang, LN(CAST(COUNT(*) AS DOUBLE)
                   / (SELECT COUNT(*) FROM documents)) AS log_prior
   FROM documents GROUP BY lang
+), fallback AS (
+  SELECT t.lang, LN(1.0 / (t.n_c + v.v)) AS fb
+  FROM class_tot t CROSS JOIN vocab v
 ), model AS (
-  SELECT ct.lang, ct.term, LN((ct.n_wc + 1.0) / (t.n_c + v.v)) AS loglik
+  SELECT ct.lang, ct.term,
+         LN((ct.n_wc + 1.0) / (t.n_c + v.v)) AS loglik
   FROM class_term ct JOIN class_tot t USING (lang) CROSS JOIN vocab v
 ), doc_tok AS (
   SELECT doc_id, t.term AS term
   FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
   WHERE doc_id < 100
+), invocab AS (
+  SELECT dt.doc_id, dt.term FROM doc_tok dt
+  JOIN vocab_terms vt ON dt.term = vt.term
+), n_iv AS (
+  SELECT doc_id, COUNT(*) AS n_iv FROM invocab GROUP BY doc_id
+), dsum AS (
+  SELECT iv.doc_id, m.lang, SUM(m.loglik - f.fb) AS dsum
+  FROM invocab iv
+  JOIN model m ON iv.term = m.term
+  JOIN fallback f ON m.lang = f.lang
+  GROUP BY iv.doc_id, m.lang
 ), scores AS (
-  SELECT dt.doc_id, m.lang,
-         ROUND(SUM(m.loglik) + MAX(p.log_prior), 6) AS score
-  FROM doc_tok dt
-  JOIN model m ON dt.term = m.term
-  JOIN prior p ON m.lang = p.lang
-  GROUP BY dt.doc_id, m.lang
+  SELECT d.doc_id, p.lang,
+         ROUND(p.log_prior + COALESCE(n.n_iv, 0) * f.fb
+               + COALESCE(s.dsum, 0.0), 6) AS score
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+  CROSS JOIN prior p
+  JOIN fallback f ON p.lang = f.lang
+  LEFT JOIN n_iv n ON d.doc_id = n.doc_id
+  LEFT JOIN dsum s ON d.doc_id = s.doc_id AND p.lang = s.lang
 )
 SELECT doc_id, lang AS pred_lang, score
 FROM (
@@ -375,11 +399,21 @@ def q87_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     class_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
     vocab = tok.agg(F.countDistinct("term").alias("v"))
-    total = d.count()
-    prior = d.groupBy("lang").agg(
-        F.log(F.count(F.lit(1)).cast("double") / float(total)).alias(
-            "log_prior"
+    vocab_terms = tok.select("term").distinct()
+    total = d.agg(F.count(F.lit(1)).alias("_n"))
+    prior = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.log(F.col("n_docs").cast("double") / F.col("_n")).alias(
+                "log_prior"
+            ),
         )
+    )
+    fallback = class_tot.crossJoin(F.broadcast(vocab)).select(
+        "lang", F.log(F.lit(1.0) / (F.col("n_c") + F.col("v"))).alias("fb")
     )
     model = (
         class_term.join(F.broadcast(class_tot), "lang")
@@ -395,14 +429,32 @@ def q87_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tok = d.filter(F.col("doc_id") < 100).select(
         "doc_id", F.explode(tokens()).alias("term")
     )
-    scores = (
-        doc_tok.join(F.broadcast(model), "term")
-        .join(F.broadcast(prior), "lang")
+    invocab = doc_tok.join(F.broadcast(vocab_terms), "term")
+    n_iv = invocab.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_iv"))
+    deltas = model.join(F.broadcast(fallback), "lang").select(
+        "lang", "term", (F.col("loglik") - F.col("fb")).alias("delta")
+    )
+    dsum = (
+        invocab.join(F.broadcast(deltas), "term")
         .groupBy("doc_id", "lang")
-        .agg(
+        .agg(F.sum("delta").alias("dsum"))
+    )
+    scores = (
+        d.filter(F.col("doc_id") < 100)
+        .select("doc_id")
+        .crossJoin(F.broadcast(prior))
+        .join(F.broadcast(fallback), "lang")
+        .join(n_iv, "doc_id", "left")
+        .join(dsum, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
             F.round(
-                F.sum("loglik") + F.max("log_prior"), 6
-            ).alias("score")
+                F.col("log_prior")
+                + F.coalesce("n_iv", F.lit(0)) * F.col("fb")
+                + F.coalesce("dsum", F.lit(0.0)),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")

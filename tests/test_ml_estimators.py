@@ -172,3 +172,52 @@ def test_truncated_svd_matches_numpy(spark):
     out = model.transform(l.limit(50)).select("sv0", *cols).toPandas()
     proj = out[cols].to_numpy() @ model.components_[0]
     np.testing.assert_allclose(out["sv0"].to_numpy(), proj, rtol=1e-9)
+
+
+def test_naive_bayes_unseen_term_fallback(spark):
+    """sklearn semantics (ADVICE r1): an in-vocab term unseen in class c
+    contributes log(alpha/(n_c+alpha*V)) to c's score — classes missing a
+    doc's terms must be penalized, not silently skipped."""
+    import math
+
+    train = spark.createDataFrame(
+        [(0, "x x x x", "a"), (1, "x y", "b")], ["doc_id", "text", "lang"]
+    )
+    nb = MultinomialNB().fit(train)
+    # doc "x y": score(a) = ln(.5)+ln(5/6)+ln(1/6), score(b) = 3·ln(.5)
+    # → b wins. The old inner-join scoring dropped y from a's sum and
+    # wrongly predicted a.
+    pred = nb.predict(
+        spark.createDataFrame([(10, "x y")], ["doc_id", "text"])
+    ).toPandas()
+    assert pred.loc[0, "pred_class"] == "b"
+    expected_b = 3 * math.log(0.5)
+    assert abs(pred.loc[0, "score"] - expected_b) < 1e-9
+    # doc with only out-of-vocab tokens: predicted from priors (equal
+    # here → tie-break to 'a'), and present in the output at all
+    pred2 = nb.predict(
+        spark.createDataFrame([(11, "z z z")], ["doc_id", "text"])
+    ).toPandas()
+    assert len(pred2) == 1
+    assert pred2.loc[0, "pred_class"] == "a"
+    assert abs(pred2.loc[0, "score"] - math.log(0.5)) < 1e-9
+
+
+def test_dbscan_min_pts_counts_self(spark):
+    """Reference DBSCAN counts a point in its own ε-neighborhood: a point
+    with exactly min_pts-1 neighbors IS core (ADVICE r1)."""
+    rows = [(0, [0.0, 0.0]), (1, [0.5, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dbscan(df, eps=0.6, min_pts=3).toPandas().set_index("vec_id")
+    # point 1 has neighbors {0, 2} → |N(1)| = 3 incl. itself → core;
+    # 0 and 2 are border points attached to its cluster
+    assert (out["cluster"] == 1).all(), out
+
+
+def test_dbscan_all_noise_empty_core(spark):
+    """No core points must return all-noise, not raise on an empty
+    createDataFrame (ADVICE r1)."""
+    rows = [(0, [0.0, 0.0]), (1, [100.0, 0.0]), (2, [0.0, 100.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dbscan(df, eps=1.0, min_pts=3).toPandas()
+    assert (out["cluster"] == -1).all(), out

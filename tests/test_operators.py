@@ -322,3 +322,25 @@ def test_adjusted_rand_score_known_values(spark):
     # independent labeling -> ~0
     rand = e.withColumn("pred", (F.col("vec_id") * 7919) % 10)
     assert abs(adjusted_rand_score(rand, "label", "pred")) < 0.05
+
+
+def test_merge_upsert_null_update_wins(spark):
+    """CDC NULL semantics: a matched update row fully wins — an explicit
+    NULL update value overwrites the target's non-NULL value (ADVICE r1)."""
+    from dask_cuml_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "keep", 10.0), (2, "old", 20.0)], ["k", "name", "val"]
+    )
+    updates = spark.createDataFrame(
+        [(2, None), (3, 30.0)], "k long, val double"
+    )
+    out = (
+        merge_upsert(target, updates, "k", ["val"])
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert out.loc[1, "val"] == 10.0  # untouched
+    assert out.loc[2, "name"] == "old" and np.isnan(out.loc[2, "val"])  # nulled
+    assert out.loc[3, "val"] == 30.0  # insert
