@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (round-2 fix — the round-1 full per-query line overflowed
+the driver's captured stdout tail, leaving BENCH_r1 "parsed": null):
+  - full per-query timings + BASELINE.md q1-q12 mapping are written to
+    BENCH_DETAIL.json next to this script;
+  - the LAST stdout line is ONE compact JSON object with the suite total
+    and only the 12 baseline-mapped per-query timings, so the driver's
+    tail capture always contains the complete line.
 
 Protocol notes (BASELINE.md): a single SparkSession is reused for the
 whole suite — JVM startup (~5-8 s) is excluded from per-query numbers,
@@ -64,14 +69,55 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # BASELINE.md q1-q12 → registry-query mapping (the judge's ratio table)
+    baseline_map = {
+        "q1": "q01_pricing_summary",
+        "q2": "q02_revenue_by_nation",
+        "q3": "q51_ols_fit",
+        "q4": "q50_feature_stats",
+        "q5": "q40_knn_bruteforce",
+        "q6": "q41_centroid_assignment",
+        "q7": "q31_tfidf_top_term",
+        "q8": "q20_sessionization",
+        "q9": "q03_top_orders_per_customer",
+        "q10": "q32_exact_dedup",
+        "q11": "q22_json_extract",
+        "q12": "q45_cosine_near_dup",
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "sf": sf,
+                "n_queries": len(timings),
+                "total_sec": total,
+                "queries": timings,
+                "baseline_map": baseline_map,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    headline = {
+        bq: timings[name]
+        for bq, name in baseline_map.items()
+        if name in timings
+    }
+    # compact line LAST on stdout — must fit the driver's tail capture
     print(
         json.dumps(
             {
                 "metric": "suite_total_wall_seconds_excl_startup",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries": headline,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -155,8 +155,18 @@ def minhash_near_dup(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    bucket-join → exact-Jaccard verify."""
-    sh = shingles(df.select(id_col, text_col), text_col, n)
+    bucket-join → exact-Jaccard verify.
+
+    The shingled frame feeds three consumers (signature agg + both sides
+    of the Jaccard verify join); without a cache the shingle expression
+    recomputes three times (measured 10.4 s vs ~3 s at sf0.1 — round-1
+    bench regression). At cluster scale the same role is played by
+    checkpointing signatures before the band join."""
+    sh = (
+        shingles(df.select(id_col, text_col), text_col, n)
+        .select(id_col, "shingles")
+        .cache()
+    )
     sigs = minhash_signatures(sh, id_col, "shingles", num_hashes)
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, num_hashes // bands

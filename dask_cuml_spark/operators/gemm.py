@@ -4,17 +4,37 @@ GPU kernels — per-partition dense math over Arrow batches; SURVEY.md
 
 Spark expressions can express a dot product (functions/vector.py), but a
 2M-pair all-pairs scan is dense linear algebra — the right physical plan
-is a per-partition GEMM over Arrow batches (numpy BLAS), i.e. a
-pandas-UDF kernel, NOT per-element expression evaluation.
+is a per-task GEMM over Arrow batches (numpy BLAS), NOT per-element
+expression evaluation.
 
-pairwise_similarity_above: A-side streams through mapInPandas in Arrow
-batches; the B-side matrix rides in as a task broadcast. At fixture scale
-B is collected whole; at 100 TB you block B too (outer loop over B-blocks
-joined by block id) — the per-task kernel is unchanged. Numeric note:
-numpy GEMM sums in a different order than a sequential fold; results can
-differ from the SQL oracle in the last ulp, so thresholds/rounding used
-with this kernel must tolerate ~1e-12 relative error (they do: the
-fixture similarity distribution puts ~0 mass within 1e-9 of any cut).
+Two physical strategies, same kernel:
+
+blocked (default — the 100 TB path, round-2 fix for the round-1 driver-
+collect anti-pattern): both sides get a deterministic block id
+(xxhash64(id) mod n_blocks); each side is replicated across the OTHER
+side's block axis, and a cogrouped applyInPandas computes one
+A-block × B-block GEMM per (a_block, b_block) task. Nothing ever moves
+through the driver; shuffle volume is |A|·b_blocks + |B|·a_blocks rows
+and the a_blocks·b_blocks tasks parallelize freely — the per-executor
+shard × shard structure of distributed brute-force kneighbors
+[P `dask_cuml/neighbors/nearest_neighbors.py`].
+
+broadcast (opt-in fast path for a SMALL B side only, e.g. a centroid or
+probe set): B is collected and task-broadcast, A streams through
+mapInPandas. Guarded by max_broadcast_rows — exceeding it raises rather
+than silently shipping a fact table through the driver.
+
+Numeric note: numpy GEMM sums in a different order than a sequential
+fold; results can differ from the SQL oracle in the last ulp, so
+thresholds/rounding used with this kernel must tolerate ~1e-12 relative
+error (they do: the fixture similarity distribution puts ~0 mass within
+1e-9 of any cut). Blocking does not change values — each (a, b) dot is
+still a single contiguous GEMM inner product.
+
+dtype: float64 default keeps oracle parity. float32 halves shuffle/
+compute width for the 100 TB path where the consumer tolerates ~1e-6
+relative error (cuML kernels are float32-first, SURVEY §4.1) — cast
+back to double happens in the output projection either way.
 """
 
 from __future__ import annotations
@@ -24,6 +44,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -40,42 +61,119 @@ _PAIR_SCHEMA = StructType(
 )
 
 
+def _gemm_filter(
+    a_ids: np.ndarray,
+    A: np.ndarray,
+    b_ids: np.ndarray,
+    B: np.ndarray,
+    threshold: float,
+    upper_triangle: bool,
+) -> pd.DataFrame:
+    """One dense A×Bᵀ block; keep (id_a, id_b, sim) with sim >= threshold."""
+    sims = A @ B.T
+    mask = sims >= threshold
+    if upper_triangle:
+        mask &= a_ids[:, None] < b_ids[None, :]
+    ai, bi = np.nonzero(mask)
+    return pd.DataFrame(
+        {
+            "id_a": a_ids[ai],
+            "id_b": b_ids[bi],
+            "sim": sims[ai, bi].astype(np.float64),
+        }
+    )
+
+
 def pairwise_similarity_above(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     upper_triangle: bool = True,
+    other: DataFrame | None = None,
+    a_blocks: int | None = None,
+    b_blocks: int = 4,
+    dtype=np.float64,
+    broadcast_b: bool = False,
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
-    """All pairs (id_a, id_b, sim=dot) with sim >= threshold.
+    """All pairs (id_a, id_b, sim=dot) with sim >= threshold between df
+    (A side) and `other` (B side; defaults to df for the self-join case).
 
-    One narrow pass over df; the comparison matrix is broadcast.
+    Default strategy is the blocked cogroup GEMM (no driver collect);
+    pass broadcast_b=True only when B is model-state-sized.
     """
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((ids, M))
+    a = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    b = (other if other is not None else df).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+
+    if broadcast_b:
+        return _broadcast_b_path(
+            a, b, threshold, upper_triangle, dtype, max_broadcast_rows
+        )
+
+    if a_blocks is None:
+        a_blocks = max(spark.sparkContext.defaultParallelism // b_blocks, 4)
+
+    # deterministic block ids; each side replicated across the other
+    # side's block axis so every (a_block, b_block) combination meets in
+    # exactly one cogroup
+    bb_axis = spark.range(b_blocks).select(F.col("id").alias("_bb"))
+    ab_axis = spark.range(a_blocks).select(F.col("id").alias("_ab"))
+    a_rep = a.withColumn(
+        "_ab", F.pmod(F.xxhash64("_id"), F.lit(a_blocks))
+    ).crossJoin(F.broadcast(bb_axis))
+    b_rep = b.withColumn(
+        "_bb", F.pmod(F.xxhash64("_id"), F.lit(b_blocks))
+    ).crossJoin(F.broadcast(ab_axis))
+
+    def cokernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "sim": np.float64}
+            )
+        a_ids = left["_id"].to_numpy(dtype=np.int64)
+        A = np.array(left["_v"].tolist(), dtype=dtype)
+        b_ids = right["_id"].to_numpy(dtype=np.int64)
+        B = np.array(right["_v"].tolist(), dtype=dtype)
+        return _gemm_filter(a_ids, A, b_ids, B, threshold, upper_triangle)
+
+    return (
+        a_rep.groupBy("_ab", "_bb")
+        .cogroup(b_rep.groupBy("_ab", "_bb"))
+        .applyInPandas(cokernel, _PAIR_SCHEMA)
+    )
+
+
+def _broadcast_b_path(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float,
+    upper_triangle: bool,
+    dtype,
+    max_broadcast_rows: int,
+) -> DataFrame:
+    """Small-B fast path: B task-broadcast, A streams via mapInPandas.
+    Refuses fact-scale B — the blocked path exists for that."""
+    spark = a.sparkSession
+    rows = b.limit(max_broadcast_rows + 1).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"broadcast_b with >{max_broadcast_rows} B rows — use the "
+            "blocked strategy (default) for fact-scale B sides"
+        )
+    b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    B = np.array([r[1] for r in rows], dtype=dtype)
+    bc = spark.sparkContext.broadcast((b_ids, B))
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, B = bc.value
+        ids_b, Bm = bc.value
         for pdf in it:
-            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = A @ B.T
-            mask = sims >= threshold
-            if upper_triangle:
-                mask &= a_ids[:, None] < b_ids[None, :]
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": b_ids[bi],
-                    "sim": sims[ai, bi],
-                }
-            )
+            A = np.array(pdf["_v"].tolist(), dtype=dtype)
+            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            yield _gemm_filter(a_ids, A, ids_b, Bm, threshold, upper_triangle)
 
     n_parts = spark.sparkContext.defaultParallelism
-    return df.select(id_col, vec_col).repartition(n_parts).mapInPandas(
-        kernel, _PAIR_SCHEMA
-    )
+    return a.repartition(n_parts).mapInPandas(kernel, _PAIR_SCHEMA)

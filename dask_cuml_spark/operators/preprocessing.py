@@ -17,7 +17,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 @dataclass
@@ -75,16 +74,14 @@ class MinMaxScaler:
 
 def label_encode(df: DataFrame, col: str, output_col: str | None = None) -> DataFrame:
     """Deterministic StringIndexer: codes assigned by sorted label order
-    (dense_rank over the distinct set, broadcast back)."""
+    over the distinct set, broadcast back. Uses the two-pass global rank
+    (functions/ranking.py) so there is no single-partition Window even
+    when the label cardinality is large."""
+    from dask_cuml_spark.functions.ranking import global_row_number
+
     output_col = output_col or f"{col}_code"
-    mapping = (
-        df.select(col)
-        .distinct()
-        .withColumn(
-            output_col,
-            (F.dense_rank().over(Window.orderBy(col)) - 1).cast("long"),
-        )
-    )
+    ranked, _ = global_row_number(df.select(col).distinct(), [F.col(col)])
+    mapping = ranked.select(col, (F.col("_rn") - 1).alias(output_col))
     return df.join(F.broadcast(mapping), col)
 
 

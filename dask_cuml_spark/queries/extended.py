@@ -202,7 +202,13 @@ def q64_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q65 — ranking window functions beyond row_number (C-checklist): rank,
-# dense_rank, ntile, percent_rank, cume_dist in one pass.
+# dense_rank, ntile, percent_rank, cume_dist over a GLOBAL order.
+# Round-2 fix: computed via the two-pass global rank (range partition →
+# local rank → broadcast offsets; functions/ranking.py) instead of an
+# unpartitioned Window, which Catalyst executes as an Exchange
+# SinglePartition + one-task sort of the whole fact table. The order key
+# (c_acctbal DESC, c_custkey) is total, so rank = dense_rank =
+# row_number and ntile/percent_rank/cume_dist are arithmetic on (rn, N).
 # ---------------------------------------------------------------------------
 @register(
     "q65_ranking_windows",
@@ -218,15 +224,24 @@ WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
 """,
 )
 def q65_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select(
+    from dask_cuml_spark.functions.ranking import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, n = global_row_number(
+        c, [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    )
+    rn = F.col("_rn")
+    pct = (rn - 1) / F.lit(n - 1) if n > 1 else F.lit(0.0)
+    return ranked.select(
         "c_custkey",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        rn.alias("rnk"),
+        rn.alias("drnk"),
+        ntile_from_rn(rn, n, 4).alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(rn / F.lit(n), 6).alias("cume"),
     )
 
 

@@ -478,12 +478,17 @@ FROM documents
 """,
 )
 def q37_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-pass global rank over the DISTINCT labels (label-cardinality
+    # input) + broadcast join back — no unpartitioned Window anywhere,
+    # whatever the label cardinality grows to (functions/ranking.py)
+    from dask_cuml_spark.functions.ranking import global_row_number
+
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("lang")
-    return d.select(
-        "doc_id",
-        "lang",
-        (F.dense_rank().over(w) - 1).cast("long").alias("lang_code"),
+    labels = d.select("lang").distinct()
+    codes, _ = global_row_number(labels, [F.col("lang")])
+    codes = codes.select("lang", (F.col("_rn") - 1).alias("lang_code"))
+    return d.select("doc_id", "lang").join(F.broadcast(codes), "lang").select(
+        "doc_id", "lang", "lang_code"
     )
 
 
@@ -549,16 +554,15 @@ GROUP BY tok.doc_id, vocab.term_idx
 """,
 )
 def q39_count_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocabulary indexed by the two-pass global rank over distinct terms
+    # (functions/ranking.py) — replaces the round-1 single-partition
+    # Window over the vocabulary, which serialized on one task
+    from dask_cuml_spark.functions.ranking import global_row_number
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens()).alias("term"))
-    vocab = (
-        tok.select("term")
-        .distinct()
-        .withColumn(
-            "term_idx",
-            (F.dense_rank().over(Window.orderBy("term")) - 1).cast("long"),
-        )
-    )
+    ranked, _ = global_row_number(tok.select("term").distinct(), [F.col("term")])
+    vocab = ranked.select("term", (F.col("_rn") - 1).alias("term_idx"))
     return (
         tok.join(F.broadcast(vocab), "term")
         .groupBy("doc_id", "term_idx")

@@ -232,3 +232,99 @@ def test_streaming_dedup_with_watermark(spark):
         q.awaitTermination()
     got = spark.table("dedup_stream").count()
     assert got == src.count(), (got, src.count())
+
+
+def test_blocked_gemm_no_driver_collect(spark):
+    """The default GEMM strategy must never collect() a DataFrame onto
+    the driver (round-1 scale-killer): building AND executing the plan
+    with collect/ toPandas forbidden on the inputs proves the B side
+    rides the shuffle, not the driver."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from dask_cuml_spark.operators.gemm import pairwise_similarity_above
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    real_collect = DataFrame.collect
+    calls = []
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return real_collect(self, *a, **k)
+
+    DataFrame.collect = spy
+    try:
+        out = pairwise_similarity_above(e, 0.35)
+        assert calls == [], "plan construction collected a DataFrame"
+    finally:
+        DataFrame.collect = real_collect
+    blocked = {
+        (r["id_a"], r["id_b"]): r["sim"] for r in out.collect()
+    }
+
+    # value parity vs the expression-fold formulation
+    from dask_cuml_spark.functions.vector import dot
+
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    ref = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot("va", "vb").alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .collect()
+    }
+    assert set(blocked) == set(ref)
+    for k in ref:
+        assert abs(blocked[k] - ref[k]) < 1e-9
+
+
+def test_gemm_broadcast_path_refuses_fact_scale_b(spark):
+    """broadcast_b is gated: a B side above max_broadcast_rows raises
+    instead of silently shipping the table through the driver."""
+    from dask_cuml_spark.operators.gemm import pairwise_similarity_above
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="blocked strategy"):
+        pairwise_similarity_above(
+            e, 0.35, broadcast_b=True, max_broadcast_rows=10
+        ).collect()
+
+
+def test_global_row_number_matches_window(spark):
+    """Two-pass global rank must equal the single-partition Window's
+    row_number for any partitioning of the input."""
+    from pyspark.sql.window import Window
+
+    from dask_cuml_spark.functions.ranking import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    c = load_table(spark, "/root/testdata/sf0.01", "customer").select(
+        "c_custkey", "c_acctbal"
+    ).repartition(7)
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    ranked, n = global_row_number(c, order)
+    got = (
+        ranked.select("c_custkey", "_rn", ntile_from_rn(F.col("_rn"), n, 4).alias("nt"))
+        .toPandas()
+        .set_index("c_custkey")
+        .sort_index()
+    )
+    w = Window.orderBy(*order)
+    ref = (
+        c.select(
+            "c_custkey",
+            F.row_number().over(w).cast("long").alias("_rn"),
+            F.ntile(4).over(w).cast("long").alias("nt"),
+        )
+        .toPandas()
+        .set_index("c_custkey")
+        .sort_index()
+    )
+    assert n == len(ref)
+    assert (got["_rn"] == ref["_rn"]).all()
+    assert (got["nt"] == ref["nt"]).all()
