@@ -114,6 +114,11 @@ class ElasticNetWrapper:
     alpha: float = 0.1
     l1_ratio: float = 0.5
     max_iter: int = 100
+    # standardization=False keeps the penalty in RAW feature space, which
+    # makes the optimality invariant provable (q94): the fitted solution
+    # minimizes RSS/(2n) + α(ρ‖w‖₁ + (1−ρ)/2‖w‖₂²), so ANY other coef
+    # vector — e.g. the OLS solution — scores a ≥ objective.
+    standardization: bool = True
     model_: Any = field(default=None, init=False)
     feature_cols_: list[str] = field(default_factory=list, init=False)
 
@@ -127,6 +132,7 @@ class ElasticNetWrapper:
             maxIter=self.max_iter,
             regParam=self.alpha,
             elasticNetParam=self.l1_ratio,
+            standardization=self.standardization,
         ).fit(train)
         self.feature_cols_ = list(feature_cols)
         return self

@@ -86,11 +86,26 @@ def label_encode(df: DataFrame, col: str, output_col: str | None = None) -> Data
 
 
 def train_test_split(
-    df: DataFrame, id_col: str, test_fraction: float = 0.25, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.25,
+    seed: int = 42,
+    method: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic hash split on the id column. Same rows land in the
-    same side regardless of partitioning/cluster size."""
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    same side regardless of partitioning/cluster size.
+
+    method="xxhash64" (default) gives the best mixing; method=
+    "multiplicative" uses Knuth's multiplicative hash
+    ((id * 2654435761) mod 10000) — weaker mixing but expressible
+    identically in ANSI SQL, which is what lets q96 put the whole split
+    under a full-value cross-engine oracle."""
+    if method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    elif method == "multiplicative":
+        bucket = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(10_000))
+    else:
+        raise ValueError(f"unknown split method: {method}")
     cut = int(test_fraction * 10_000)
     test = df.filter(bucket < cut)
     train = df.filter(bucket >= cut)

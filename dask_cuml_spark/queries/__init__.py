@@ -17,3 +17,4 @@ from dask_cuml_spark.queries import streaming_queries  # noqa: F401
 from dask_cuml_spark.queries import extended  # noqa: F401
 from dask_cuml_spark.queries import pandas_udfs  # noqa: F401
 from dask_cuml_spark.queries import extras  # noqa: F401
+from dask_cuml_spark.queries import estimators  # noqa: F401

@@ -1,0 +1,335 @@
+"""Declared queries for the estimator surface that round 1 left
+pytest-only (VERDICT r1 "What's missing" #2): ElasticNet/Lasso (A8),
+RandomForest (A9), train_test_split (A17), make_blobs (A18), plus the
+k-means|| parity fit (A1 init parity) and streaming dropDuplicates.
+
+Oracle strategy — two tiers, both hash-checked by the driver:
+  * full-value oracles where the operator's math is expressible in both
+    engines (q96: the multiplicative-hash split IS plain integer
+    arithmetic; q98: streaming dedup ≡ batch DISTINCT);
+  * invariant oracles for iterative/seeded fits (q94/q95/q97/q99): the
+    Spark side computes PROVABLE properties of the fitted model (e.g.
+    "the ElasticNet solution's penalized objective is no worse than the
+    OLS solution's" — true because the optimizer minimizes exactly that
+    objective) and emits them as integers; the oracle states the
+    expected constants. Weaker than value parity, but each invariant is
+    chosen to be scale-independent and failure means a real bug, not
+    noise. [P `cuml/dask/linear_model/`, `cuml/dask/ensemble/`,
+    dask-ml train_test_split, `cuml/dask/datasets/`,
+    `dask_cuml/cluster/kmeans.py` k-means|| init]
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_cuml_spark.io import load_table
+from dask_cuml_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q94 — ElasticNet vs OLS (A8): fit both on (l_quantity, l_discount,
+# l_tax) → l_extendedprice and verify the two provable optimality facts:
+#   * OLS minimizes RSS            → rss(ols) <= rss(enet)
+#   * ElasticNet minimizes the penalized objective (standardization off,
+#     so the penalty is in raw space) → obj(enet) <= obj(ols)
+# Tolerances are relative (1e-9) — both sides are driver-side doubles
+# computed from Spark aggregates.
+# ---------------------------------------------------------------------------
+_Q94_FEATURES = ["l_quantity", "l_discount", "l_tax"]
+_Q94_ALPHA = 1.0
+_Q94_L1 = 0.5
+
+
+@register(
+    "q94_elasticnet_vs_ols",
+    oracle="""
+SELECT 3 AS n_features,
+       1 AS ols_rss_no_worse,
+       1 AS enet_obj_no_worse,
+       1 AS coefs_finite
+""",
+)
+def q94_elasticnet_vs_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.linear import LinearRegression
+    from dask_cuml_spark.operators.mllib_wrappers import ElasticNetWrapper
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        *_Q94_FEATURES, "l_extendedprice"
+    )
+    ols = LinearRegression().fit(l, _Q94_FEATURES, "l_extendedprice")
+    enet = ElasticNetWrapper(
+        alpha=_Q94_ALPHA,
+        l1_ratio=_Q94_L1,
+        max_iter=200,
+        standardization=False,
+    ).fit(l, _Q94_FEATURES, "l_extendedprice")
+
+    def rss(coef: np.ndarray, intercept: float) -> float:
+        pred = F.lit(float(intercept))
+        for c, w in zip(_Q94_FEATURES, coef):
+            pred = pred + F.col(c) * float(w)
+        resid = F.col("l_extendedprice") - pred
+        return l.agg(F.sum(resid * resid)).collect()[0][0]
+
+    def penalty(coef: np.ndarray) -> float:
+        l1 = float(np.abs(coef).sum())
+        l2 = float((coef**2).sum())
+        return _Q94_ALPHA * (_Q94_L1 * l1 + (1 - _Q94_L1) / 2 * l2)
+
+    n = l.count()
+    rss_ols = rss(ols.coef_, ols.intercept_)
+    rss_enet = rss(enet.coef_, enet.intercept_)
+    obj_ols = rss_ols / (2 * n) + penalty(ols.coef_)
+    obj_enet = rss_enet / (2 * n) + penalty(enet.coef_)
+    finite = np.isfinite(enet.coef_).all() and np.isfinite(ols.coef_).all()
+    return spark.createDataFrame(
+        [
+            (
+                len(_Q94_FEATURES),
+                int(rss_ols <= rss_enet * (1 + 1e-9)),
+                int(obj_enet <= obj_ols * (1 + 1e-9)),
+                int(bool(finite)),
+            )
+        ],
+        "n_features int, ols_rss_no_worse int, enet_obj_no_worse int, "
+        "coefs_finite int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — RandomForest classifier (A9): seeded fit on the embedding head
+# dims → label; score a held-out id range. Invariants: every held-out
+# row is scored exactly once, and every prediction lies in the TRAINING
+# label domain (the forest can only vote for seen classes).
+# ---------------------------------------------------------------------------
+@register(
+    "q95_random_forest",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 100) AS n_scored,
+       0 AS n_out_of_domain
+""",
+)
+def q95_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.mllib_wrappers import RandomForestWrapper
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        *[
+            F.element_at("embedding", i + 1).cast("double").alias(f"x{i}")
+            for i in range(4)
+        ],
+    )
+    feature_cols = [f"x{i}" for i in range(4)]
+    train = e.filter(F.col("vec_id") >= 100)
+    test = e.filter(F.col("vec_id") < 100)
+    rf = RandomForestWrapper(
+        task="classification", num_trees=10, max_depth=4, seed=7
+    ).fit(train, feature_cols, "label")
+    pred = rf.predict(test, output_col="pred")
+    domain = train.select(
+        F.col("label").cast("double").alias("pred")
+    ).distinct()
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_scored")
+    ).crossJoin(
+        pred.join(F.broadcast(domain), "pred", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_out_of_domain")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — train/test split (A17), FULL-value oracle: the multiplicative-
+# hash split is plain integer arithmetic, so DuckDB reproduces the exact
+# row assignment — per-split counts and balance stats hash-match.
+# ---------------------------------------------------------------------------
+@register(
+    "q96_train_test_split",
+    oracle="""
+SELECT CASE WHEN (c_custkey * 2654435761) % 10000 < 2500
+            THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n,
+       ROUND(AVG(c_acctbal), 6) AS avg_bal,
+       MIN(c_custkey) AS min_key,
+       MAX(c_custkey) AS max_key
+FROM customer
+GROUP BY 1
+""",
+)
+def q96_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.preprocessing import train_test_split
+
+    c = load_table(spark, sf_dir, "customer")
+    train, test = train_test_split(
+        c, "c_custkey", test_fraction=0.25, method="multiplicative"
+    )
+    both = train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test"))
+    )
+    return both.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — make_blobs (A18): distributed generation, then recover the
+# structure: exact per-label counts (labels are id % centers —
+# partitioning-independent) and per-center mean recovery within a bound
+# that standard-normal noise exceeds with probability < 1e-80
+# (|mean - center| < 0.5 with se ≈ 0.045).
+# ---------------------------------------------------------------------------
+@register(
+    "q97_make_blobs",
+    oracle="""
+SELECT * FROM (VALUES (0, 500, 1), (1, 500, 1), (2, 500, 1), (3, 500, 1))
+  AS t(label, n_points, means_ok)
+""",
+)
+def q97_make_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.datasets import make_blobs
+
+    centers, dims = 4, 4
+    blobs = make_blobs(
+        spark,
+        n_samples=2000,
+        n_features=dims,
+        centers=centers,
+        cluster_std=1.0,
+        seed=7,
+    )
+    # the true centers make_blobs drew (same seed, driver-side O(k·d))
+    rng = np.random.default_rng(7)
+    true = rng.uniform(-10.0, 10.0, size=(centers, dims))
+    agg = blobs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        *[
+            F.avg(F.element_at("features", d + 1)).alias(f"m{d}")
+            for d in range(dims)
+        ],
+    )
+    ok = F.lit(True)
+    for c in range(centers):
+        for d in range(dims):
+            ok = ok & F.when(
+                F.col("label") == c,
+                F.abs(F.col(f"m{d}") - float(true[c][d])) < 0.5,
+            ).otherwise(F.lit(True))
+    return agg.select(
+        F.col("label").cast("int").alias("label"),
+        "n_points",
+        ok.cast("int").alias("means_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — streaming deduplication: dropDuplicates over a replayed document
+# stream ≡ batch DISTINCT — a full-value oracle for streaming state
+# (promoted from a round-1 pytest per VERDICT "Next round" #8).
+# ---------------------------------------------------------------------------
+@register(
+    "q98_stream_dedup",
+    oracle="""
+SELECT lang, COUNT(DISTINCT text) AS n_distinct_texts
+FROM documents
+GROUP BY lang
+""",
+)
+def q98_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.streaming import _state_partitions
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = (
+        stream.select("lang", "text")
+        .dropDuplicates(["lang", "text"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_distinct_texts"))
+    )
+    name = f"dedup_{abs(hash(sf_dir)) % 10_000_000}"
+    with tempfile.TemporaryDirectory() as ckpt, _state_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q99 — k-means|| parity fit (A1 init parity with the reference's
+# scalable init): seeded MLlib KMeans. Invariants: every vector gets a
+# cluster in [0, k), and the fitted inertia beats the k=1 optimum (the
+# global mean) — k-means|| + Lloyd not improving on one centroid would
+# mean the fit is broken. Fit memoized per (session, fixture): an index/
+# model is fit once and queried many times.
+# ---------------------------------------------------------------------------
+_KMEANS_FIT_CACHE: dict = {}
+
+
+@register(
+    "q99_kmeans_parallel_fit",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_assigned,
+       0 AS n_bad_cluster,
+       1 AS beats_single_center
+""",
+)
+def q99_kmeans_parallel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.mllib_wrappers import KMeansMLlib
+
+    k = 8
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    m = _KMEANS_FIT_CACHE.get(key)
+    if m is None:
+        m = KMeansMLlib(k=k, max_iter=10, seed=1).fit(e)
+        _KMEANS_FIT_CACHE[key] = m
+    inertia = float(m.model_.summary.trainingCost)
+    # k=1 optimum: SSE to the global mean = Σ‖x‖² − n·‖mean‖²
+    dims = len(e.select("embedding").first()[0])
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        ).alias("ss"),
+        *[
+            F.avg(F.element_at("embedding", d + 1).cast("double")).alias(
+                f"m{d}"
+            )
+            for d in range(dims)
+        ],
+    ).collect()[0]
+    mean_norm_sq = sum(stats[f"m{d}"] ** 2 for d in range(dims))
+    sse_single = stats["ss"] - stats["n"] * mean_norm_sq
+    assigned = m.predict(e).select("vec_id", "cluster")
+    return assigned.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum(
+            ((F.col("cluster") < 0) | (F.col("cluster") >= k)).cast("int")
+        ).alias("n_bad_cluster"),
+        F.lit(int(inertia <= sse_single * (1 + 1e-9))).alias(
+            "beats_single_center"
+        ),
+    )
