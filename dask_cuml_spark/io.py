@@ -65,8 +65,12 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects;
         # read it as int64 nanoseconds. DuckDB truncates the same column
         # to µs, so queries use ts_us = ts_ns DIV 1000 as the canonical
-        # cross-engine unit (FIXTURES.md rule 4).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # cross-engine unit (FIXTURES.md rule 4). The conf must be set
+        # here (the driver owns the session, we can't pre-configure it);
+        # guarded so concurrent loads don't thrash an already-set value.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(key, "false") != "true":
+            spark.conf.set(key, "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
 

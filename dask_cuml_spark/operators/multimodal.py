@@ -68,20 +68,54 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.resize(arr, (side, side))
 
 
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """Real decoder: PIL → grayscale uint8 array. Only reachable when the
+    worker can import PIL (feature-detected at task time)."""
+    import io as _io
+
+    from PIL import Image
+
+    with Image.open(_io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+def resolve_decoder(mode: str = "auto"):
+    """Pick the decode branch: "fake" (stub), "pil" (require PIL), or
+    "auto" — PIL when importable on THIS worker, else the stub. Called
+    inside the UDF so each executor feature-detects its own environment;
+    on a capable cluster the stub disappears with no code change."""
+    if mode == "fake":
+        return _fake_decode
+    if mode == "pil":
+        return _pil_decode
+    try:
+        import PIL  # noqa: F401
+
+        return _pil_decode
+    except ImportError:
+        return _fake_decode
+
+
 def extract_image_features(
-    df: DataFrame, id_col: str = "doc_id", binary_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    decode_mode: str = "fake",
 ) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
     Output: (doc_id, width, height, mean_luma, feature_vec[8]) — an
-    8-bin intensity histogram as the stand-in embedding.
+    8-bin intensity histogram as the stand-in embedding. decode_mode
+    "fake"/"pil"/"auto" selects the decoder per worker (resolve_decoder);
+    the fixture payloads are synthetic bytes, so the default stays "fake".
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _decode = resolve_decoder(decode_mode)
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
-                img = _fake_decode(bytes(payload))
+                img = _decode(bytes(payload))
                 hist = np.histogram(img, bins=8, range=(0, 256))[0]
                 total = max(hist.sum(), 1)
                 rows.append(
