@@ -85,6 +85,7 @@ _PRIORITY = [
     "q78_minhash_near_dup",
     "q62_partitioned_write",
     "q63_multiformat_roundtrip",
+    "q100_merge_schema",
     "q66_language_id",
     "q67_token_count",
     "q68_knn_regressor",

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Scale-ratio benchmark: Spark vs DuckDB on a 10×-replicated fixture
+(≈ sf1), the honest response to the round-1 verdict on the 2× gate.
+
+At sf0.1 every Spark query pays a ~0.1–0.6 s scheduling/codegen floor
+that dwarfs 10–100 ms of actual work, so the Spark/DuckDB ratio mostly
+measures that floor (BASELINE.md "Implications"). The ratio argument
+only becomes meaningful when per-query work exceeds the floor — this
+script measures the SAME queries (Spark side = the registry, DuckDB
+side = the very oracle SQL the correctness gate uses) at 1× and 10× and
+reports how the ratio moves with scale.
+
+Dataset: each fact table is replicated N× with shifted keys (pyarrow —
+preserves the ns-timestamp logical type, so events SQL runs unchanged in
+both engines); dimension tables (nation/region/part/supplier) keep their
+original cardinality, as they would at any TPC-H scale. Written to
+/tmp (single parquet file per table, the layout both engines read).
+
+Usage: python bench_scale.py [factor]   (default 10)
+Emits one JSON line; detail to SCALEBENCH.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import dask_cuml_spark.queries  # noqa: E402,F401
+from dask_cuml_spark.oracle import duckdb_connection  # noqa: E402
+from dask_cuml_spark.registry import ORACLES, QUERIES  # noqa: E402
+from dask_cuml_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+# (table, key columns to shift per copy) — dims replicate once, facts N×
+FACT_SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "supplier", "part"]
+
+# headline queries spanning agg / join / window / text / vector / JSON —
+# every one has a DuckDB oracle, which doubles as the baseline SQL
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders_per_customer",
+    "q20_sessionization",
+    "q22_json_extract",
+    "q30_top_terms",
+    "q31_tfidf_top_term",
+    "q32_exact_dedup",
+    "q40_knn_bruteforce",
+    "q41_centroid_assignment",
+    "q45_cosine_near_dup",
+    "q51_ols_fit",
+]
+
+
+def build_scaled(dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name in DIMS:
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(t, f"{dst}/{name}.parquet")
+    for name, keys in FACT_SHIFTS.items():
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        shifts = {k: pc.max(t.column(k)).as_py() + 1 for k in keys}
+        copies = []
+        for i in range(factor):
+            c = t
+            if i:
+                for k in keys:
+                    idx = c.schema.get_field_index(k)
+                    shifted = pc.add(c.column(k), i * shifts[k])
+                    c = c.set_column(idx, c.schema.field(idx), shifted)
+            copies.append(c)
+        pq.write_table(pa.concat_tables(copies), f"{dst}/{name}.parquet")
+
+
+def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    out = {}
+    for n in names:
+        QUERIES[n](spark, sf_dir).collect()  # warm plan/codegen
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[n](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        out[n] = round(best, 4)
+    return out
+
+
+def time_duck(sf_dir: str, names: list[str]) -> dict[str, float]:
+    con = duckdb_connection(sf_dir)
+    out = {}
+    try:
+        for n in names:
+            con.execute(ORACLES[n]).fetchall()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(ORACLES[n]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[n] = round(best, 4)
+    finally:
+        con.close()
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = f"/tmp/graft_scale{factor}"
+    if not os.path.exists(f"{dst}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        build_scaled(dst, factor)
+        print(
+            f"built {factor}x dataset in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    spark = get_spark("dask_cuml_spark-scalebench")
+    from dask_cuml_spark.io import enable_table_cache
+
+    enable_table_cache(True)
+    results = {}
+    for label, d in [("1x", SRC), (f"{factor}x", dst)]:
+        s = time_spark(spark, d, HEADLINE)
+        k = time_duck(d, HEADLINE)
+        results[label] = {
+            n: {
+                "duckdb_sec": k[n],
+                "spark_sec": s[n],
+                "ratio": round(s[n] / k[n], 2) if k[n] > 0 else None,
+            }
+            for n in HEADLINE
+        }
+    spark.stop()
+
+    def med(label):
+        rs = sorted(v["ratio"] for v in results[label].values() if v["ratio"])
+        return rs[len(rs) // 2]
+
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALEBENCH.json"),
+        "w",
+    ) as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "metric": "spark_over_duckdb_median_ratio",
+                "ratio_1x": med("1x"),
+                f"ratio_{factor}x": med(f"{factor}x"),
+                "queries": len(HEADLINE),
+                "detail": "SCALEBENCH.json",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

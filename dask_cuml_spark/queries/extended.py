@@ -168,6 +168,47 @@ def q63_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q100 — schema evolution on read (B1 extension): two parquet generations
+# of the same table — the newer one adds a column — read together with
+# mergeSchema; old-generation rows surface NULL for the added column.
+# The oracle recomputes the union arithmetic from the source table.
+# ---------------------------------------------------------------------------
+@register(
+    "q100_merge_schema",
+    oracle="""
+SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_null_region,
+       COUNT(*) AS n_with_region,
+       CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
+FROM nation
+""",
+)
+def q100_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    base = os.path.join(
+        tempfile.gettempdir(), f"dcs_evo_{os.path.basename(sf_dir)}"
+    )
+    # generation 1: narrow schema; generation 2: adds n_regionkey
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        f"{base}/gen=1"
+    )
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_regionkey").isNull().cast("int")).cast("long").alias(
+            "n_null_region"
+        ),
+        F.sum(F.col("n_regionkey").isNotNull().cast("int")).cast("long").alias(
+            "n_with_region"
+        ),
+        F.sum("n_regionkey").alias("sum_region"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q64 — map functions (C-checklist): events.props parsed into a typed
 # map, keys/values extracted and aggregated.
 # ---------------------------------------------------------------------------
