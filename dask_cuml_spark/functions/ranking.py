@@ -39,7 +39,14 @@ def global_row_number(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = parts.withColumn("_lrn", F.row_number().over(w))
+    # localCheckpoint: `local` feeds both the counts collect and the
+    # output join. Without it the ranked frame is computed twice AND the
+    # offsets' validity depends on RangePartitioner boundaries being
+    # bit-identical on recompute — any nondeterministic upstream
+    # (sample, round-robin repartition) could shift rows between
+    # partitions after the counts were taken. Checkpointing pins the
+    # partitioning the counts were measured on (advisor finding, r2).
+    local = parts.withColumn("_lrn", F.row_number().over(w)).localCheckpoint()
     counts = sorted(
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect(),
         key=lambda r: r["_pid"],

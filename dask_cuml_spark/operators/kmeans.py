@@ -69,6 +69,7 @@ def _partial_sums(df: DataFrame, vec_col: str, centers: np.ndarray) -> DataFrame
             StructField("cid", IntegerType()),
             StructField("n", LongType()),
             StructField("vec_sum", ArrayType(DoubleType())),
+            StructField("sse", DoubleType()),
         ]
     )
     k = centers.shape[0]
@@ -82,17 +83,27 @@ def _partial_sums(df: DataFrame, vec_col: str, centers: np.ndarray) -> DataFrame
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             # d² = |x|² + |c|² - 2x·c ; |x|² constant per row → drop it
+            # from the argmin, add it back for the per-cluster SSE partial
             scores = c_norms[None, :] - 2.0 * (X @ C.T)
             assign = scores.argmin(axis=1)  # lowest index wins ties
+            min_score = scores.min(axis=1)
+            x_norms = (X * X).sum(axis=1)
             rows = []
             for cid in range(k):
                 mask = assign == cid
                 n = int(mask.sum())
                 if n:
                     rows.append(
-                        {"cid": cid, "n": n, "vec_sum": X[mask].sum(axis=0).tolist()}
+                        {
+                            "cid": cid,
+                            "n": n,
+                            "vec_sum": X[mask].sum(axis=0).tolist(),
+                            "sse": float(
+                                (min_score[mask] + x_norms[mask]).sum()
+                            ),
+                        }
                     )
-            yield pd.DataFrame(rows, columns=["cid", "n", "vec_sum"])
+            yield pd.DataFrame(rows, columns=["cid", "n", "vec_sum", "sse"])
 
     return df.select(vec_col).mapInPandas(kernel, schema)
 
@@ -111,6 +122,11 @@ class KMeans:
     tol: float = 1e-6
     cluster_centers_: np.ndarray | None = field(default=None, init=False)
     n_iter_: int = field(default=0, init=False)
+    # J(assign_t, centers_t) per iteration plus the final-centers SSE —
+    # Lloyd guarantees this sequence is non-increasing (E-step and M-step
+    # each only lower the objective), which q76's oracle asserts.
+    inertia_history_: list[float] = field(default_factory=list, init=False)
+    inertia_: float | None = field(default=None, init=False)
 
     def fit(
         self,
@@ -130,20 +146,24 @@ class KMeans:
                 centers = np.asarray(initial_centers, dtype=np.float64)
             dim = centers.shape[1]
 
+            self.inertia_history_ = []
             for it in range(self.max_iter):
                 # One Arrow-kernel pass per iteration (the reference's
                 # per-GPU partials, SURVEY §3.1): each partition GEMMs its
                 # block against the broadcast centroids, emits k partial
-                # (count, sum-vector) rows; the driver reduces k×p rows.
-                # Re-planning a literal-centroid expression per iteration
-                # was measured 4x slower (codegen compile per iter).
+                # (count, sum-vector, sse) rows; the driver reduces k×p
+                # rows. Re-planning a literal-centroid expression per
+                # iteration was measured 4x slower (codegen compile/iter).
                 sums = _partial_sums(df, vec_col, centers).collect()
                 new_centers = centers.copy()
                 totals = np.zeros(self.k)
                 vec_sums = np.zeros((self.k, dim))
+                sse = 0.0
                 for row in sums:
                     totals[row["cid"]] += row["n"]
                     vec_sums[row["cid"]] += np.asarray(row["vec_sum"])
+                    sse += row["sse"]
+                self.inertia_history_.append(sse)
                 for cid in range(self.k):
                     if totals[cid] > 0:
                         new_centers[cid] = vec_sums[cid] / totals[cid]
@@ -153,6 +173,13 @@ class KMeans:
                 if shift < self.tol:
                     break
             self.cluster_centers_ = centers
+            # one extra pass: SSE under the FINAL centers (sklearn/cuML
+            # inertia_ semantics) — also ≤ inertia_history_[-1] by the
+            # M-step guarantee, closing the monotone chain.
+            self.inertia_ = sum(
+                row["sse"]
+                for row in _partial_sums(df, vec_col, centers).collect()
+            )
             return self
         finally:
             df.unpersist()

@@ -140,7 +140,12 @@ def q21_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q22 — JSON property extraction (D8): get_json_object over events.props.
+# q22 — JSON property extraction (D8): ONE from_json parse with an
+# explicit schema, not per-field get_json_object — each get_json_object
+# call re-parses the string, and at 10× scale the repeated parse made
+# this the worst sustained ratio vs DuckDB (17.5×, VERDICT r2 #2). A
+# single typed parse is also the 100 TB shape: parse once, prune to the
+# needed fields, stay in whole-stage codegen.
 # ---------------------------------------------------------------------------
 @register(
     "q22_json_extract",
@@ -155,11 +160,14 @@ GROUP BY event_type
 )
 def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return e.groupBy("event_type").agg(
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(k), 6).alias("avg_k"),
-        F.max(k).alias("max_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.max("k").alias("max_k"),
     )
 
 

@@ -4,9 +4,18 @@ Arrow-batched Spark equivalents — mapInPandas, applyInPandas, and a
 GROUPED_AGG pandas_udf. Each is SQL-oracled by re-expressing the Python
 logic relationally, so the driver's strong check covers the UDF path too.
 
-Also: iterative fits (full KMeans, DBSCAN) declared as rows-only queries
-— the driver's weaker gate — with their numeric parity pytest-checked
-against numpy (tests/test_operators.py, tests/test_ml_estimators.py).
+Also: the formerly oracle-less iterative/approximate fits (full KMeans,
+DBSCAN, MinHash-LSH, LSH-kNN, LogisticRegression). Round 3 gives every
+one a DuckDB oracle (the driver records err:no_oracle rather than a
+rows-only check, so these were invisible to the hard gate — VERDICT r2):
+  * q77 DBSCAN and q78 MinHash are FULL-VALUE oracled — the eps-graph
+    connected components via a recursive CTE, and the near-dup pair set
+    via exact shingle-Jaccard (LSH recall is 100% on the fixture, so
+    candidates ⊇ true pairs and the verify stage makes output ≡ truth);
+  * q76/q82/q83 emit provable invariants (Lloyd monotonicity, LSH
+    rank-domination + recall bound, LBFGS loss ≤ prior entropy) in the
+    q94–q99 style, with numeric parity additionally pytest-checked
+    against numpy (tests/test_operators.py, tests/test_ml_estimators.py).
 """
 
 from __future__ import annotations
@@ -185,29 +194,104 @@ def q75_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q76 — full KMeans fit (A1, iterative — rows-only driver check; numpy
-# parity in tests/test_operators.py): 3 deterministic Lloyd iterations
-# from first-k init, centroids dim-exploded.
+# q76 — full KMeans fit (A1, iterative): 3 deterministic Lloyd iterations
+# from first-k init. Invariant oracle (q94-style): Lloyd's objective
+# sequence J(assign_t, centers_t), closed by the final-centers SSE, is
+# provably non-increasing (each E-step and M-step only lowers it), every
+# vector gets a cluster in [0, k), and the centers are finite. Numpy
+# parity of the centroids themselves is pytest-checked.
 # ---------------------------------------------------------------------------
-@register("q76_kmeans_fit")  # no oracle: iterative, rows-only
+@register(
+    "q76_kmeans_fit",
+    oracle="""
+SELECT 8 AS k, 64 AS dim,
+       (SELECT COUNT(*) FROM embeddings) AS n_assigned,
+       CAST(0 AS BIGINT) AS n_bad_cluster,
+       0 AS n_inertia_increases,
+       1 AS centers_finite
+""",
+)
 def q76_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from dask_cuml_spark.operators.kmeans import KMeans
 
     e = load_table(spark, sf_dir, "embeddings")
     model = KMeans(k=8, max_iter=3, tol=0.0).fit(e)
-    rows = [
-        (cid, pos, float(v))
-        for cid, center in enumerate(model.cluster_centers_)
-        for pos, v in enumerate(center)
-    ]
-    return spark.createDataFrame(rows, ["centroid_id", "pos", "center_val"])
+    chain = model.inertia_history_ + [model.inertia_]
+    n_increases = sum(
+        1
+        for a, b in zip(chain, chain[1:])
+        if b > a * (1 + 1e-9)
+    )
+    k = len(model.cluster_centers_)
+    assigned = model.predict(e)
+    return assigned.agg(
+        F.lit(k).alias("k"),
+        F.lit(int(model.cluster_centers_.shape[1])).alias("dim"),
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum(
+            ((F.col("cluster") < 0) | (F.col("cluster") >= k)).cast("int")
+        ).alias("n_bad_cluster"),
+        F.lit(int(n_increases)).alias("n_inertia_increases"),
+        F.lit(
+            int(bool(np.isfinite(model.cluster_centers_).all()))
+        ).alias("centers_finite"),
+    )
 
 
 # ---------------------------------------------------------------------------
-# q77 — DBSCAN (A13, iterative CC — rows-only driver check; blob-recovery
-# test in tests/test_ml_estimators.py).
+# q77 — DBSCAN (A13), FULL-VALUE oracle: the entire labeling is
+# deterministic given the eps-graph — cores by degree, clusters =
+# connected components of the core-core graph labeled by min core id
+# (DuckDB: recursive CTE computing min reachable core), borders attach
+# min core-neighbor label, rest noise (-1). The distance predicate uses
+# the same double-fold form as functions.vector (verified bitwise-equal
+# across engines), so the eps boundary is engine-stable.
 # ---------------------------------------------------------------------------
-@register("q77_dbscan")  # no oracle: iterative label propagation
+# DuckDB lambda equivalent of functions.vector.l2_sq (textually in sync
+# with queries/vector.py::_SQL_L2SQ).
+_DUCK_L2SQ = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+)
+_Q77_EPS = 1.18  # keeps the closest-pair tail on near-orthogonal vectors
+_Q77_MIN_PTS = 3
+
+
+@register(
+    "q77_dbscan",
+    oracle=f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE {_DUCK_L2SQ.format(a="a.embedding", b="b.embedding")}
+        <= {_Q77_EPS} * {_Q77_EPS}
+), core AS MATERIALIZED (
+  SELECT id_a AS id FROM pairs
+  GROUP BY id_a HAVING COUNT(*) + 1 >= {_Q77_MIN_PTS}
+), core_edges AS MATERIALIZED (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN core ca ON p.id_a = ca.id JOIN core cb ON p.id_b = cb.id
+), reach(id, lab) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.id_a, r.lab FROM core_edges e JOIN reach r ON e.id_b = r.id
+), comp AS (
+  SELECT id, MIN(lab) AS label FROM reach GROUP BY id
+), border AS (
+  SELECT p.id_a AS id, MIN(c.label) AS label
+  FROM pairs p JOIN comp c ON p.id_b = c.id
+  WHERE p.id_a NOT IN (SELECT id FROM core)
+  GROUP BY p.id_a
+), lab AS (
+  SELECT id, label FROM comp UNION ALL SELECT id, label FROM border
+)
+SELECT e.vec_id, CAST(COALESCE(l.label, -1) AS BIGINT) AS cluster
+FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.id
+""",
+)
 def q77_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_cuml_spark.operators.dbscan import dbscan
 
@@ -216,28 +300,80 @@ def q77_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concentrate ~sqrt(2)): keeps the ~1% closest-pair tail, so the
     # neighbor graph stays sparse (eps=1.40 admitted ~44% of all pairs
     # and label propagation dominated the runtime).
-    return dbscan(e, eps=1.18, min_pts=3)
+    return dbscan(e, eps=_Q77_EPS, min_pts=_Q77_MIN_PTS)
 
 
 # ---------------------------------------------------------------------------
-# q78 — MinHash-LSH near-dup (D2, hash-seed-specific — rows-only driver
-# check; golden-set test in tests/test_operators.py).
+# q78 — MinHash-LSH near-dup (D2), FULL-VALUE oracle: the pipeline's
+# output is candidate pairs that pass an EXACT Jaccard >= 0.5 verify, so
+# whenever LSH recall is 100% the result ≡ the brute-force shingle-
+# Jaccard pair set, which DuckDB computes directly (shared-shingle join,
+# the q35 pattern at 3-word-gram granularity). On the fixtures the
+# near-dup pairs all have Jaccard >= 0.9, deep inside the 16-hash/4-band
+# S-curve — verified candidate-superset at sf0.01/0.1 (precision is 1 by
+# construction). A recall drop from any signature/banding regression
+# flips this red, which is exactly the point.
 # ---------------------------------------------------------------------------
-@register("q78_minhash_near_dup")  # no oracle: xxhash64 signatures
+@register(
+    "q78_minhash_near_dup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i+2], ' ')))
+           AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+""",
+)
 def q78_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_cuml_spark.operators.dedup import minhash_near_dup
 
     d = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup(d, n=3, num_hashes=16, bands=4, threshold=0.5)
+    out = minhash_near_dup(d, n=3, num_hashes=16, bands=4, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
-# q82 — LSH approximate kNN (A4 scale path — rows-only; recall +
-# determinism pytest-checked in tests/test_operators.py).
+# q82 — LSH approximate kNN (A4 scale path), invariant oracle computed
+# against the exact brute-force kNN IN-QUERY (the q40 result):
+#   * rank domination — an approximate top-k drawn from a candidate
+#     SUBSET can never beat the exact k-th distance at any rank, so
+#     lsh_dist[rk] >= exact_dist[rk] per query, provably;
+#   * recall@5 over 20 queries >= 0.30 (measured 0.42 on the fixture —
+#     seeded hyperplanes make it deterministic; the bound is the alarm
+#     threshold for bucketing regressions);
+#   * every query returns a full k and no duplicate neighbors.
 # ---------------------------------------------------------------------------
-@register("q82_lsh_knn")  # no oracle: approximate by design
+@register(
+    "q82_lsh_knn",
+    oracle="""
+SELECT CAST(20 AS BIGINT) AS n_queries,
+       CAST(100 AS BIGINT) AS n_results,
+       CAST(0 AS BIGINT) AS n_rank_violations,
+       CAST(0 AS BIGINT) AS n_dup_pairs,
+       1 AS recall_ok
+""",
+)
 def q82_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dask_cuml_spark.operators.knn import lsh_knn
+    from dask_cuml_spark.operators.knn import brute_force_knn, lsh_knn
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20).select(
@@ -246,15 +382,67 @@ def q82_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
-    return lsh_knn(q, c, dim=64, k=5, n_planes=6, n_tables=4)
+    lsh = lsh_knn(q, c, dim=64, k=5, n_planes=6, n_tables=4)
+    exact = brute_force_knn(q, c, k=5)
+    ex_pairs = exact.select("query_id", "neighbor_id", F.col("dist").alias("ed"))
+    hits = lsh.join(
+        ex_pairs.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    n_q = lsh.select("query_id").distinct().count()
+    stats = (
+        lsh.join(
+            exact.select("query_id", "rk", F.col("dist").alias("ed")),
+            ["query_id", "rk"],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.sum((F.col("dist") < F.col("ed") - 1e-9).cast("int")).alias(
+                "n_rank_violations"
+            ),
+        )
+        .collect()[0]
+    )
+    n_dups = (
+        lsh.groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    recall = hits / stats["n_results"] if stats["n_results"] else 0.0
+    return spark.createDataFrame(
+        [
+            (
+                n_q,
+                stats["n_results"],
+                int(stats["n_rank_violations"]),
+                n_dups,
+                int(recall >= 0.30),
+            )
+        ],
+        "n_queries long, n_results long, n_rank_violations long, "
+        "n_dup_pairs long, recall_ok int",
+    )
 
 
 # ---------------------------------------------------------------------------
-# q83 — LogisticRegression predict (A7, LBFGS-iterative — rows-only;
-# accuracy pytest-checked in tests/test_ml_estimators.py): binary target
-# returnflag=='R' from lineitem numerics, seeded fit, class counts out.
+# q83 — LogisticRegression predict (A7), invariant oracle: binary target
+# returnflag=='R' from lineitem numerics. Provable facts about the LBFGS
+# fit: MLlib initializes the intercept at the prior log-odds, so the
+# objective history STARTS at the class-prior entropy and line-searched
+# LBFGS only decreases it → final loss <= prior entropy; train accuracy
+# of the fitted model >= the majority-class share minus float eps
+# (empirically it ties — the features don't separate returnflag, which
+# the invariant is robust to); predictions land in {0, 1}.
 # ---------------------------------------------------------------------------
-@register("q83_logreg_predict")  # no oracle: iterative LBFGS fit
+@register(
+    "q83_logreg_predict",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM lineitem) AS n_scored,
+       CAST(0 AS BIGINT) AS n_bad_pred,
+       1 AS loss_no_worse_than_prior,
+       1 AS acc_ge_majority
+""",
+)
 def q83_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_cuml_spark.operators.mllib_wrappers import (
         LogisticRegressionWrapper,
@@ -266,7 +454,29 @@ def q83_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = LogisticRegressionWrapper(max_iter=20).fit(
         l, ["l_quantity", "l_discount", "l_tax"], "is_return"
     )
+    hist = model.model_.summary.objectiveHistory
+    loss_ok = int(hist[-1] <= hist[0] * (1 + 1e-9))
     scored = model.predict(l)
-    return scored.groupBy("is_return", "prediction").agg(
-        F.count(F.lit(1)).alias("n")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (~F.col("prediction").isin(0, 1)).cast("int")
+        ).alias("n_bad_pred"),
+        F.avg((F.col("prediction") == F.col("is_return")).cast("double")).alias(
+            "acc"
+        ),
+        F.avg(F.col("is_return").cast("double")).alias("pos_share"),
+    ).collect()[0]
+    majority = max(agg["pos_share"], 1 - agg["pos_share"])
+    return spark.createDataFrame(
+        [
+            (
+                agg["n"],
+                int(agg["n_bad_pred"]),
+                loss_ok,
+                int(agg["acc"] >= majority - 1e-9),
+            )
+        ],
+        "n_scored long, n_bad_pred long, loss_no_worse_than_prior int, "
+        "acc_ge_majority int",
     )

@@ -16,27 +16,13 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {report}"
 
 
-# The explicit rows-only allowlist: iterative fits and hash-seed-specific
-# ops whose numeric behavior is pytest-verified instead (SURVEY.md §5.2).
-ROWS_ONLY = {
-    "q76_kmeans_fit",
-    "q77_dbscan",
-    "q78_minhash_near_dup",
-    "q82_lsh_knn",
-    "q83_logreg_predict",
-}
-
-
-def test_every_query_has_oracle_or_is_flagged():
+# Round 3: the former rows-only set (iterative fits, hash-seed-specific
+# ops) now carries full-value or invariant oracles — the driver records
+# err:no_oracle instead of a rows-only check, so anything here would be
+# invisible to the hard gate (VERDICT r2 #1). Keep the set empty.
+def test_every_query_has_oracle():
     rows_only = {name for name in QUERIES if name not in ORACLES}
-    assert rows_only == ROWS_ONLY, f"unexpected rows-only set: {rows_only}"
-
-
-@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
-def test_rows_only_queries_run(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema) > 0
+    assert rows_only == set(), f"oracle-less queries: {rows_only}"
 
 
 @pytest.mark.parametrize(
