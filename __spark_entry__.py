@@ -61,6 +61,8 @@ _PRIORITY = [
     "q42_lloyd_iteration",
     "q48_kmeans_transform",
     "q99_kmeans_parallel_fit",
+    "q47_ivf_search_full_probe",
+    "q94_elasticnet_vs_ols",
     # -- new round-3 queries
     "q101_make_classification",
     "q102_adjusted_rand",

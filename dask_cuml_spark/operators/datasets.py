@@ -42,6 +42,45 @@ def make_blobs(
     return df.withColumn("features", feature)
 
 
+def make_classification(
+    spark: SparkSession,
+    n_samples: int = 1000,
+    n_features: int = 8,
+    n_informative: int = 4,
+    n_classes: int = 2,
+    class_sep: float = 2.0,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, features array<double>, label) — classification data in the
+    cuml.dask.datasets.make_classification spirit (SURVEY §2A A18):
+    class centroids on scaled hypercube vertices in the informative
+    subspace, gaussian noise everywhere, non-informative dims pure noise.
+    Simplified vs sklearn (no redundant/repeated linear combos), which is
+    documented API surface, not a numeric-parity target. Label assignment
+    is id % n_classes — deterministic and partitioning-independent;
+    generation is one narrow distributed stage, centroids driver-side
+    O(k·d)."""
+    if n_informative > n_features:
+        raise ValueError("n_informative must be <= n_features")
+    rng = np.random.default_rng(seed)
+    # hypercube vertices (±1 per informative dim), scaled by class_sep
+    verts = rng.choice([-1.0, 1.0], size=(n_classes, n_informative))
+    centroids = verts * class_sep
+    df = spark.range(n_samples).withColumn(
+        "label", (F.col("id") % n_classes).cast("int")
+    )
+    cols = []
+    for d in range(n_informative):
+        center_d = F.element_at(
+            F.array(*[F.lit(float(centroids[c][d])) for c in range(n_classes)]),
+            F.col("label") + 1,
+        )
+        cols.append(center_d + F.randn(seed + 10_000 + d))
+    for d in range(n_informative, n_features):
+        cols.append(F.randn(seed + 10_000 + d))
+    return df.withColumn("features", F.array(*cols))
+
+
 def make_regression(
     spark: SparkSession,
     n_samples: int = 1000,

@@ -79,17 +79,27 @@ def dbscan(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rounds: int = 20,
+    union_find_max_edges: int = 100_000,
 ) -> DataFrame:
     """Returns (id, cluster) with noise = -1. Cluster ids are the min
     member id of each component (deterministic)."""
     pairs = _eps_pairs(df, eps, id_col, vec_col).cache()
     try:
-        degrees = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
-        # reference (cuml/sklearn) counts the point in its own
-        # ε-neighborhood: core ⇔ deg(excluding self) + 1 >= min_pts
-        cores = degrees.filter(F.col("deg") + 1 >= min_pts).select(
-            F.col("id_a").alias("id")
-        ).cache()
+        if min_pts <= 1:
+            # every point's ε-neighborhood contains itself, so ALL points
+            # are core — including isolated ones that never appear in the
+            # pairs join (sklearn/cuML make them singleton clusters, not
+            # noise; advisor finding r2)
+            cores = df.select(F.col(id_col).alias("id")).cache()
+        else:
+            degrees = pairs.groupBy("id_a").agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            # reference (cuml/sklearn) counts the point in its own
+            # ε-neighborhood: core ⇔ deg(excluding self) + 1 >= min_pts
+            cores = degrees.filter(F.col("deg") + 1 >= min_pts).select(
+                F.col("id_a").alias("id")
+            ).cache()
         core_edges = (
             pairs.join(cores.withColumnRenamed("id", "id_a"), "id_a")
             .join(
@@ -99,27 +109,20 @@ def dbscan(
             .select("id_a", "id_b")
         ).cache()
 
-        # Connected components. The ε-graph edge list is tiny relative to
-        # the input (near-dup graphs are sparse by construction), so up to
-        # ~5M edges union-find runs on the driver in seconds — this is
-        # O(model-state) work, like the reference's rank-0 solve. Giant
-        # graphs fall back to label propagation with lineage truncation
-        # (localCheckpoint per round; un-truncated lineage was measured
-        # 105 s for a 16k-edge graph from plan-recompile blowup alone).
+        # Connected components. Distributed label propagation (with
+        # per-round localCheckpoint lineage truncation) is the DEFAULT
+        # scale path; the driver union-find shortcut is reserved for
+        # genuinely small graphs (≤ union_find_max_edges, default 100k —
+        # O(model-state), like the reference's rank-0 solve; the r2 5M
+        # cutoff was flagged as the repo's weakest scale claim). Un-
+        # truncated label-prop lineage was measured 105 s for a 16k-edge
+        # graph from plan-recompile blowup alone, hence the checkpoint.
         n_edges = core_edges.count()
         if n_edges == 0:
-            # no core-core edges: isolated cores form singleton clusters
-            # (their own id); explicit schema — createDataFrame cannot
-            # infer types from an empty row list
-            from pyspark.sql.types import LongType, StructField, StructType
-
-            schema = StructType(
-                [StructField("id", LongType()), StructField("label", LongType())]
-            )
-            labels = df.sparkSession.createDataFrame(
-                [(r["id"], r["id"]) for r in cores.collect()], schema
-            )
-        elif n_edges <= 5_000_000:
+            # no core-core edges: every core is a singleton cluster
+            # labeled by its own id — pure projection, nothing collected
+            labels = cores.withColumn("label", F.col("id"))
+        elif n_edges <= union_find_max_edges:
             parent: dict[int, int] = {}
 
             def find(x: int) -> int:
@@ -134,11 +137,17 @@ def dbscan(
                     # min-root union → component id = min member id
                     lo, hi = (ra, rb) if ra < rb else (rb, ra)
                     parent[hi] = lo
-            core_ids = [r["id"] for r in cores.collect()]
-            label_rows = [(i, find(i)) for i in core_ids]
-            labels = df.sparkSession.createDataFrame(
+            # only ids that APPEAR in edges live in `parent` — the driver
+            # never materializes the full core set (isolated cores can
+            # vastly outnumber edges); they stay distributed below
+            label_rows = [(i, find(i)) for i in list(parent)]
+            edge_labels = df.sparkSession.createDataFrame(
                 label_rows, ["id", "label"]
             )
+            singletons = cores.join(
+                edge_labels.select("id"), "id", "left_anti"
+            ).withColumn("label", F.col("id"))
+            labels = edge_labels.unionByName(singletons)
         else:
             labels = cores.withColumn("label", F.col("id"))
             for _ in range(max_rounds):

@@ -221,3 +221,36 @@ def test_dbscan_all_noise_empty_core(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = dbscan(df, eps=1.0, min_pts=3).toPandas()
     assert (out["cluster"] == -1).all(), out
+
+
+def test_dbscan_min_pts_one_isolated_singletons(spark):
+    """min_pts <= 1: every point is core — an ISOLATED point (zero
+    ε-neighbors, so it never appears in the pairs join) must become its
+    own singleton cluster, not noise (sklearn/cuML semantics; ADVICE
+    r2)."""
+    rows = [(0, [0.0, 0.0]), (1, [0.5, 0.0]), (2, [100.0, 100.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = (
+        dbscan(df, eps=1.0, min_pts=1).toPandas().set_index("vec_id")["cluster"]
+    )
+    assert out.loc[0] == 0 and out.loc[1] == 0  # joined pair, min-id label
+    assert out.loc[2] == 2  # isolated singleton cluster, NOT -1
+
+
+def test_dbscan_label_prop_path_matches_union_find(spark):
+    """union_find_max_edges=0 forces the distributed label-propagation CC
+    path; its labeling must be identical to the driver union-find result
+    (same min-member-id cluster ids) — the 100 TB path is not a
+    different algorithm, just a different executor (VERDICT r2 #5)."""
+    blobs = make_blobs(
+        spark, n_samples=120, n_features=2, centers=3, cluster_std=0.2, seed=9
+    ).select(F.col("id").alias("vec_id"), F.col("features").alias("embedding"))
+    a = (
+        dbscan(blobs, eps=1.0, min_pts=4)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        dbscan(blobs, eps=1.0, min_pts=4, union_find_max_edges=0)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert a.equals(b), (a.compare(b) if a.shape == b.shape else (a, b))
