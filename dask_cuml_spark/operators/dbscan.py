@@ -24,7 +24,7 @@ from dask_cuml_spark.operators.gemm import pairwise_similarity_above
 
 
 def _eps_pairs(
-    df: DataFrame, eps: float, id_col: str, vec_col: str
+    df: DataFrame, eps: float, id_col: str, vec_col: str, dtype=None
 ) -> DataFrame:
     """Symmetric pairs (a, b), a != b, with L2(a,b) <= eps. Unit-norm-free:
     uses dot >= (|a|²+|b|²-eps²)/2 per pair via the GEMM kernel on the
@@ -43,12 +43,15 @@ def _eps_pairs(
         )
     ).collect()[0][0]
     safe_threshold = (2.0 * min_norm_sq - eps * eps) / 2.0
+    import numpy as np
+
     sims = pairwise_similarity_above(
         df,
         threshold=safe_threshold,
         id_col=id_col,
         vec_col=vec_col,
         upper_triangle=True,
+        dtype=np.float64 if dtype is None else dtype,
     )
     norms = df.select(
         F.col(id_col).alias("_nid"),
@@ -80,10 +83,16 @@ def dbscan(
     vec_col: str = "embedding",
     max_rounds: int = 20,
     union_find_max_edges: int = 100_000,
+    dtype=None,
 ) -> DataFrame:
     """Returns (id, cluster) with noise = -1. Cluster ids are the min
-    member id of each component (deterministic)."""
-    pairs = _eps_pairs(df, eps, id_col, vec_col).cache()
+    member id of each component (deterministic).
+
+    dtype=np.float32 halves the eps-join's shuffle width (the dominant
+    cost at scale); it moves the eps boundary by ~1e-6 relative, so use
+    it only when cluster membership tolerates that (the float64 default
+    keeps the SQL-oracle-exact boundary)."""
+    pairs = _eps_pairs(df, eps, id_col, vec_col, dtype=dtype).cache()
     try:
         if min_pts <= 1:
             # every point's ε-neighborhood contains itself, so ALL points

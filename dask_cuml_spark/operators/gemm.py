@@ -104,9 +104,18 @@ def pairwise_similarity_above(
     pass broadcast_b=True only when B is model-state-sized.
     """
     spark = df.sparkSession
-    a = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # float32 mode narrows the vector column BEFORE the replicate+shuffle
+    # — that is where the width actually matters: the blocked strategy
+    # ships |A|·b_blocks + |B|·a_blocks vectors, so casting here halves
+    # shuffle AND Arrow-transfer bytes, not just kernel compute width.
+    # (Leaving the cast to the numpy side, as pre-r3, saved nothing on
+    # the wire.)
+    vec_expr = F.col(vec_col)
+    if np.dtype(dtype) == np.float32:
+        vec_expr = F.transform(vec_col, lambda x: x.cast("float"))
+    a = df.select(F.col(id_col).alias("_id"), vec_expr.alias("_v"))
     b = (other if other is not None else df).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        F.col(id_col).alias("_id"), vec_expr.alias("_v")
     )
 
     if broadcast_b:

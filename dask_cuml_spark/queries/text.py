@@ -93,8 +93,20 @@ def q31_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # O(1) metadata-ish count; model state not data
     tok = d.select("doc_id", F.explode(tokens()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df from tf, NOT from tok: tf rows are distinct (doc, term), so a
+    # plain count per term IS the document frequency — this drops the
+    # second tokenize+explode pass and turns countDistinct into a count
+    # over the already-aggregated (much smaller) frame. localCheckpoint
+    # materializes tf ONCE: without it Catalyst column-prunes each
+    # consumer's copy of the subtree differently (term-only vs full),
+    # so the exchanges don't canonicalize equal and the corpus would be
+    # tokenized twice anyway (plan audit r3: 2 explodes, 0 reuse).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",
@@ -394,12 +406,22 @@ FROM (
 def q87_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(tokens()).alias("term"))
-    class_term = tok.groupBy("lang", "term").agg(
-        F.count(F.lit(1)).alias("n_wc")
+    # class totals, vocabulary, and vocab size all derive from the
+    # class_term aggregate — ONE tokenize+explode+shuffle over the corpus
+    # instead of four (the r2 smoothing fix had re-read tok per leaf and
+    # doubled this query's runtime; VERDICT r2 #4). localCheckpoint is
+    # what makes it one pass: column pruning specializes each consumer's
+    # copy of the subtree (plan audit r3 found 11 explodes / 14 scans and
+    # zero ReusedExchange without it); the checkpointed frame is
+    # model-state-sized (distinct lang×term).
+    class_term = (
+        tok.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n_wc"))
+        .localCheckpoint()
     )
-    class_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
-    vocab = tok.agg(F.countDistinct("term").alias("v"))
-    vocab_terms = tok.select("term").distinct()
+    class_tot = class_term.groupBy("lang").agg(F.sum("n_wc").alias("n_c"))
+    vocab_terms = class_term.select("term").distinct()
+    vocab = vocab_terms.agg(F.count(F.lit(1)).alias("v"))
     total = d.agg(F.count(F.lit(1)).alias("_n"))
     prior = (
         d.groupBy("lang")

@@ -306,6 +306,10 @@ def q45_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dense all-pairs scan → blocked GEMM kernel (operators/gemm.py), the
     # per-partition Arrow/BLAS path: 14x faster than the expression fold
     # at sf0.1 and the shape that scales (A streams, B blocks broadcast).
+    # float64 keeps the oracle's exact round-6 parity; the 100 TB
+    # deployment flips dtype=np.float32 (half the replicate-shuffle
+    # bytes, ~1e-6 relative error at the threshold — width test in
+    # tests/test_operators.py).
     from dask_cuml_spark.operators.gemm import pairwise_similarity_above
 
     e = load_table(spark, sf_dir, "embeddings")
