@@ -66,6 +66,7 @@ _PRIORITY = [
     # -- new round-3 queries
     "q101_make_classification",
     "q102_adjusted_rand",
+    "q103_simhash_near_dup",
     # -- (3) rotation: outside the r2 window, last proven in r1
     "q40_knn_bruteforce",
     "q43_cosine_topk",
@@ -79,6 +80,7 @@ _PRIORITY = [
     "q55_corr_cov_matrix",
     "q30_top_terms",
     "q31_tfidf_top_term",
+    "q87_naive_bayes_predict",
     "q32_exact_dedup",
     "q33_lang_source_slice",
     "q34_text_quality",

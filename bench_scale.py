@@ -69,6 +69,16 @@ HEADLINE = [
 ]
 
 
+# Fact tables get small row groups: a single parquet file is only
+# splittable at row-group boundaries, and pyarrow's default ~1M-row
+# groups left the 30× orders scan with 5 effective partitions on a
+# 32-core box (the Sort feeding WindowGroupLimit ran 5-wide). Real
+# deployments have many files/row groups; 128k-row groups give both
+# engines (DuckDB parallelizes per row group too) representative scan
+# parallelism.
+FACT_ROW_GROUP = 131_072
+
+
 def build_scaled(dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
     for name in DIMS:
@@ -86,7 +96,11 @@ def build_scaled(dst: str, factor: int) -> None:
                     shifted = pc.add(c.column(k), i * shifts[k])
                     c = c.set_column(idx, c.schema.field(idx), shifted)
             copies.append(c)
-        pq.write_table(pa.concat_tables(copies), f"{dst}/{name}.parquet")
+        pq.write_table(
+            pa.concat_tables(copies),
+            f"{dst}/{name}.parquet",
+            row_group_size=FACT_ROW_GROUP,
+        )
 
 
 def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:

@@ -202,3 +202,62 @@ def simhash(
         bit_val = (1 << i) if i < 63 else -(1 << 63)
         sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(0)
     return votes.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit signature → band bucket-join → exact
+    hamming verify. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    The 64-bit signature splits into `bands` equal slices; candidate
+    pairs share at least one slice verbatim. Pigeonhole guarantee:
+    hamming(a, b) <= bands - 1 implies some slice is untouched, so with
+    the defaults every pair within hamming 3 is found — the candidate
+    join is on a small integer bucket key (one shuffle), never all
+    pairs. Identical texts hash identically (hamming 0), so exact
+    duplicates are always candidates at any banding."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    sigs = simhash(df.select(id_col, text_col), text_col, id_col)
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        id_col, "simhash", F.posexplode(slices).alias("band", "slice")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "slice",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+        "band",
+        "slice",
+    )
+    cands = (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

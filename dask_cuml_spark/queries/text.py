@@ -590,3 +590,75 @@ def q39_count_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term_idx")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — SimHash near-dup (D2 third variant, promoted from pytest-only):
+# banded 64-bit SimHash candidates + exact hamming verify. The signature
+# bits are engine-specific (xxhash64), so the oracle checks the provable
+# invariants instead of pair values: identical texts hash identically →
+# every exact-duplicate pair MUST surface at hamming 0 (the banding
+# can't miss an equal signature), output pairs are strictly ordered,
+# distinct, and within the hamming cap. Near-dup recall is
+# pytest-checked (golden signatures in tests/test_operators.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q103_simhash_near_dup",
+    oracle="""
+WITH dup AS (
+  SELECT COUNT(*) AS c FROM documents a
+  JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT CAST(c AS BIGINT) FROM dup) AS exact_dup_pairs,
+       (SELECT CAST(c AS BIGINT) FROM dup) AS exact_dups_found_at_zero,
+       CAST(0 AS BIGINT) AS n_bad_pairs
+""",
+)
+def q103_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.dedup import simhash_near_dup
+
+    d = load_table(spark, sf_dir, "documents")
+    out = simhash_near_dup(d, bands=4, max_hamming=3)
+    # exact-dup pair set: 8-byte hash equi-join (the q32 shuffle shape),
+    # text compared only within hash buckets
+    lhs = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.xxhash64("text").alias("h"),
+        F.col("text").alias("t_a"),
+    )
+    rhs = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.xxhash64("text").alias("h"),
+        F.col("text").alias("t_b"),
+    )
+    exact_pairs = (
+        lhs.join(rhs, "h")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("t_a") == F.col("t_b")))
+        .select("id_a", "id_b")
+    )
+    found = exact_pairs.join(
+        out.filter(F.col("hamming") == 0).select("id_a", "id_b"),
+        ["id_a", "id_b"],
+    ).count()
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (
+                (F.col("id_a") >= F.col("id_b")) | (F.col("hamming") > 3)
+            ).cast("long")
+        ).alias("n_bad"),
+    ).collect()[0]
+    n_dup_rows = stats["n_rows"] - out.select("id_a", "id_b").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                d.count(),
+                exact_pairs.count(),
+                found,
+                int(stats["n_bad"] or 0) + n_dup_rows,
+            )
+        ],
+        "n_docs bigint, exact_dup_pairs bigint, "
+        "exact_dups_found_at_zero bigint, n_bad_pairs bigint",
+    )
