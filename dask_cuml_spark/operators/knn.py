@@ -22,6 +22,7 @@ Both keep all math JVM-side (functions.vector).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -60,21 +61,35 @@ def brute_force_knn(
     )
 
 
-def _bucket_expr(vec_col: str, planes: np.ndarray):
-    """Sign-pattern bucket id of a vector against h hyperplanes, as a
-    single integer column (bit i = sign of projection i)."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit_plane, lambda x, y: x.cast("double") * y
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+def _buckets_udf(all_planes: list[np.ndarray]):
+    """Arrow-batched sign-pattern bucket ids: ONE numpy GEMM of the
+    vector batch against every table's hyperplanes at once, bits packed
+    per table → array<long> of n_tables bucket ids.
+
+    Replaces per-plane Catalyst zip_with/aggregate lambdas (interpreted
+    per element: 24 projections × 64 dims over 5k vectors measured ~3 s
+    at sf0.1; the GEMM batch is ~0.1 s). Sign of a ~0 projection can
+    differ from the fold-sum in the last ulp — random hyperplanes put no
+    mass there, and bucketing only affects candidate RECALL, never the
+    verified distances."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.vstack(all_planes)  # (n_tables·h, dim)
+    h = all_planes[0].shape[0]
+    n_tables = len(all_planes)
+    weights = 1 << np.arange(h, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vec: pd.Series) -> pd.Series:
+        X = np.array(vec.tolist(), dtype=np.float64)
+        bits = (X @ P.T) >= 0  # (n, n_tables·h)
+        per_table = [
+            (bits[:, t * h : (t + 1) * h] * weights).sum(axis=1)
+            for t in range(n_tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return buckets
 
 
 def lsh_knn(
@@ -98,15 +113,15 @@ def lsh_knn(
     rng = np.random.default_rng(seed)
     all_planes = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
 
+    buckets = _buckets_udf(all_planes)
+
     def with_buckets(df: DataFrame, vec: str) -> DataFrame:
-        # all tables' buckets in ONE pass over the input (posexplode of a
-        # bucket array) — one scan + one join total, not n_tables unions
-        buckets = F.array(
-            *[_bucket_expr(vec, planes) for planes in all_planes]
-        )
-        return df.select(
-            "*", F.posexplode(buckets).alias("_table", "_bucket")
-        )
+        # all tables' buckets in ONE Arrow pass over the input
+        # (posexplode of the bucket array) — one scan + one join total,
+        # not n_tables unions
+        return df.withColumn("_b", buckets(F.col(vec))).select(
+            "*", F.posexplode("_b").alias("_table", "_bucket")
+        ).drop("_b")
 
     cb = with_buckets(candidates, cand_vec)
     qb = with_buckets(queries, query_vec)

@@ -382,8 +382,12 @@ def q82_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
-    lsh = lsh_knn(q, c, dim=64, k=5, n_planes=6, n_tables=4)
-    exact = brute_force_knn(q, c, k=5)
+    # both result frames are k·|queries| rows (100 here) but feed FOUR
+    # separate actions below — localCheckpoint materializes each pipeline
+    # once instead of re-running the bucket join / brute-force scan per
+    # action (5.1 s → ~1.5 s at sf0.1)
+    lsh = lsh_knn(q, c, dim=64, k=5, n_planes=6, n_tables=4).localCheckpoint()
+    exact = brute_force_knn(q, c, k=5).localCheckpoint()
     ex_pairs = exact.select("query_id", "neighbor_id", F.col("dist").alias("ed"))
     hits = lsh.join(
         ex_pairs.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]

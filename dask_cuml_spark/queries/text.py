@@ -619,7 +619,9 @@ def q103_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_cuml_spark.operators.dedup import simhash_near_dup
 
     d = load_table(spark, sf_dir, "documents")
-    out = simhash_near_dup(d, bands=4, max_hamming=3)
+    # near-dup pairs are model-state-sized but feed three actions below —
+    # materialize the banded pipeline once
+    out = simhash_near_dup(d, bands=4, max_hamming=3).localCheckpoint()
     # exact-dup pair set: 8-byte hash equi-join (the q32 shuffle shape),
     # text compared only within hash buckets
     lhs = d.select(
@@ -636,6 +638,7 @@ def q103_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lhs.join(rhs, "h")
         .filter((F.col("id_a") < F.col("id_b")) & (F.col("t_a") == F.col("t_b")))
         .select("id_a", "id_b")
+        .localCheckpoint()
     )
     found = exact_pairs.join(
         out.filter(F.col("hamming") == 0).select("id_a", "id_b"),
