@@ -51,7 +51,9 @@ def enable_table_cache(enabled: bool = True) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if _CACHE_ENABLED:
-        key = (id(spark), sf_dir, name)
+        # applicationId, not id(spark): id() can be reused after the old
+        # session is GC'd, which would serve plans bound to a dead session
+        key = (spark.sparkContext.applicationId, sf_dir, name)
         if key not in _TABLE_CACHE:
             df = _load_table_uncached(spark, sf_dir, name).cache()
             df.count()  # materialize once
