@@ -13,6 +13,14 @@ the driver's captured stdout tail, leaving BENCH_r1 "parsed": null):
 Protocol notes (BASELINE.md): a single SparkSession is reused for the
 whole suite — JVM startup (~5-8 s) is excluded from per-query numbers,
 matching how the DuckDB baseline was measured (warm, in-process).
+
+Result materialization is Arrow (`toPandas`), not row-pickle
+(`collect`): for result sets near input size (q20 emits 2.9M session
+rows at 30×) py4j row pickling costs 18 s where the actual compute is
+1.1 s — the measurement becomes the serializer, not the engine. Arrow
+is PySpark's documented bulk-result path and mirrors DuckDB's native
+columnar fetch (bench_scale times DuckDB via `.arrow()` for the same
+reason).
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import dask_cuml_spark.queries  # noqa: E402,F401 — populate registry
+from dask_cuml_spark.benchlib import materialize  # noqa: E402
 from dask_cuml_spark.registry import QUERIES  # noqa: E402
 from dask_cuml_spark.session import get_spark  # noqa: E402
 
@@ -53,7 +62,7 @@ def main() -> None:
         warm_dir = sf_dir
     for name in sorted(QUERIES):
         try:
-            QUERIES[name](spark, warm_dir).collect()
+            materialize(QUERIES[name](spark, warm_dir))
         except Exception:
             pass  # warm-up must never sink the bench
 
@@ -64,7 +73,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

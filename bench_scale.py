@@ -104,13 +104,18 @@ def build_scaled(dst: str, factor: int) -> None:
 
 
 def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    # Arrow materialization on both engines (see benchlib.materialize):
+    # q20's 2.9M-row result costs 18 s through row pickling vs 1.1 s of
+    # compute — collect-based timing measures the serializer.
+    from dask_cuml_spark.benchlib import materialize
+
     out = {}
     for n in names:
-        QUERIES[n](spark, sf_dir).collect()  # warm plan/codegen
+        materialize(QUERIES[n](spark, sf_dir))  # warm plan/codegen
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            QUERIES[n](spark, sf_dir).collect()
+            materialize(QUERIES[n](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         out[n] = round(best, 4)
     return out
@@ -128,11 +133,11 @@ def time_duck(sf_dir: str, names: list[str]) -> dict[str, float]:
     out = {}
     try:
         for n in names:
-            con.execute(ORACLES[n]).fetchall()  # warm
+            con.execute(ORACLES[n]).arrow()  # warm
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                con.execute(ORACLES[n]).fetchall()
+                con.execute(ORACLES[n]).arrow()
                 best = min(best, time.perf_counter() - t0)
             out[n] = round(best, 4)
     finally:

@@ -456,3 +456,61 @@ def test_simhash_near_dup_finds_known_near_pairs(spark):
     out2 = simhash_near_dup(d, bands=4, max_hamming=3).toPandas()
     key = lambda f: sorted(map(tuple, f.values.tolist()))  # noqa: E731
     assert key(out) == key(out2)
+
+
+# --- functions/json.py: flat-object fast path ------------------------------
+
+
+def test_fast_get_long_parity_with_from_json_on_fixture(spark):
+    """Every fixture props row takes the fast path and agrees with the
+    full Jackson parse (q22's correctness depends on this)."""
+    from pyspark.sql import functions as F
+
+    from dask_cuml_spark.functions.json import fast_get_long
+    from dask_cuml_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    n_diff = (
+        e.select(
+            fast_get_long("props", "k").alias("fast"),
+            F.from_json("props", "k BIGINT").getField("k").alias("full"),
+        )
+        .filter(
+            ~(
+                (F.col("fast") == F.col("full"))
+                | (F.col("fast").isNull() & F.col("full").isNull())
+            )
+        )
+        .count()
+    )
+    assert n_diff == 0
+
+
+def test_fast_get_long_fallback_rows(spark):
+    """Rows the anchored regexp can't match fall back to the exact
+    Jackson path; the documented divergence (fake key inside an earlier
+    string value) is pinned so a behavior change is visible."""
+    from dask_cuml_spark.functions.json import fast_get_long
+
+    rows = [
+        ('{"k": 7}', 7),  # fast path
+        ('{"j": 1, "k": -3}', -3),  # fast path, anchored on comma
+        ('{"k": "12"}', 12),  # quoted value -> fallback parses
+        ('{"j": 5}', None),  # absent key -> both paths null
+        ("not json", None),
+        (None, None),
+        # fake key inside a string value: in VALID JSON inner quotes are
+        # escaped (\"k\"), so the [{,]\s*" anchor can't match them —
+        # strings cannot fool the fast path
+        ('{"msg": "x,\\"k\\": 5", "k": 9}', 9),
+        ('{"msg": "x,\\"k\\": 5}", "k": 9}', 9),
+        # the one true divergence: the key inside a NESTED object — a
+        # regexp cannot track nesting (documented in functions/json.py);
+        # $.k JSON semantics would give 9
+        ('{"a": {"k": 5}, "k": 9}', 5),
+    ]
+    df = spark.createDataFrame(
+        [(r[0],) for r in rows], "props string"
+    ).withColumn("k", fast_get_long("props", "k"))
+    got = [r["k"] for r in df.collect()]
+    assert got == [r[1] for r in rows]
