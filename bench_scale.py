@@ -127,6 +127,13 @@ def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 # documents the crossover (0.01×, Spark 3.3 s vs DuckDB 298 s).
 SKIP_DUCK_ABOVE = {"q45_cosine_near_dup": 10}
 
+# Spark-side skips: q45 is Θ(n²) for BOTH engines (the blocked GEMM is
+# ~100× faster than DuckDB's expression fold but still quadratic — 61 s
+# at 30×, ~11 min at 100×). Beyond 30× the declared scale path is LSH /
+# banded near-dup (q78/q82/q103), so the brute-force row is skipped
+# rather than burning a bench slot proving a known quadratic.
+SKIP_SPARK_ABOVE = {"q45_cosine_near_dup": 30}
+
 
 def time_duck(sf_dir: str, names: list[str]) -> dict[str, float]:
     con = duckdb_connection(sf_dir)
@@ -170,27 +177,37 @@ def main() -> None:
         with open(out_path) as f:
             results = json.load(f)
     for label, d, fac in [("1x", SRC, 1), (f"{factor}x", dst, factor)]:
-        names = HEADLINE if fac == 1 else [
+        duck_names = HEADLINE if fac == 1 else [
             n for n in HEADLINE if fac <= SKIP_DUCK_ABOVE.get(n, 10**9)
         ]
-        skipped = [n for n in HEADLINE if n not in names]
-        s = time_spark(spark, d, HEADLINE)
-        k = time_duck(d, names)
+        spark_names = HEADLINE if fac == 1 else [
+            n for n in HEADLINE if fac <= SKIP_SPARK_ABOVE.get(n, 10**9)
+        ]
+        s = time_spark(spark, d, spark_names)
+        k = time_duck(d, duck_names)
         results[label] = {
             n: {
                 "duckdb_sec": k.get(n),
-                "spark_sec": s[n],
+                "spark_sec": s.get(n),
                 "ratio": (
-                    round(s[n] / k[n], 2) if k.get(n) else None
+                    round(s[n] / k[n], 2)
+                    if k.get(n) and s.get(n)
+                    else None
                 ),
             }
             for n in HEADLINE
         }
-        for n in skipped:
-            results[label][n]["note"] = (
-                "duckdb oracle skipped: quadratic all-pairs, "
-                "projected >30 min at this factor"
-            )
+        for n in HEADLINE:
+            if n not in duck_names:
+                results[label][n]["note"] = (
+                    "duckdb oracle skipped: quadratic all-pairs, "
+                    "projected >30 min at this factor"
+                )
+            if n not in spark_names:
+                results[label][n]["note"] = (
+                    "both engines skipped: Theta(n^2) brute-force pairs "
+                    "at this factor; scale path is LSH (q78/q82/q103)"
+                )
     spark.stop()
 
     def med(label):
