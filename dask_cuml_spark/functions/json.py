@@ -1,4 +1,4 @@
-"""JSON field extraction — including the flat-object fast path.
+r"""JSON field extraction — including the flat-object fast path.
 
 Spark's built-in JSON functions (``from_json`` / ``get_json_object``)
 run a full Jackson parse per row (~250k rows/s/core measured here);
