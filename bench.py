@@ -68,13 +68,21 @@ def main() -> None:
 
     # BASELINE protocol parity: the DuckDB baseline reports the second
     # (warm) run of each query; we run twice and report the faster run.
+    # Failure isolation (round-3 lesson: one broken query crashed the
+    # harness at q20 and zeroed the whole round's bench signal): a query
+    # that raises is recorded under "errors" and the suite keeps going.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — keep the suite alive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
@@ -104,6 +112,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "total_sec": total,
                 "queries": timings,
+                "errors": errors,
                 "baseline_map": baseline_map,
             },
             f,
@@ -125,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "queries": headline,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -23,8 +23,9 @@ means the top level. String values can NOT fool it: valid JSON escapes
 inner quotes (``\"key\"``), which breaks the ``[{,]\s*"`` anchor.
 Callers with nested JSON should use
 ``F.from_json`` directly; event-pipeline props (flat, no escapes — the
-fixture has zero of either, tests/test_functions.py proves full-column
-parity vs from_json) hit the fast path on every row.
+fixture has zero of either; tests/test_operators.py
+``test_fast_get_long_parity_with_from_json_on_fixture`` proves
+full-column parity vs from_json) hit the fast path on every row.
 
 At 100 TB the real answer is to parse ONCE at ingest into typed parquet
 columns; this helper is for the query-time extraction the raw-events

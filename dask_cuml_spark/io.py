@@ -62,23 +62,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _load_table_uncached(spark, sf_dir, name)
 
 
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Attach the canonical event-time columns to an events frame.
+
+    The fixture's on-disk encoding of ``ts`` has changed across driver
+    regenerations (TIMESTAMP(NANOS)-as-int64 → TIMESTAMP_MICROS), so the
+    loader adapts to whatever Spark actually inferred instead of assuming
+    one encoding:
+
+    - int64 (nanosAsLong path): ``ts_us = ts DIV 1000``
+    - TIMESTAMP_NTZ (parquet micros, isAdjustedToUTC=false): wall-clock
+      is UTC by fixture contract; ``timestampdiff`` from the NTZ epoch is
+      session-timezone independent (pinned by the non-UTC parity test)
+    - TIMESTAMP (ltz): ``unix_micros`` is already an instant
+
+    Every query keys time arithmetic off ``ts_us`` (bigint µs — the unit
+    DuckDB's ``epoch_us(ts)`` oracle produces under ALL encodings) and
+    event-time windows off ``ts_t``. Works on batch and streaming frames.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        ts_us = F.expr("ts DIV 1000")
+    elif isinstance(ts_type, TimestampNTZType):
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    elif isinstance(ts_type, TimestampType):
+        ts_us = F.unix_micros(F.col("ts"))
+    else:  # pragma: no cover — new fixture encoding needs a new branch
+        raise TypeError(f"unsupported events.ts type: {ts_type}")
+    return df.withColumn("ts_us", ts_us).withColumn(
+        "ts_t", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects;
-        # read it as int64 nanoseconds. DuckDB truncates the same column
-        # to µs, so queries use ts_us = ts_ns DIV 1000 as the canonical
-        # cross-engine unit (FIXTURES.md rule 4). The conf must be set
+        # Older fixtures wrote events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark rejects unless read as int64 nanoseconds; the conf
+        # is harmless under the current micros encoding. It must be set
         # here (the driver owns the session, we can't pre-configure it);
         # guarded so concurrent loads don't thrash an already-set value.
         key = "spark.sql.legacy.parquet.nanosAsLong"
         if spark.conf.get(key, "false") != "true":
             spark.conf.set(key, "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
-            "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        return with_event_time(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -179,28 +179,46 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash: per-token xxhash64, majority vote per bit.
 
-    One groupBy(id) with 64 conditional-sum aggregates (all partial-agg
-    friendly), then the bit-pattern reassembled from literals — a single
-    shuffle on id, all JVM-side. Bit 63 uses the signed-long
-    representation of 1<<63.
+    SWAR-packed counters (round-4 rewrite; 64 conditional-sum aggregates
+    cost 3.5 s at sf0.1 — the per-row work, not the shuffle): aggregate j
+    sums ``(h >>> j) & 0x0001000100010001`` — ONE shift + ONE mask per
+    row — packing the popcounts of bits {j, j+16, j+32, j+48} into four
+    16-bit lanes of a single long. 16 sums + a count replace 64
+    conditional sums; all partial-agg friendly (map-side combine, one
+    shuffle on id, 17 longs per doc). The final per-doc select unpacks
+    the lanes and sets bit i iff 2*count_i > n_tokens — identical
+    semantics to the per-bit ±1 majority vote (vote_i = 2c_i - n > 0).
+    Bit 63 uses the signed-long representation of 1<<63.
+
+    Lane bound: a 16-bit lane overflows at 65 536 tokens in ONE document
+    — far beyond any tokenizer's output for a document row; shard longer
+    blobs upstream.
     """
     tok = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).withColumn("h", F.xxhash64("term"))
+    lane_mask = 0x0001_0001_0001_0001
     votes = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(
+                    F.lit(lane_mask)
+                )
+            ).alias(f"_s{j}")
+            for j in range(16)
+        ],
     )
     sig = F.lit(0).cast("long")
     for i in range(64):
+        j, lane = i % 16, i // 16
+        cnt = F.shiftrightunsigned(F.col(f"_s{j}"), 16 * lane).bitwiseAND(
+            F.lit(0xFFFF)
+        )
         bit_val = (1 << i) if i < 63 else -(1 << 63)
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(0)
+        sig = sig + F.when(
+            cnt * 2 > F.col("_n"), F.lit(bit_val).cast("long")
+        ).otherwise(0)
     return votes.select(id_col, sig.alias("simhash"))
 
 
@@ -224,7 +242,11 @@ def simhash_near_dup(
     if 64 % bands:
         raise ValueError("bands must divide 64")
     width = 64 // bands
-    sigs = simhash(df.select(id_col, text_col), text_col, id_col)
+    # Both sides of the bucket self-join descend from the signature
+    # aggregate; without a cache the tokenize+agg (the only heavy stage
+    # — everything downstream is signature-sized) computes TWICE. At
+    # cluster scale the same role is played by checkpointing signatures.
+    sigs = simhash(df.select(id_col, text_col), text_col, id_col).cache()
     mask = (1 << width) - 1
     slices = F.array(
         *[

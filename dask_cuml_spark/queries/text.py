@@ -619,9 +619,12 @@ def q103_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_cuml_spark.operators.dedup import simhash_near_dup
 
     d = load_table(spark, sf_dir, "documents")
-    # near-dup pairs are model-state-sized but feed three actions below —
-    # materialize the banded pipeline once
-    out = simhash_near_dup(d, bands=4, max_hamming=3).localCheckpoint()
+    # The operator caches its signature aggregate (the only heavy
+    # stage); the pair set is signature-sized, so re-deriving it in the
+    # two consumer subtrees below is cheaper than a localCheckpoint
+    # round-trip (round-4: ckpt + 4 separate actions cost 3× the
+    # operator at sf0.1).
+    out = simhash_near_dup(d, bands=4, max_hamming=3)
     # exact-dup pair set: 8-byte hash equi-join (the q32 shuffle shape),
     # text compared only within hash buckets
     lhs = d.select(
@@ -638,30 +641,50 @@ def q103_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lhs.join(rhs, "h")
         .filter((F.col("id_a") < F.col("id_b")) & (F.col("t_a") == F.col("t_b")))
         .select("id_a", "id_b")
-        .localCheckpoint()
     )
-    found = exact_pairs.join(
-        out.filter(F.col("hamming") == 0).select("id_a", "id_b"),
+    # ALL invariant checks in ONE aggregation over ONE full-outer join
+    # (round-4: the previous shape — localCheckpoints + 4 driver actions
+    # duplicating the near-dup and exact-pair subtrees — cost 3× the
+    # operator at sf0.1). Full-outer keeps exact pairs the banding
+    # missed (hamming IS NULL ⇒ found < exact, a visible oracle
+    # mismatch) AND near-dup rows with no exact twin. If `out` ever
+    # emitted duplicate pairs, the join would inflate exact counts —
+    # also a visible mismatch, which is what the distinctness invariant
+    # is for.
+    j = out.join(
+        exact_pairs.withColumn("_is_exact", F.lit(1)),
         ["id_a", "id_b"],
-    ).count()
-    stats = out.agg(
-        F.count(F.lit(1)).alias("n_rows"),
+        "full_outer",
+    )
+    summary = j.agg(
+        F.count("hamming").alias("_n_rows"),
         F.sum(
             (
                 (F.col("id_a") >= F.col("id_b")) | (F.col("hamming") > 3)
             ).cast("long")
-        ).alias("n_bad"),
-    ).collect()[0]
-    n_dup_rows = stats["n_rows"] - out.select("id_a", "id_b").distinct().count()
-    return spark.createDataFrame(
-        [
-            (
-                d.count(),
-                exact_pairs.count(),
-                found,
-                int(stats["n_bad"] or 0) + n_dup_rows,
+        ).alias("_n_bad"),
+        F.count_distinct(
+            F.when(
+                F.col("hamming").isNotNull(), F.struct("id_a", "id_b")
             )
-        ],
-        "n_docs bigint, exact_dup_pairs bigint, "
-        "exact_dups_found_at_zero bigint, n_bad_pairs bigint",
+        ).alias("_n_distinct"),
+        F.coalesce(F.sum("_is_exact"), F.lit(0)).alias("exact_dup_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_is_exact").isNotNull() & (F.col("hamming") == 0), 1
+                )
+            ),
+            F.lit(0),
+        ).alias("exact_dups_found_at_zero"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(summary).select(
+        "n_docs",
+        "exact_dup_pairs",
+        "exact_dups_found_at_zero",
+        (
+            F.coalesce(F.col("_n_bad"), F.lit(0))
+            + (F.col("_n_rows") - F.col("_n_distinct"))
+        ).alias("n_bad_pairs"),
     )

@@ -17,6 +17,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dask_cuml_spark.io import with_event_time
 from dask_cuml_spark.streaming import _state_partitions
 
 
@@ -33,11 +34,10 @@ def stream_sessionize(
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource requires a directory: stream the fixture dir,
     # glob-filtered to the events file.
-    stream = (
+    stream = with_event_time(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     sessions = (
         stream.withWatermark("ts_t", watermark)
@@ -72,11 +72,10 @@ def stream_hourly_counts(
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource requires a directory: stream the fixture dir,
     # glob-filtered to the events file.
-    stream = (
+    stream = with_event_time(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     counts = (
         stream.withWatermark("ts_t", watermark)

@@ -15,6 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dask_cuml_spark.io import with_event_time
 from dask_cuml_spark.streaming import _state_partitions
 
 
@@ -26,14 +27,16 @@ def stream_purchase_error_join(
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            with_event_time(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.col("event_id").alias(f"{prefix}_id"),
-                F.timestamp_micros(F.expr("ts DIV 1000")).alias(f"{prefix}_ts"),
+                F.col("ts_t").alias(f"{prefix}_ts"),
             )
             .withWatermark(f"{prefix}_ts", "10 minutes")
         )

@@ -514,3 +514,49 @@ def test_fast_get_long_fallback_rows(spark):
     ).withColumn("k", fast_get_long("props", "k"))
     got = [r["k"] for r in df.collect()]
     assert got == [r[1] for r in rows]
+
+
+def test_events_loader_adapts_to_fixture_encoding(spark, tmp_path):
+    """Fixture-encoding contract (round-3 regression class): the driver
+    has regenerated events.ts as TIMESTAMP(NANOS)-as-int64 AND as
+    TIMESTAMP_MICROS across rounds. The loader must yield identical
+    ts_us under every encoding it may meet: int64-nanos, micros NTZ
+    (isAdjustedToUTC=false), and micros LTZ (isAdjustedToUTC=true)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_cuml_spark.io import load_table
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet"
+    ).slice(0, 200)
+    ts = src.column("ts")  # timestamp[us], naive
+
+    encodings = {
+        "ntz_us": ts,
+        "nanos_i64": ts.cast(pa.timestamp("ns")),
+        "ltz_us": ts.cast(pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for enc, col in encodings.items():
+        d = tmp_path / enc
+        d.mkdir()
+        pq.write_table(
+            src.set_column(src.schema.get_field_index("ts"), "ts", col),
+            d / "events.parquet",
+        )
+        df = load_table(spark, str(d), "events")
+        got[enc] = dict(
+            df.select("event_id", "ts_us").toPandas().itertuples(index=False)
+        )
+    assert got["ntz_us"] == got["nanos_i64"] == got["ltz_us"]
+    # and the NTZ path (current fixture) agrees with DuckDB's epoch_us
+    import duckdb
+
+    want = dict(
+        duckdb.sql(
+            "SELECT event_id, epoch_us(ts) FROM "
+            "'/root/testdata/sf0.001/events.parquet' ORDER BY event_id LIMIT 200"
+        ).fetchall()
+    )
+    assert got["ntz_us"] == want

@@ -211,11 +211,12 @@ def test_streaming_dedup_with_watermark(spark):
     src.write.parquet(dup_dir)
     src.write.mode("append").parquet(dup_dir)
 
-    stream = (
+    from dask_cuml_spark.io import with_event_time
+
+    stream = with_event_time(
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dup_dir)
-        .withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     deduped = stream.withWatermark("ts_t", "10 minutes").dropDuplicates(
         ["event_id"]
