@@ -30,87 +30,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2): r1 proved the module-grouped
-# first 50, r2 proved the 43 then-unproven + re-proved changed ones —
-# union r1+r2 = all queries. Round-3 window, in order:
-#   1. the 5 formerly-`no_oracle` queries that NOW carry DuckDB oracles
-#      (the driver recorded err:no_oracle for them, never a rows-only
-#      check — VERDICT r2 #1);
-#   2. queries whose implementation or oracle CHANGED in round 3
-#      (two-pass-rank q12, from_json q22, localCheckpointed ranking
-#      q37/q39/q65, inertia-tracking KMeans q41/q42/q48/q99) + new
-#      round-3 declarations;
-#   3. the 43 queries OUTSIDE the r2 window (last proven in
-#      CORRECTNESS_r01.json), rotating back in, substantive first.
-# Entries past position 50 fall outside this round's window; all are
-# unchanged and r1/r2-green — listed in WINDOW_r03.md as evidence.
+# re-enters the hard gate (advisor r2). Round-4 window, in order:
+#   1. the 14 queries broken by the round-3 fixture re-encoding
+#      (events.ts nanos-int64 → TIMESTAMP_MICROS; VERDICT r3 #1) — the
+#      schema-adaptive loader fix must be PROVEN on exactly these;
+#   2. new/changed round-4 queries (q104 parse-at-ingest; q103 SWAR
+#      SimHash + single-action invariants);
+#   3. the 8 queries last proven in CORRECTNESS_r01 (oldest evidence);
+#   4. 26 of the 29 queries last proven in CORRECTNESS_r02, oldest-
+#      evidence rotation (the 3 simplest — q59/q96/q97 — wait at 51+).
+# Entries past position 50 are unchanged and r2/r3-green — WINDOW_r04.md
+# lists the evidence row per query.
 _PRIORITY = [
-    # -- (1) newly-oracled, previously invisible to the hard gate
-    "q76_kmeans_fit",
-    "q77_dbscan",
-    "q78_minhash_near_dup",
-    "q82_lsh_knn",
-    "q83_logreg_predict",
-    # -- (2) changed in round 3, re-prove
-    "q12_quantiles_histogram",
-    "q22_json_extract",
-    "q37_label_encode",
-    "q39_count_vectorizer",
-    "q65_ranking_windows",
-    "q41_centroid_assignment",
-    "q42_lloyd_iteration",
-    "q48_kmeans_transform",
-    "q99_kmeans_parallel_fit",
-    "q47_ivf_search_full_probe",
-    "q94_elasticnet_vs_ols",
-    # -- new round-3 queries
-    "q101_make_classification",
-    "q102_adjusted_rand",
-    "q103_simhash_near_dup",
-    # -- (3) rotation: outside the r2 window, last proven in r1
-    "q40_knn_bruteforce",
-    "q43_cosine_topk",
-    "q44_multimodal_join",
-    "q46_knn_classify",
-    "q50_feature_stats",
-    "q51_ols_fit",
-    "q52_ridge_fit",
-    "q53_standard_scaler",
-    "q54_minmax_scaler",
-    "q55_corr_cov_matrix",
-    "q30_top_terms",
-    "q31_tfidf_top_term",
-    "q87_naive_bayes_predict",
-    "q32_exact_dedup",
-    "q33_lang_source_slice",
-    "q34_text_quality",
-    "q35_jaccard_near_dup",
-    "q36_naive_bayes_fit",
-    "q38_fingerprint",
+    # -- (1) loader-broken in r3, re-prove on the new fixture encoding
+    "q20_sessionization",
     "q21_funnel",
+    "q22_json_extract",
     "q23_retention",
     "q24_event_value_stats",
     "q25_hourly_windows",
-    "q03_top_orders_per_customer",
-    "q04_segment_stats",
-    "q06_orders_by_month",
-    "q07_fillna_left_join",
-    "q08_value_counts",
-    "q09_drop_duplicates",
-    "q10_set_ops",
-    "q11_rollup",
+    "q64_map_functions",
+    "q70_stream_sessionization",
+    "q71_stream_hourly_counts",
+    "q79_stream_stateful_totals",
+    "q80_range_window",
+    "q92_interval_join",
+    "q93_stream_stream_join",
+    "q98_stream_dedup",
+    # -- (2) new/changed in round 4
+    "q104_json_parse_at_ingest",
+    "q103_simhash_near_dup",
+    # -- (3) last proven in r1 (oldest evidence)
+    "q02_revenue_by_nation",
+    "q05_string_ops",
     "q13_semi_anti_join",
     "q14_range_join_bands",
     "q15_global_topk",
+    "q16_project_cast_case",
     "q17_rolling_avg",
     "q18_lag_lead",
+    # -- (4) last proven in r2, rotating back in
     "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    # -- tail of the rotation set: simplest unchanged r1-green queries;
-    # with 2 new round-3 queries these sit at positions 51-53, just
-    # outside the 50-row window (see WINDOW_r03.md)
-    "q05_string_ops",
-    "q16_project_cast_case",
+    "q45_cosine_near_dup",
+    "q56_confusion_matrix",
+    "q57_metrics",
+    "q58_gram_matrix",
+    "q60_asof_join",
+    "q61_cube",
+    "q62_partitioned_write",
+    "q63_multiformat_roundtrip",
+    "q100_merge_schema",
+    "q66_language_id",
+    "q67_token_count",
+    "q68_knn_regressor",
+    "q72_map_partitions",
+    "q73_grouped_normalize",
+    "q74_grouped_agg_udf",
+    "q75_pivot",
+    "q81_one_hot",
+    "q84_merge_upsert",
+    "q85_grouping_sets",
+    "q86_profile_table",
+    "q88_group_quantiles",
+    "q89_unpivot_melt",
+    "q90_regexp_ops",
+    "q91_python_udtf",
+    "q95_random_forest",
+    # -- positions 51+: r2-proven tail (q59/q96/q97) and the 45 queries
+    # green in CORRECTNESS_r03 (see WINDOW_r04.md)
+    "q59_ols_predict",
+    "q96_train_test_split",
+    "q97_make_blobs",
 ]
 
 

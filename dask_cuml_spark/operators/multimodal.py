@@ -1,11 +1,14 @@
 """Multimodal column plumbing (north-star: image/audio/video as opaque
 binary columns with typed metadata; SURVEY.md task brief).
 
-The container has no image/audio codecs, so decode is STUBBED with a
-deterministic fake (documented below) — but every Spark-side piece is
-real: binary columns, struct metadata, Arrow-batched mapInPandas with an
-explicit output schema, and batch-shape-preserving UDF signatures. Swap
-`_fake_decode` for PIL/ffmpeg on a real cluster and nothing else changes.
+Decode branches (resolve_decoder, feature-detected per worker): PIL when
+importable (the production path), a dependency-free pure-Python PNG
+decoder (`_png_decode` — zlib+struct, 8-bit gray/RGB/RGBA, all five
+scanline filters) that proves the REAL-bytes path even in this codec-less
+container, and a deterministic fake for non-PNG synthetic payloads. Every
+Spark-side piece is real: binary columns, struct metadata, Arrow-batched
+mapInPandas with an explicit output schema, and batch-shape-preserving
+UDF signatures. Swap in PIL/ffmpeg on a real cluster and nothing changes.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python), and
 binary payloads never pass through a shuffle here — decode is a narrow
@@ -69,8 +72,9 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def _pil_decode(payload: bytes) -> np.ndarray:
-    """Real decoder: PIL → grayscale uint8 array. Only reachable when the
-    worker can import PIL (feature-detected at task time)."""
+    """PIL decoder: any format PIL knows → grayscale uint8 array. Only
+    reachable when the worker can import PIL (feature-detected at task
+    time); the production path on a real cluster."""
     import io as _io
 
     from PIL import Image
@@ -79,21 +83,109 @@ def _pil_decode(payload: bytes) -> np.ndarray:
         return np.asarray(img.convert("L"), dtype=np.uint8)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(payload: bytes) -> np.ndarray:
+    """Dependency-free PNG decoder (zlib + struct — both stdlib): 8-bit
+    greyscale/RGB/RGBA, non-interlaced, all five scanline filters. Proves
+    the REAL-bytes decode path in codec-less containers; anything fancier
+    (16-bit, palette, interlace, other formats) belongs to the PIL branch.
+    Returns grayscale uint8 via ITU-R 601 luma, matching PIL's convert('L')
+    weights."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, b"", None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={color} "
+                    f"interlace={interlace}); use the PIL branch"
+                )
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[color])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bpp = meta
+    raw = zlib.decompress(idat)
+    stride = w * bpp
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.intp)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry a per-pixel recurrence
+            cur = np.zeros(stride, dtype=np.intp)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[x] = (line[x] + pred) & 0xFF
+        img[y] = cur
+        prev = cur
+    px = img.reshape(h, w, bpp)
+    if bpp == 1:
+        return px[:, :, 0].copy()
+    r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def _auto_decode(payload: bytes) -> np.ndarray:
+    """Container-independent real-bytes path: PNG magic → the pure-Python
+    PNG decoder; anything else → the deterministic stub."""
+    if payload[:8] == _PNG_SIG:
+        return _png_decode(payload)
+    return _fake_decode(payload)
+
+
 def resolve_decoder(mode: str = "auto"):
-    """Pick the decode branch: "fake" (stub), "pil" (require PIL), or
-    "auto" — PIL when importable on THIS worker, else the stub. Called
+    """Pick the decode branch: "fake" (stub), "pil" (require PIL), "png"
+    (require the builtin PNG decoder), or "auto" — PIL when importable on
+    THIS worker, else real-PNG-by-magic-bytes with stub fallback. Called
     inside the UDF so each executor feature-detects its own environment;
     on a capable cluster the stub disappears with no code change."""
     if mode == "fake":
         return _fake_decode
     if mode == "pil":
         return _pil_decode
+    if mode == "png":
+        return _png_decode
     try:
         import PIL  # noqa: F401
 
         return _pil_decode
     except ImportError:
-        return _fake_decode
+        return _auto_decode
 
 
 def extract_image_features(
