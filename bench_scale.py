@@ -11,7 +11,7 @@ side = the very oracle SQL the correctness gate uses) at 1× and 10× and
 reports how the ratio moves with scale.
 
 Dataset: each fact table is replicated N× with shifted keys (pyarrow —
-preserves the ns-timestamp logical type, so events SQL runs unchanged in
+preserves the timestamp logical type, so events SQL runs unchanged in
 both engines); dimension tables (nation/region/part/supplier) keep their
 original cardinality, as they would at any TPC-H scale. Written to
 /tmp (single parquet file per table, the layout both engines read).
@@ -59,6 +59,7 @@ HEADLINE = [
     "q03_top_orders_per_customer",
     "q20_sessionization",
     "q22_json_extract",
+    "q104_json_parse_at_ingest",
     "q30_top_terms",
     "q31_tfidf_top_term",
     "q32_exact_dedup",
@@ -87,20 +88,20 @@ def build_scaled(dst: str, factor: int) -> None:
     for name, keys in FACT_SHIFTS.items():
         t = pq.read_table(f"{SRC}/{name}.parquet")
         shifts = {k: pc.max(t.column(k)).as_py() + 1 for k in keys}
-        copies = []
-        for i in range(factor):
-            c = t
-            if i:
-                for k in keys:
-                    idx = c.schema.get_field_index(k)
-                    shifted = pc.add(c.column(k), i * shifts[k])
-                    c = c.set_column(idx, c.schema.field(idx), shifted)
-            copies.append(c)
-        pq.write_table(
-            pa.concat_tables(copies),
-            f"{dst}/{name}.parquet",
-            row_group_size=FACT_ROW_GROUP,
-        )
+        # stream copies through one writer — at 100× the concat-then-
+        # write shape would hold the whole scaled fact table in memory
+        writer = pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema)
+        try:
+            for i in range(factor):
+                c = t
+                if i:
+                    for k in keys:
+                        idx = c.schema.get_field_index(k)
+                        shifted = pc.add(c.column(k), i * shifts[k])
+                        c = c.set_column(idx, c.schema.field(idx), shifted)
+                writer.write_table(c, row_group_size=FACT_ROW_GROUP)
+        finally:
+            writer.close()
 
 
 def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:

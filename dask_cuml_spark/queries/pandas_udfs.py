@@ -382,49 +382,50 @@ def q82_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
-    # both result frames are k·|queries| rows (100 here) but feed FOUR
-    # separate actions below — localCheckpoint materializes each pipeline
-    # once instead of re-running the bucket join / brute-force scan per
-    # action (5.1 s → ~1.5 s at sf0.1)
+    # both result frames are k·|queries| rows (100 here) but feed four
+    # invariant checks — localCheckpoint materializes each expensive
+    # pipeline (bucket join / brute-force GEMM) exactly once, then ALL
+    # checks run as ONE lazy plan over the two tiny checkpointed frames
+    # (round-4: the previous 4 driver actions + eager collect cost
+    # ~0.15 s scheduling each; the driver's own materialize is the one
+    # action this query needs)
     lsh = lsh_knn(q, c, dim=64, k=5, n_planes=6, n_tables=4).localCheckpoint()
     exact = brute_force_knn(q, c, k=5).localCheckpoint()
-    ex_pairs = exact.select("query_id", "neighbor_id", F.col("dist").alias("ed"))
     hits = lsh.join(
-        ex_pairs.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    ).count()
-    n_q = lsh.select("query_id").distinct().count()
-    stats = (
-        lsh.join(
-            exact.select("query_id", "rk", F.col("dist").alias("ed")),
-            ["query_id", "rk"],
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_results"),
-            F.sum((F.col("dist") < F.col("ed") - 1e-9).cast("int")).alias(
-                "n_rank_violations"
-            ),
-        )
-        .collect()[0]
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).agg(F.count(F.lit(1)).alias("_n_hits"))
+    rank = lsh.join(
+        exact.select("query_id", "rk", F.col("dist").alias("ed")),
+        ["query_id", "rk"],
+    ).agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.sum((F.col("dist") < F.col("ed") - 1e-9).cast("long")).alias(
+            "n_rank_violations"
+        ),
     )
-    n_dups = (
+    n_q = lsh.agg(F.count_distinct(F.col("query_id")).alias("n_queries"))
+    dups = (
         lsh.groupBy("query_id", "neighbor_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .count()
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
-    recall = hits / stats["n_results"] if stats["n_results"] else 0.0
-    return spark.createDataFrame(
-        [
-            (
-                n_q,
-                stats["n_results"],
-                int(stats["n_rank_violations"]),
-                n_dups,
-                int(recall >= 0.30),
+    return (
+        n_q.crossJoin(rank)
+        .crossJoin(hits)
+        .crossJoin(dups)
+        .select(
+            "n_queries",
+            "n_results",
+            "n_rank_violations",
+            "n_dup_pairs",
+            F.when(
+                F.col("_n_hits") / F.col("n_results") >= 0.30, 1
             )
-        ],
-        "n_queries long, n_results long, n_rank_violations long, "
-        "n_dup_pairs long, recall_ok int",
+            .otherwise(0)
+            .cast("int")
+            .alias("recall_ok"),
+        )
     )
 
 
