@@ -65,10 +65,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q02 — revenue by nation: 4-way join + agg (dask_cudf merge chain).
 # nation/region are broadcast (25 / 5 rows — at 100 TB still tiny).
-# lineitem is PRE-AGGREGATED per orderkey before joining (600k→150k rows
-# through the join; measured 30% faster at sf0.1, and at 100 TB it is
-# the difference between shuffling the fact table and shuffling an
-# order-level rollup).
+# Aggregation is pushed below EVERY join stage (round-4, the eager-
+# aggregation rewrite OLAP optimizers apply by hand): lineitem rolls up
+# per orderkey before meeting orders (fact shuffle → order-level rows),
+# and the order-level rows roll up per custkey before meeting customer
+# (orders-cardinality → customer-cardinality, a 10× row cut through the
+# custkey join; at 100× on local[32] the two shapes time within noise —
+# the win is the shuffle-volume asymptotics at cluster scale, where the
+# custkey exchange carries |customer| not |orders| rows). orders is
+# projected to its two join keys, so the heavy shuffles carry 2-3
+# columns.
 # ---------------------------------------------------------------------------
 @register(
     "q02_revenue_by_nation",
@@ -98,9 +104,15 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("nl"),
     )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
+    per_cust = (
+        o.select("o_orderkey", "o_custkey")
         .join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"), F.sum("nl").alias("nl"))
+    )
+    return (
+        c.select("c_custkey", "c_nationkey")
+        .join(per_cust, c.c_custkey == per_cust.o_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
