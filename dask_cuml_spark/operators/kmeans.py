@@ -191,3 +191,19 @@ class KMeans:
         return df.withColumn(
             output_col, _assignment_expr(vec_col, self.cluster_centers_)
         )
+
+    def fit_predict(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        output_col: str = "cluster",
+        initial_centers: np.ndarray | None = None,
+    ) -> DataFrame:
+        """Reference-parity convenience (cuml.dask KMeans.fit_predict):
+        fit on df, return df with the assignment column — the distributed
+        analogue of the reference's label array (aligned by id_col rather
+        than positionally; a Spark DataFrame has no row order)."""
+        return self.fit(
+            df, vec_col, id_col, initial_centers=initial_centers
+        ).predict(df, vec_col, output_col)

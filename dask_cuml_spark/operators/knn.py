@@ -139,3 +139,70 @@ def lsh_knn(
         .filter(F.col("rk") <= k)
         .select(query_id, cand_id, F.sqrt("dist_sq").alias("dist"), "rk")
     )
+
+
+class NearestNeighbors:
+    """Reference-parity estimator facade (cuml.dask
+    NearestNeighbors.fit / .kneighbors) over the functional kernels.
+
+    fit() captures the candidate frame; kneighbors() returns the tidy
+    (query_id, neighbor_id, dist, rk) DataFrame — the distributed result
+    shape — and kneighbors_arrays() additionally reshapes it into the
+    reference's aligned (distances, indices) numpy pair for SMALL query
+    sets (it collects k rows per query onto the driver; the DataFrame
+    form is the scale path).
+    """
+
+    def __init__(self, n_neighbors: int = 5, strategy: str = "brute"):
+        if strategy not in ("brute", "lsh"):
+            raise ValueError("strategy must be 'brute' or 'lsh'")
+        self.n_neighbors = n_neighbors
+        self.strategy = strategy
+        self._candidates: DataFrame | None = None
+        self._id = "neighbor_id"
+        self._vec = "cv"
+
+    def fit(
+        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "NearestNeighbors":
+        self._candidates = df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        return self
+
+    def kneighbors(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int | None = None,
+    ) -> DataFrame:
+        assert self._candidates is not None, "call fit() first"
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        if self.strategy == "brute":
+            return brute_force_knn(q, self._candidates, k=self.n_neighbors)
+        if dim is None:
+            raise ValueError("lsh strategy needs the vector dim")
+        return lsh_knn(q, self._candidates, dim=dim, k=self.n_neighbors)
+
+    def kneighbors_arrays(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(query_ids[n], distances[n,k], indices[n,k]) sorted by query
+        id — the reference's return convention. Collects n·k rows; use
+        only when the query set is model-state-sized."""
+        pdf = (
+            self.kneighbors(queries, id_col, vec_col)
+            .orderBy("query_id", "rk")
+            .toPandas()
+        )
+        qids = pdf["query_id"].unique()
+        k = self.n_neighbors
+        dist = pdf["dist"].to_numpy().reshape(len(qids), k)
+        idx = pdf["neighbor_id"].to_numpy().reshape(len(qids), k)
+        return qids, dist, idx

@@ -669,3 +669,51 @@ def test_multimodal_real_png_through_spark_pipeline(spark):
     np.testing.assert_allclose(
         out[1]["feature_vec"], (hist / hist.sum()).astype(np.float32), rtol=1e-6
     )
+
+
+def test_estimator_facades_fit_predict_and_kneighbors(spark):
+    """Reference API conveniences (cuml.dask KMeans.fit_predict,
+    NearestNeighbors.fit/.kneighbors): facades must equal the functional
+    kernels they wrap, and kneighbors_arrays must return the aligned
+    (distances, indices) convention."""
+    from dask_cuml_spark.operators.kmeans import KMeans
+    from dask_cuml_spark.operators.knn import NearestNeighbors, brute_force_knn
+
+    e = load_table(spark, SF, "embeddings")
+
+    km = KMeans(k=4, max_iter=2, tol=0.0)
+    via_facade = {
+        (r["vec_id"], r["cluster"])
+        for r in km.fit_predict(e).select("vec_id", "cluster").collect()
+    }
+    km2 = KMeans(k=4, max_iter=2, tol=0.0).fit(e)
+    via_steps = {
+        (r["vec_id"], r["cluster"])
+        for r in km2.predict(e).select("vec_id", "cluster").collect()
+    }
+    assert via_facade == via_steps
+    np.testing.assert_allclose(km.cluster_centers_, km2.cluster_centers_)
+
+    nn = NearestNeighbors(n_neighbors=3).fit(e)
+    q = e.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["dist"])
+        for r in nn.kneighbors(q).collect()
+    }
+    want = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["dist"])
+        for r in brute_force_knn(
+            q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+            k=3,
+        ).collect()
+    }
+    assert got == want
+
+    qids, dist, idx = nn.kneighbors_arrays(q)
+    assert list(qids) == [0, 1, 2, 3, 4]
+    assert dist.shape == (5, 3) and idx.shape == (5, 3)
+    # self is always the nearest neighbor of a fitted point
+    np.testing.assert_array_equal(idx[:, 0], qids)
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
+    assert (np.diff(dist, axis=1) >= -1e-12).all()
