@@ -65,17 +65,28 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q02 — revenue by nation: 4-way join + agg (dask_cudf merge chain).
 # nation/region are broadcast (25 / 5 rows — at 100 TB still tiny).
-# Aggregation is pushed below EVERY join stage (round-4, the eager-
-# aggregation rewrite OLAP optimizers apply by hand): lineitem rolls up
-# per orderkey before meeting orders (fact shuffle → order-level rows),
-# and the order-level rows roll up per custkey before meeting customer
-# (orders-cardinality → customer-cardinality, a 10× row cut through the
-# custkey join; at 100× on local[32] the two shapes time within noise —
-# the win is the shuffle-volume asymptotics at cluster scale, where the
-# custkey exchange carries |customer| not |orders| rows). orders is
-# projected to its two join keys, so the heavy shuffles carry 2-3
-# columns.
+# lineitem always rolls up per orderkey before joining (fact shuffle →
+# order-level rows). The SECOND eager-aggregation level — rolling the
+# order-level rows up per custkey before the customer join, cutting that
+# exchange from |orders| to |customer| rows — pays one extra shuffle
+# stage (~0.3 s fixed latency locally), so it is applied COST-BASED on
+# Catalyst's size estimate of the orders scan, the same size-threshold
+# shape Spark uses for broadcast decisions. Catalyst has no eager-agg
+# rule of its own; this is the hand-applied rewrite from the OLAP
+# literature, gated the way an optimizer would gate it. Both shapes are
+# result-identical (pinned by test_q02_eager_agg_both_shapes_agree).
 # ---------------------------------------------------------------------------
+# Above this size the custkey-shuffle saving dominates the extra stage's
+# fixed latency; below it the direct join is faster. 64 MB ≈ 15 M orders
+# rows — the crossover is far below any cluster-scale input.
+_Q02_EAGER_AGG_MIN_ORDERS_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame (no job is run)."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
 @register(
     "q02_revenue_by_nation",
     oracle="""
@@ -104,16 +115,24 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("nl"),
     )
-    per_cust = (
-        o.select("o_orderkey", "o_custkey")
-        .join(per_order, o.o_orderkey == per_order.l_orderkey)
-        .groupBy("o_custkey")
-        .agg(F.sum("rev").alias("rev"), F.sum("nl").alias("nl"))
-    )
+    if _plan_size_bytes(o) >= _Q02_EAGER_AGG_MIN_ORDERS_BYTES:
+        cust_side = (
+            o.select("o_orderkey", "o_custkey")
+            .join(per_order, o.o_orderkey == per_order.l_orderkey)
+            .groupBy("o_custkey")
+            .agg(F.sum("rev").alias("rev"), F.sum("nl").alias("nl"))
+        )
+        joined = c.select("c_custkey", "c_nationkey").join(
+            cust_side, c.c_custkey == cust_side.o_custkey
+        )
+    else:
+        joined = (
+            c.select("c_custkey", "c_nationkey")
+            .join(o.select("o_orderkey", "o_custkey"), c.c_custkey == o.o_custkey)
+            .join(per_order, o.o_orderkey == per_order.l_orderkey)
+        )
     return (
-        c.select("c_custkey", "c_nationkey")
-        .join(per_cust, c.c_custkey == per_cust.o_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        joined.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
         .agg(

@@ -717,3 +717,15 @@ def test_estimator_facades_fit_predict_and_kneighbors(spark):
     np.testing.assert_array_equal(idx[:, 0], qids)
     np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
     assert (np.diff(dist, axis=1) >= -1e-12).all()
+
+
+def test_q02_eager_agg_both_shapes_agree(spark, monkeypatch):
+    """q02's cost-based eager-aggregation rewrite must be a pure physical
+    choice: forcing either branch yields identical results."""
+    import dask_cuml_spark.queries.relational as rel
+
+    monkeypatch.setattr(rel, "_Q02_EAGER_AGG_MIN_ORDERS_BYTES", 1 << 60)
+    direct = {tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()}
+    monkeypatch.setattr(rel, "_Q02_EAGER_AGG_MIN_ORDERS_BYTES", 0)
+    eager = {tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()}
+    assert direct == eager and len(direct) > 0
