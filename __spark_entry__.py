@@ -59,6 +59,7 @@ _PRIORITY = [
     "q98_stream_dedup",
     # -- (2) new/changed in round 4
     "q104_json_parse_at_ingest",
+    "q105_curation_pipeline",
     "q103_simhash_near_dup",
     # -- (3) last proven in r1 (oldest evidence)
     "q02_revenue_by_nation",
@@ -95,9 +96,9 @@ _PRIORITY = [
     "q89_unpivot_melt",
     "q90_regexp_ops",
     "q91_python_udtf",
+    # -- positions 51+: r2-proven tail (q95/q59/q96/q97, first in line
+    # for r5) and the 45 queries green in CORRECTNESS_r03 (WINDOW_r04.md)
     "q95_random_forest",
-    # -- positions 51+: r2-proven tail (q59/q96/q97) and the 45 queries
-    # green in CORRECTNESS_r03 (see WINDOW_r04.md)
     "q59_ols_predict",
     "q96_train_test_split",
     "q97_make_blobs",

@@ -688,3 +688,103 @@ def q103_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("_n_rows") - F.col("_n_distinct"))
         ).alias("n_bad_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — training-data curation pipeline (the north-star composite): the
+# full LLM-pretraining document funnel as ONE declarative query —
+#   language slice → quality filter (length + type-token ratio) →
+#   exact dedup (min-id per text, 8-byte hash shuffle) →
+#   near-dup removal (MinHash-LSH candidates + exact shingle-Jaccard
+#   verify, drop the higher id of each pair) → token accounting.
+# The Spark near-dup stage is the BUCKETED scale path (q78's operator);
+# the DuckDB oracle computes the exact all-pairs shingle Jaccard, so the
+# hash-match also re-proves LSH recall = 100% on the surviving set every
+# time the driver runs. Output: one funnel-summary row, single action.
+# ---------------------------------------------------------------------------
+@register(
+    "q105_curation_pipeline",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS nt,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents WHERE lang = 'en'
+), quality AS (
+  SELECT * FROM base WHERE nt >= 30 AND ttr >= 0.3
+), exact_uniq AS (
+  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY text
+), surv AS (
+  SELECT q.doc_id, q.text, q.nt FROM quality q
+  JOIN exact_uniq e ON q.doc_id = e.doc_id
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM surv
+), sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i+2], ' ')))
+           AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), neardup AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.6
+), final AS (
+  SELECT s.doc_id, s.nt FROM surv s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM neardup)
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+       (SELECT COUNT(*) FROM base) AS n_lang,
+       (SELECT COUNT(*) FROM quality) AS n_quality,
+       (SELECT COUNT(*) FROM surv) AS n_exact_unique,
+       (SELECT COUNT(*) FROM final) AS n_final,
+       (SELECT CAST(SUM(nt) AS BIGINT) FROM final) AS total_tokens
+""",
+)
+def q105_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.dedup import exact_dedup, minhash_near_dup
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    nt = F.array_size(toks)
+    base = d.filter(F.col("lang") == "en").select(
+        "doc_id",
+        "text",
+        nt.alias("nt"),
+        (F.array_size(F.array_distinct(toks)).cast("double") / nt).alias(
+            "ttr"
+        ),
+    )
+    quality = base.filter((F.col("nt") >= 30) & (F.col("ttr") >= 0.3))
+    # survivors feed the near-dup operator, the anti-join and two counts;
+    # they are quality-filtered metadata rows (small relative to input)
+    surv = exact_dedup(quality).cache()
+    pairs = minhash_near_dup(
+        surv.select("doc_id", "text"),
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.6,
+    )
+    near_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = surv.join(near_ids, "doc_id", "left_anti")
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(base.agg(F.count(F.lit(1)).alias("n_lang")))
+        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(surv.agg(F.count(F.lit(1)).alias("n_exact_unique")))
+        .crossJoin(
+            final.agg(
+                F.count(F.lit(1)).alias("n_final"),
+                F.sum("nt").cast("bigint").alias("total_tokens"),
+            )
+        )
+    )
