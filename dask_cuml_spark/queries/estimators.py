@@ -73,35 +73,38 @@ def q94_elasticnet_vs_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         standardization=False,
     ).fit(l, _Q94_FEATURES, "l_extendedprice")
 
-    def rss(coef: np.ndarray, intercept: float) -> float:
+    def resid_sq(coef: np.ndarray, intercept: float):
         pred = F.lit(float(intercept))
         for c, w in zip(_Q94_FEATURES, coef):
             pred = pred + F.col(c) * float(w)
         resid = F.col("l_extendedprice") - pred
-        return l.agg(F.sum(resid * resid)).collect()[0][0]
+        return resid * resid
 
     def penalty(coef: np.ndarray) -> float:
         l1 = float(np.abs(coef).sum())
         l2 = float((coef**2).sum())
         return _Q94_ALPHA * (_Q94_L1 * l1 + (1 - _Q94_L1) / 2 * l2)
 
-    n = l.count()
-    rss_ols = rss(ols.coef_, ols.intercept_)
-    rss_enet = rss(enet.coef_, enet.intercept_)
-    obj_ols = rss_ols / (2 * n) + penalty(ols.coef_)
-    obj_enet = rss_enet / (2 * n) + penalty(enet.coef_)
+    # both models' RSS in ONE pass; the objective comparison is an
+    # expression over the aggregates (round-4: was 3 driver actions)
+    pen_ols, pen_enet = penalty(ols.coef_), penalty(enet.coef_)
     finite = np.isfinite(enet.coef_).all() and np.isfinite(ols.coef_).all()
-    return spark.createDataFrame(
-        [
-            (
-                len(_Q94_FEATURES),
-                int(rss_ols <= rss_enet * (1 + 1e-9)),
-                int(obj_enet <= obj_ols * (1 + 1e-9)),
-                int(bool(finite)),
-            )
-        ],
-        "n_features int, ols_rss_no_worse int, enet_obj_no_worse int, "
-        "coefs_finite int",
+    n = F.count(F.lit(1)).cast("double")
+    rss_ols = F.sum(resid_sq(ols.coef_, ols.intercept_))
+    rss_enet = F.sum(resid_sq(enet.coef_, enet.intercept_))
+    return l.agg(
+        F.lit(len(_Q94_FEATURES)).alias("n_features"),
+        F.when(rss_ols <= rss_enet * (1 + 1e-9), 1)
+        .otherwise(0)
+        .alias("ols_rss_no_worse"),
+        F.when(
+            rss_enet / (2 * n) + pen_enet
+            <= (rss_ols / (2 * n) + pen_ols) * (1 + 1e-9),
+            1,
+        )
+        .otherwise(0)
+        .alias("enet_obj_no_worse"),
+        F.lit(int(bool(finite))).alias("coefs_finite"),
     )
 
 
@@ -307,10 +310,12 @@ def q99_kmeans_parallel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = KMeansMLlib(k=k, max_iter=10, seed=1).fit(e)
         _KMEANS_FIT_CACHE[key] = m
     inertia = float(m.model_.summary.trainingCost)
-    # k=1 optimum: SSE to the global mean = Σ‖x‖² − n·‖mean‖²
-    dims = len(e.select("embedding").first()[0])
+    # k=1 optimum: SSE to the global mean = Σ‖x‖² − n·‖mean‖², computed
+    # dimension-agnostically in-plan (round-4: was first() + collect + a
+    # final agg = 3 driver actions): per-dim sums via posexplode → one
+    # small shuffle on the dim id; ‖mean‖² = Σ(s_d/n)² = Σ s_d² / n².
     stats = e.agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(
             F.aggregate(
                 F.transform(
@@ -320,24 +325,31 @@ def q99_kmeans_parallel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, v: a + v,
             )
         ).alias("ss"),
-        *[
-            F.avg(F.element_at("embedding", d + 1).cast("double")).alias(
-                f"m{d}"
-            )
-            for d in range(dims)
-        ],
-    ).collect()[0]
-    mean_norm_sq = sum(stats[f"m{d}"] ** 2 for d in range(dims))
-    sse_single = stats["ss"] - stats["n"] * mean_norm_sq
+    )
+    dim_sums = (
+        e.select(F.posexplode("embedding").alias("d", "v"))
+        .groupBy("d")
+        .agg(F.sum(F.col("v").cast("double")).alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).alias("sum_s_sq"))
+    )
     assigned = m.predict(e).select("vec_id", "cluster")
-    return assigned.agg(
+    checks = assigned.agg(
         F.count(F.lit(1)).alias("n_assigned"),
         F.sum(
             ((F.col("cluster") < 0) | (F.col("cluster") >= k)).cast("int")
         ).alias("n_bad_cluster"),
-        F.lit(int(inertia <= sse_single * (1 + 1e-9))).alias(
-            "beats_single_center"
-        ),
+    )
+    sse_single = F.col("ss") - F.col("sum_s_sq") / F.col("n")
+    return (
+        checks.crossJoin(stats)
+        .crossJoin(dim_sums)
+        .select(
+            "n_assigned",
+            "n_bad_cluster",
+            F.when(F.lit(inertia) <= sse_single * (1 + 1e-9), 1)
+            .otherwise(0)
+            .alias("beats_single_center"),
+        )
     )
 
 
