@@ -108,3 +108,47 @@ def test_gemm_threshold_keeps_all_qualifying_pairs(spark, vecs):
         if sims[i, j] >= 1.0
     }
     assert got == expect
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta kappa mu nu xi".split()),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash_swar_matches_naive_bit_votes(spark, docs):
+    """The SWAR-packed 16-lane aggregation must reproduce the naive
+    per-bit ±1 majority vote for ANY token multiset (the packing is the
+    subtle part: lane extraction, tie handling via 2c>n, bit-63 sign)."""
+    import pandas as pd
+
+    from dask_cuml_spark.operators.dedup import simhash
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+
+    # naive reference using Spark's own xxhash64 for the token hashes
+    tok = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .withColumn("h", F.xxhash64("t"))
+        .toPandas()
+    )
+    for doc_id, grp in tok.groupby("doc_id"):
+        hs = grp["h"].to_numpy().astype(np.uint64)
+        sig = 0
+        n = len(hs)
+        for bit in range(64):
+            ones = int(((hs >> np.uint64(bit)) & np.uint64(1)).sum())
+            if 2 * ones > n:  # vote = 2*ones - n > 0
+                sig |= 1 << bit
+        # to signed 64-bit
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        assert got[doc_id] == sig, (doc_id, got[doc_id], sig)
