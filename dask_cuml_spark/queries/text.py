@@ -144,12 +144,12 @@ FROM groups
 )
 def q32_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
     groups = d.groupBy("text").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
+    # n_docs ≡ Σ n_copies — no separate count action over the input
     return groups.agg(
-        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.sum("n_copies").alias("n_docs"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(F.col("n_copies") - 1).alias("n_removed"),
         F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
