@@ -60,6 +60,8 @@ _PRIORITY = [
     # -- (2) new/changed in round 4
     "q104_json_parse_at_ingest",
     "q105_curation_pipeline",
+    "q106_salted_skew_join",
+    "q107_approx_aggregates",
     "q103_simhash_near_dup",
     # -- (3) last proven in r1 (oldest evidence)
     "q02_revenue_by_nation",
@@ -94,10 +96,11 @@ _PRIORITY = [
     "q86_profile_table",
     "q88_group_quantiles",
     "q89_unpivot_melt",
+    # -- positions 51+: r2-proven tail (q90/q91/q95/q59/q96/q97, first
+    # in line for r5) and the 45 queries green in CORRECTNESS_r03
+    # (WINDOW_r04.md)
     "q90_regexp_ops",
     "q91_python_udtf",
-    # -- positions 51+: r2-proven tail (q95/q59/q96/q97, first in line
-    # for r5) and the 45 queries green in CORRECTNESS_r03 (WINDOW_r04.md)
     "q95_random_forest",
     "q59_ols_predict",
     "q96_train_test_split",

@@ -193,3 +193,81 @@ def q91_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_odd_positions"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — salted skew join (C-checklist skew handling, promoted from
+# pytest-only to the SQL gate): the lineitem⋈orders equi-join runs
+# through operators/skew.salted_join — the hot-key scatter + small-side
+# replicate rewrite for keys AQE's skew split can't break — and the
+# per-customer rollup of the salted join must hash-match the plain-join
+# oracle exactly. Salting is a pure physical transform; any row lost or
+# duplicated by the (key, salt) scatter flips this red.
+# ---------------------------------------------------------------------------
+@register(
+    "q106_salted_skew_join",
+    oracle="""
+SELECT o.o_custkey,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l.l_quantity), 2) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey
+""",
+)
+def q106_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey"
+    )
+    return (
+        salted_join(l, o, on="k", salt=8)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — approx aggregates (C-checklist 100 TB substitutes, promoted
+# from pytest-only): HLL++ approx_count_distinct and percentile_approx
+# against their exact forms IN the same single pass. Both sketches are
+# deterministic given the data, so the within-tolerance flags are
+# stable; the oracle recomputes the exact values in DuckDB. At 100 TB
+# the approx forms are the declared substitutes for countDistinct /
+# percentile (PLANS.md) — this query is the standing proof their error
+# stays inside the bound the swap assumes.
+# ---------------------------------------------------------------------------
+@register(
+    "q107_approx_aggregates",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact_custkeys,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS p50_exact,
+       1 AS acd_within_5pct,
+       1 AS p50a_within_1pct
+FROM orders
+""",
+)
+def q107_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    exact_cd = F.count_distinct(F.col("o_custkey"))
+    approx_cd = F.approx_count_distinct("o_custkey", 0.02)
+    p50_exact = F.expr("percentile(o_totalprice, 0.5)")
+    p50_approx = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
+    return o.agg(
+        exact_cd.cast("bigint").alias("n_exact_custkeys"),
+        F.round(p50_exact, 2).alias("p50_exact"),
+        F.when(
+            F.abs(approx_cd - exact_cd) / exact_cd <= 0.05, 1
+        )
+        .otherwise(0)
+        .alias("acd_within_5pct"),
+        F.when(F.abs(p50_approx - p50_exact) / p50_exact <= 0.01, 1)
+        .otherwise(0)
+        .alias("p50a_within_1pct"),
+    )
