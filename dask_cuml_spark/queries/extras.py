@@ -255,19 +255,39 @@ FROM orders
 )
 def q107_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    exact_cd = F.count_distinct(F.col("o_custkey"))
-    approx_cd = F.approx_count_distinct("o_custkey", 0.02)
-    p50_exact = F.expr("percentile(o_totalprice, 0.5)")
-    p50_approx = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
-    return o.agg(
-        exact_cd.cast("bigint").alias("n_exact_custkeys"),
-        F.round(p50_exact, 2).alias("p50_exact"),
+    # count(DISTINCT) must NOT share an aggregate with the sketches:
+    # Spark's distinct rewrite would then evaluate every other aggregate
+    # grouped by the distinct key first — one percentile buffer and one
+    # KLL sketch PER CUSTOMER, merged afterwards (measured 5 s at sf0.1
+    # vs 0.25 s for the same aggregates unmixed). Two single-row
+    # aggregates, crossJoined: still one action, each in its natural
+    # partial+final shape.
+    distinct_agg = o.agg(
+        F.count_distinct(F.col("o_custkey"))
+        .cast("bigint")
+        .alias("n_exact_custkeys")
+    )
+    sketch_agg = o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("_acd"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("_p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "_p50a"
+        ),
+    )
+    return distinct_agg.crossJoin(sketch_agg).select(
+        "n_exact_custkeys",
+        F.round(F.col("_p50"), 2).alias("p50_exact"),
         F.when(
-            F.abs(approx_cd - exact_cd) / exact_cd <= 0.05, 1
+            F.abs(F.col("_acd") - F.col("n_exact_custkeys"))
+            / F.col("n_exact_custkeys")
+            <= 0.05,
+            1,
         )
         .otherwise(0)
         .alias("acd_within_5pct"),
-        F.when(F.abs(p50_approx - p50_exact) / p50_exact <= 0.01, 1)
+        F.when(
+            F.abs(F.col("_p50a") - F.col("_p50")) / F.col("_p50") <= 0.01, 1
+        )
         .otherwise(0)
         .alias("p50a_within_1pct"),
     )
