@@ -52,7 +52,7 @@ def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     shingle_col: str = "shingles",
-    num_hashes: int = 16,
+    num_hashes: int = 36,
 ) -> DataFrame:
     """(id, sig[num_hashes]): sig_i = min over shingles of
     xxhash64(shingle, seed=i).
@@ -77,12 +77,20 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 4,
+    bands: int = 12,
+    rows_per_band: int = 3,
 ) -> DataFrame:
     """Band the signature, bucket-join on (band, band_hash): candidate
     pairs (id_a < id_b). The shuffle key is (band, hash) — constant-size
-    regardless of document size."""
+    regardless of document size.
+
+    Banding recall: a pair with Jaccard J is bucketed with probability
+    p(J) = 1 - (1 - J^r)^b. The round-4 defaults (b=4, r=4) had their
+    p=0.99 knee at J=0.907 while the fixture's weakest true pair sits at
+    J=0.80 — recall there was seed luck (p(0.8)=0.88). The round-5
+    defaults (b=12, r=3) put the knee at J=0.683 and p(0.8)=0.9998;
+    tests/test_lsh_margin.py recomputes the exact fixture pair
+    distribution every run and asserts the margin holds."""
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -150,8 +158,8 @@ def minhash_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 36,
+    bands: int = 12,
     threshold: float = 0.6,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →

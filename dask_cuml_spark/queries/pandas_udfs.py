@@ -345,7 +345,9 @@ def q78_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_cuml_spark.operators.dedup import minhash_near_dup
 
     d = load_table(spark, sf_dir, "documents")
-    out = minhash_near_dup(d, n=3, num_hashes=16, bands=4, threshold=0.5)
+    # b=12, r=3 banding: p=0.99 recall knee at J=0.683 (see
+    # minhash_lsh_candidates docstring + tests/test_lsh_margin.py)
+    out = minhash_near_dup(d, n=3, num_hashes=36, bands=12, threshold=0.5)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

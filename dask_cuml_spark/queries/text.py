@@ -770,8 +770,8 @@ def q105_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dup(
         surv.select("doc_id", "text"),
         n=3,
-        num_hashes=16,
-        bands=4,
+        num_hashes=36,
+        bands=12,
         threshold=0.6,
     )
     near_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
