@@ -203,6 +203,19 @@ class NearestNeighbors:
         )
         qids = pdf["query_id"].unique()
         k = self.n_neighbors
-        dist = pdf["dist"].to_numpy().reshape(len(qids), k)
-        idx = pdf["neighbor_id"].to_numpy().reshape(len(qids), k)
+        if len(pdf) == len(qids) * k:
+            dist = pdf["dist"].to_numpy().reshape(len(qids), k)
+            idx = pdf["neighbor_id"].to_numpy().reshape(len(qids), k)
+            return qids, dist, idx
+        # Shortfall (strategy='lsh' with sparse buckets can return < k
+        # rows for some query): pivot on rk instead of reshaping — a
+        # blind reshape either raises or silently misaligns neighbors
+        # across queries. Missing slots are NaN / -1, the reference's
+        # no-neighbor convention.
+        dist = np.full((len(qids), k), np.nan)
+        idx = np.full((len(qids), k), -1, dtype=np.int64)
+        pos = {q: i for i, q in enumerate(qids)}
+        for row in pdf.itertuples(index=False):
+            dist[pos[row.query_id], row.rk - 1] = row.dist
+            idx[pos[row.query_id], row.rk - 1] = row.neighbor_id
         return qids, dist, idx

@@ -157,7 +157,12 @@ def _png_decode(payload: bytes) -> np.ndarray:
     if bpp == 1:
         return px[:, :, 0].copy()
     r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
-    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    # PIL's exact convert('L') arithmetic (ImagingConvert L24: 16.16
+    # fixed point with round-half-up), so a PIL worker and a pure-Python
+    # worker produce bit-identical lumas on a heterogeneous cluster.
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+        np.uint8
+    )
 
 
 def _auto_decode(payload: bytes) -> np.ndarray:

@@ -563,6 +563,40 @@ def test_events_loader_adapts_to_fixture_encoding(spark, tmp_path):
     assert got["ntz_us"] == want
 
 
+def test_streaming_entry_adapts_to_nanos_encoding(spark, tmp_path):
+    """The streaming entry points infer the events schema themselves
+    (readStream needs an explicit schema), so they must carry the same
+    nanos-int64 resilience as io.load_table — in a session where nothing
+    has set the nanosAsLong conf yet (the advisor's round-4 concern).
+    Re-encode the fixture as TIMESTAMP(NANOS), clear the conf, and the
+    streaming sessionizer must produce the same sessions as it does on
+    the micros encoding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_cuml_spark.streaming.sessionize import stream_sessionize
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet").slice(0, 500)
+    i = src.schema.get_field_index("ts")
+    runs = {}
+    for enc, col in {
+        "us": src.column("ts"),
+        "ns": src.column("ts").cast(pa.timestamp("ns")),
+    }.items():
+        d = tmp_path / enc
+        d.mkdir()
+        pq.write_table(src.set_column(i, "ts", col), d / "events.parquet")
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        runs[enc] = (
+            stream_sessionize(spark, str(d))
+            .toPandas()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+    assert len(runs["us"]) > 0
+    assert runs["us"].equals(runs["ns"])
+
+
 def _encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
     """Minimal in-test PNG encoder (stdlib zlib+struct): 8-bit gray (h,w)
     or color (h,w,3|4), one chosen filter type per scanline so every
@@ -636,7 +670,10 @@ def test_png_decode_real_bytes_roundtrip():
     rgb = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
     got = _png_decode(_encode_png(rgb, [4, 3, 2, 1, 0]))
     r, g, b = (rgb[:, :, i].astype(np.uint32) for i in range(3))
-    np.testing.assert_array_equal(got, ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8))
+    # PIL ImagingConvert L24 fixed-point arithmetic, bit-for-bit
+    np.testing.assert_array_equal(
+        got, ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+    )
     rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
     got = _png_decode(_encode_png(rgba, [0, 1, 2, 4]))
     assert got.shape == (4, 4)
@@ -717,6 +754,18 @@ def test_estimator_facades_fit_predict_and_kneighbors(spark):
     np.testing.assert_array_equal(idx[:, 0], qids)
     np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
     assert (np.diff(dist, axis=1) >= -1e-12).all()
+
+    # Shortfall path (advisor round-4): fewer candidates than k must
+    # yield NaN / -1 filled slots, not a reshape error or a silent
+    # cross-query misalignment.
+    few = e.filter(F.col("vec_id") < 2)
+    nn_short = NearestNeighbors(n_neighbors=3).fit(few)
+    qids2, dist2, idx2 = nn_short.kneighbors_arrays(q)
+    assert dist2.shape == (5, 3) and idx2.shape == (5, 3)
+    assert (idx2[:, 2] == -1).all() and np.isnan(dist2[:, 2]).all()
+    assert (idx2[:, :2] != -1).all() and not np.isnan(dist2[:, :2]).any()
+    # the filled columns still carry the true 2-candidate ranking
+    np.testing.assert_array_equal(idx2[0, :2], [0, 1])
 
 
 def test_q02_eager_agg_both_shapes_agree(spark, monkeypatch):
