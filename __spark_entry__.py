@@ -30,81 +30,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-4 window, in order:
-#   1. the 14 queries broken by the round-3 fixture re-encoding
-#      (events.ts nanos-int64 → TIMESTAMP_MICROS; VERDICT r3 #1) — the
-#      schema-adaptive loader fix must be PROVEN on exactly these;
-#   2. new/changed round-4 queries (q104 parse-at-ingest; q103 SWAR
-#      SimHash + single-action invariants);
-#   3. the 8 queries last proven in CORRECTNESS_r01 (oldest evidence);
-#   4. 26 of the 29 queries last proven in CORRECTNESS_r02, oldest-
-#      evidence rotation (the 3 simplest — q59/q96/q97 — wait at 51+).
-# Entries past position 50 are unchanged and r2/r3-green — WINDOW_r04.md
-# lists the evidence row per query.
+# re-enters the hard gate (advisor r2). Round-5 window, in order
+# (WINDOW_r05.md has the per-query evidence trail):
+#   1. the 6 queries whose latest driver row is r2 (verdict r4 task 3:
+#      q90/q91/q95/q59/q96/q97 — judge-green every session via
+#      tests/test_oracle_parity.py, but two fixture generations since a
+#      driver row);
+#   2. the queries whose CODE changed in round 5: q103 (SWAR-compare
+#      majority extract), q105 + q78 (12x3 LSH banding), q44 (PIL-exact
+#      luma arithmetic);
+#   3. the rest of the r3-proven set, oldest driver evidence first —
+#      all fit except q42/q48 (kmeans family, which keeps five other
+#      queries in rotation and full pytest parity coverage).
+# Entries past position 50 are r3/r4-green and code-unchanged.
 _PRIORITY = [
-    # -- (1) loader-broken in r3, re-prove on the new fixture encoding
-    "q20_sessionization",
-    "q21_funnel",
-    "q22_json_extract",
-    "q23_retention",
-    "q24_event_value_stats",
-    "q25_hourly_windows",
-    "q64_map_functions",
-    "q70_stream_sessionization",
-    "q71_stream_hourly_counts",
-    "q79_stream_stateful_totals",
-    "q80_range_window",
-    "q92_interval_join",
-    "q93_stream_stream_join",
-    "q98_stream_dedup",
-    # -- (2) new/changed in round 4
-    "q104_json_parse_at_ingest",
-    "q105_curation_pipeline",
-    "q106_salted_skew_join",
-    "q107_approx_aggregates",
-    "q103_simhash_near_dup",
-    # -- (3) last proven in r1 (oldest evidence)
-    "q02_revenue_by_nation",
-    "q05_string_ops",
-    "q13_semi_anti_join",
-    "q14_range_join_bands",
-    "q15_global_topk",
-    "q16_project_cast_case",
-    "q17_rolling_avg",
-    "q18_lag_lead",
-    # -- (4) last proven in r2, rotating back in
-    "q01_pricing_summary",
-    "q45_cosine_near_dup",
-    "q56_confusion_matrix",
-    "q57_metrics",
-    "q58_gram_matrix",
-    "q60_asof_join",
-    "q61_cube",
-    "q62_partitioned_write",
-    "q63_multiformat_roundtrip",
-    "q100_merge_schema",
-    "q66_language_id",
-    "q67_token_count",
-    "q68_knn_regressor",
-    "q72_map_partitions",
-    "q73_grouped_normalize",
-    "q74_grouped_agg_udf",
-    "q75_pivot",
-    "q81_one_hot",
-    "q84_merge_upsert",
-    "q85_grouping_sets",
-    "q86_profile_table",
-    "q88_group_quantiles",
-    "q89_unpivot_melt",
-    # -- positions 51+: r2-proven tail (q90/q91/q95/q59/q96/q97, first
-    # in line for r5) and the 45 queries green in CORRECTNESS_r03
-    # (WINDOW_r04.md)
+    # -- (1) last driver row is r2
     "q90_regexp_ops",
     "q91_python_udtf",
     "q95_random_forest",
     "q59_ols_predict",
     "q96_train_test_split",
     "q97_make_blobs",
+    # -- (2) code changed in round 5
+    "q103_simhash_near_dup",
+    "q105_curation_pipeline",
+    "q78_minhash_near_dup",
+    "q44_multimodal_join",
+    # -- (3) r3-proven, rotating back into the hard gate
+    "q03_top_orders_per_customer",
+    "q04_segment_stats",
+    "q06_orders_by_month",
+    "q07_fillna_left_join",
+    "q08_value_counts",
+    "q09_drop_duplicates",
+    "q10_set_ops",
+    "q11_rollup",
+    "q12_quantiles_histogram",
+    "q30_top_terms",
+    "q31_tfidf_top_term",
+    "q32_exact_dedup",
+    "q33_lang_source_slice",
+    "q34_text_quality",
+    "q35_jaccard_near_dup",
+    "q36_naive_bayes_fit",
+    "q37_label_encode",
+    "q38_fingerprint",
+    "q39_count_vectorizer",
+    "q40_knn_bruteforce",
+    "q41_centroid_assignment",
+    "q43_cosine_topk",
+    "q46_knn_classify",
+    "q47_ivf_search_full_probe",
+    "q50_feature_stats",
+    "q51_ols_fit",
+    "q52_ridge_fit",
+    "q53_standard_scaler",
+    "q54_minmax_scaler",
+    "q55_corr_cov_matrix",
+    "q65_ranking_windows",
+    "q76_kmeans_fit",
+    "q77_dbscan",
+    "q82_lsh_knn",
+    "q83_logreg_predict",
+    "q87_naive_bayes_predict",
+    "q94_elasticnet_vs_ols",
+    "q99_kmeans_parallel_fit",
+    "q101_make_classification",
+    "q102_adjusted_rand",
+    # -- positions 51+: r3/r4-green, code-unchanged (q42/q48 kmeans
+    # family first in line for r6)
+    "q42_lloyd_iteration",
+    "q48_kmeans_transform",
 ]
 
 
