@@ -62,6 +62,19 @@ TAIL = [
     "q93_stream_stream_join",
 ]
 
+# fact tables each query actually reads — lets a subset run (--tail /
+# --only) build only what it needs (a 300x documents table is 180 MB;
+# a 300x lineitem it never touches would be 3.2 GB)
+TABLES_FOR = {
+    "q39_count_vectorizer": {"documents"},
+    "q76_kmeans_fit": {"embeddings"},
+    "q77_dbscan": {"embeddings"},
+    "q82_lsh_knn": {"embeddings"},
+    "q93_stream_stream_join": {"events"},
+    "q32_exact_dedup": {"documents"},
+    "q105_curation_pipeline": {"documents"},
+}
+
 # headline queries spanning agg / join / window / text / vector / JSON —
 # every one has a DuckDB oracle, which doubles as the baseline SQL
 HEADLINE = [
@@ -91,12 +104,17 @@ HEADLINE = [
 FACT_ROW_GROUP = 131_072
 
 
-def build_scaled(dst: str, factor: int) -> None:
+def build_scaled(dst: str, factor: int, facts: set | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
     for name in DIMS:
-        t = pq.read_table(f"{SRC}/{name}.parquet")
-        pq.write_table(t, f"{dst}/{name}.parquet")
+        if not os.path.exists(f"{dst}/{name}.parquet"):
+            t = pq.read_table(f"{SRC}/{name}.parquet")
+            pq.write_table(t, f"{dst}/{name}.parquet")
     for name, keys in FACT_SHIFTS.items():
+        if facts is not None and name not in facts:
+            continue
+        if os.path.exists(f"{dst}/{name}.parquet"):
+            continue
         t = pq.read_table(f"{SRC}/{name}.parquet")
         shifts = {k: pc.max(t.column(k)).as_py() + 1 for k in keys}
         # stream copies through one writer — at 100× the concat-then-
@@ -167,11 +185,21 @@ def time_duck(sf_dir: str, names: list[str]) -> dict[str, float]:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     factor = int(args[0]) if args else 10
-    suite = TAIL if "--tail" in sys.argv else HEADLINE
+    suite = HEADLINE
+    if "--tail" in sys.argv:
+        suite = TAIL
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            suite = a[len("--only="):].split(",")
     dst = f"/tmp/graft_scale{factor}"
-    if not os.path.exists(f"{dst}/lineitem.parquet"):
-        t0 = time.perf_counter()
-        build_scaled(dst, factor)
+    facts = None
+    if suite is not HEADLINE:
+        known = [TABLES_FOR.get(n) for n in suite]
+        if all(known):
+            facts = set().union(*known)
+    t0 = time.perf_counter()
+    build_scaled(dst, factor, facts)
+    if time.perf_counter() - t0 > 1:
         print(
             f"built {factor}x dataset in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
@@ -222,6 +250,27 @@ def main() -> None:
                     "at this factor; see SKIP_SPARK_ABOVE comment"
                 )
             results[label][n] = row
+        # q02 branch evidence (verdict r4 task 6): record which join
+        # shape the cost gate picked, and when the eager-agg branch
+        # fires, also time the road-not-taken so the win is measured,
+        # not asserted.
+        if "q02_revenue_by_nation" in spark_names:
+            import dask_cuml_spark.queries.relational as rel
+
+            row = results[label]["q02_revenue_by_nation"]
+            row["branch"] = rel.q02_plan_branch(spark, d)
+            if row["branch"] == "eager-agg":
+                saved = rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES
+                rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES = 1 << 60
+                try:
+                    forced = time_spark(
+                        spark, d, ["q02_revenue_by_nation"]
+                    )
+                    row["direct_branch_spark_sec"] = forced[
+                        "q02_revenue_by_nation"
+                    ]
+                finally:
+                    rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES = saved
     spark.stop()
 
     def med(label):

@@ -168,12 +168,16 @@ def minhash_near_dup(
     The shingled frame feeds three consumers (signature agg + both sides
     of the Jaccard verify join); without a cache the shingle expression
     recomputes three times (measured 10.4 s vs ~3 s at sf0.1 — round-1
-    bench regression). At cluster scale the same role is played by
-    checkpointing signatures before the band join."""
-    sh = (
-        shingles(df.select(id_col, text_col), text_col, n)
-        .select(id_col, "shingles")
-        .cache()
+    bench regression). persist_for_reuse makes the cluster-scale swap
+    cost-based: above 64 MB estimated input the frame is
+    localCheckpoint'd (lineage truncated, disk-spillable blocks) instead
+    of memory-pinned (dask_cuml_spark.plans.cost)."""
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    sh = persist_for_reuse(
+        shingles(df.select(id_col, text_col), text_col, n).select(
+            id_col, "shingles"
+        )
     )
     sigs = minhash_signatures(sh, id_col, "shingles", num_hashes)
     cands = minhash_lsh_candidates(
@@ -268,9 +272,14 @@ def simhash_near_dup(
     width = 64 // bands
     # Both sides of the bucket self-join descend from the signature
     # aggregate; without a cache the tokenize+agg (the only heavy stage
-    # — everything downstream is signature-sized) computes TWICE. At
-    # cluster scale the same role is played by checkpointing signatures.
-    sigs = simhash(df.select(id_col, text_col), text_col, id_col).cache()
+    # — everything downstream is signature-sized) computes TWICE.
+    # persist_for_reuse swaps cache for localCheckpoint above 64 MB of
+    # estimated input (dask_cuml_spark.plans.cost).
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    sigs = persist_for_reuse(
+        simhash(df.select(id_col, text_col), text_col, id_col)
+    )
     mask = (1 << width) - 1
     slices = F.array(
         *[

@@ -19,10 +19,16 @@ from dask_cuml_spark.io import TABLES, table_path
 
 def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
+    import os
+
     for name in TABLES:
+        path = table_path(sf_dir, name)
+        # partial scale dirs (bench_scale --only builds just the fact
+        # tables a subset run reads) simply skip the absent views
+        if not os.path.exists(path):
+            continue
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{table_path(sf_dir, name)}')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -81,12 +81,18 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows — the crossover is far below any cluster-scale input.
 _Q02_EAGER_AGG_MIN_ORDERS_BYTES = 64 << 20
 
+from dask_cuml_spark.plans.cost import plan_size_bytes as _plan_size_bytes  # noqa: E402,E501
 
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's size estimate for a frame (no job is run)."""
-    return int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
+
+def q02_plan_branch(spark: SparkSession, sf_dir: str) -> str:
+    """Which join shape q02's cost gate picks for this dataset —
+    'eager-agg' (pre-aggregate per custkey before the customer join) or
+    'direct'. Exposed so bench_scale can record the branch per scale
+    factor (verdict r4 task 6)."""
+    o = load_table(spark, sf_dir, "orders")
+    if _plan_size_bytes(o) >= _Q02_EAGER_AGG_MIN_ORDERS_BYTES:
+        return "eager-agg"
+    return "direct"
 @register(
     "q02_revenue_by_nation",
     oracle="""

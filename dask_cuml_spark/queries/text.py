@@ -765,8 +765,12 @@ def q105_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality = base.filter((F.col("nt") >= 30) & (F.col("ttr") >= 0.3))
     # survivors feed the near-dup operator, the anti-join and two counts;
-    # they are quality-filtered metadata rows (small relative to input)
-    surv = exact_dedup(quality).cache()
+    # cache at fixture scale, lazy localCheckpoint above 64 MB estimated
+    # input (verdict r4 task 8 — the composite's scale posture now
+    # matches its components; see dask_cuml_spark.plans.cost)
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    surv = persist_for_reuse(exact_dedup(quality))
     pairs = minhash_near_dup(
         surv.select("doc_id", "text"),
         n=3,

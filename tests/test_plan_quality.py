@@ -77,3 +77,51 @@ def test_no_single_partition_window(spark, name):
     serializes the sort onto one task (round-1 judge finding)."""
     plan = _plan(spark, name)
     assert "SinglePartition" not in plan, plan
+
+
+def test_q02_eager_agg_gate_and_plan_shape(spark, monkeypatch):
+    """The q02 cost gate (verdict r4 task 6): below the threshold the
+    direct join runs; above it (forced here; fired for real at >=30x in
+    SCALEBENCH) the plan must contain the per-custkey pre-aggregation
+    BELOW the customer join, cutting that exchange from |orders| to
+    |customer| rows."""
+    import dask_cuml_spark.queries.relational as rel
+
+    assert rel.q02_plan_branch(spark, SF) == "direct"
+
+    def plan():
+        return (
+            rel.q02_revenue_by_nation(spark, SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+
+    assert "Aggregate [o_custkey" not in plan()
+    monkeypatch.setattr(rel, "_Q02_EAGER_AGG_MIN_ORDERS_BYTES", 1)
+    assert rel.q02_plan_branch(spark, SF) == "eager-agg"
+    eager = plan()
+    # the custkey rollup sits below the customer join ...
+    assert "Aggregate [o_custkey" in eager
+    # ... and the order-level rollup below that (two eager-agg levels)
+    assert "Aggregate [l_orderkey" in eager
+    assert eager.index("Aggregate [o_custkey") > eager.index(
+        "Join Inner, (c_custkey"
+    )
+
+
+def test_persist_for_reuse_cost_gate(spark):
+    """Multi-consumer persistence is cost-based (verdict r4 task 8):
+    cache() below the threshold, lazy localCheckpoint above it (lineage
+    truncated -> plan collapses to an RDD scan)."""
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    small = persist_for_reuse(d)
+    assert small.is_cached
+    small.unpersist()
+    big = persist_for_reuse(d, threshold=1)
+    plan = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:500]
+    assert big.count() == d.count()
