@@ -55,16 +55,27 @@ def minhash_signatures(
     num_hashes: int = 36,
 ) -> DataFrame:
     """(id, sig[num_hashes]): sig_i = min over shingles of
-    xxhash64(shingle, seed=i).
+    xxhash64(pre_hash(shingle), i).
 
     Shingles are exploded once and the k minima run as ONE partial+final
     aggregate (codegen, map-side combine) — measured faster than k
     array-lambda transforms, and the shape that scales: the shuffle
-    carries k longs per doc regardless of document size."""
-    exploded = df.select(id_col, F.explode(F.col(shingle_col)).alias("_sh"))
+    carries k longs per doc regardless of document size.
+
+    Each shingle STRING is hashed exactly once (round-5: the 36-hash
+    banding made k string hashes the dominant per-row cost — q105 went
+    1.3 s → 3.0 s at sf0.1 when k rose 16 → 36). The k family members
+    hash the fixed-width (long, index) pair instead, which is a handful
+    of xxhash64 rounds versus a whole variable-length string pass; the
+    64-bit pre-compression adds a 2^-64 collision risk, far below the
+    minhash estimator's own variance. The explode also now carries an
+    8-byte long instead of the shingle text."""
+    exploded = df.select(
+        id_col, F.explode(F.col(shingle_col)).alias("_sh")
+    ).select(id_col, F.xxhash64("_sh").alias("_h"))
     agg = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -96,14 +107,13 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.array(
                 *[
+                    # multi-column xxhash64 folds the band's row longs
+                    # directly — no per-band string materialization
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
                     )
                     for b in range(bands)
                 ]
