@@ -117,6 +117,26 @@ def build_scaled(dst: str, factor: int, facts: set | None = None) -> None:
             continue
         t = pq.read_table(f"{SRC}/{name}.parquet")
         shifts = {k: pc.max(t.column(k)).as_py() + 1 for k in keys}
+        # embeddings: replication with shifted ids but IDENTICAL vectors
+        # is a degenerate scale fixture for value-sensitive vector ops —
+        # every point gains (factor-1) exact clones, so ε-neighborhoods
+        # and LSH buckets densify ~factor², a property of the fixture,
+        # not the engine (the first 10× q77 run wedged on it). Each copy
+        # i>0 instead gets a seeded random ORTHOGONAL rotation: norms
+        # and all within-copy pairwise distances are preserved exactly
+        # (the copy is the same point cloud in a rotated basis) while
+        # cross-copy pairs become quasi-random near-orthogonal pairs —
+        # the same shape fresh data drawn at a larger scale would have.
+        # Both engines read the same rotated file, so ratios stay
+        # apples-to-apples.
+        emb_np = None
+        if name == "embeddings":
+            import numpy as np
+
+            flat = t.column("embedding").combine_chunks()
+            vals = flat.flatten().to_numpy(zero_copy_only=False)
+            emb_width = len(vals) // len(t)
+            emb_np = vals.reshape(len(t), emb_width).astype(np.float32)
         # stream copies through one writer — at 100× the concat-then-
         # write shape would hold the whole scaled fact table in memory
         writer = pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema)
@@ -128,6 +148,24 @@ def build_scaled(dst: str, factor: int, facts: set | None = None) -> None:
                         idx = c.schema.get_field_index(k)
                         shifted = pc.add(c.column(k), i * shifts[k])
                         c = c.set_column(idx, c.schema.field(idx), shifted)
+                    if emb_np is not None:
+                        import numpy as np
+
+                        rng = np.random.default_rng(1000 + i)
+                        q_mat, _ = np.linalg.qr(
+                            rng.standard_normal((emb_width, emb_width))
+                        )
+                        rot = emb_np @ q_mat.astype(np.float32)
+                        idx = c.schema.get_field_index("embedding")
+                        n_rows = len(c)
+                        col = pa.ListArray.from_arrays(
+                            pa.array(
+                                range(0, (n_rows + 1) * emb_width, emb_width),
+                                type=pa.int32(),
+                            ),
+                            pa.array(rot.ravel(), type=pa.float32()),
+                        ).cast(c.schema.field(idx).type)
+                        c = c.set_column(idx, c.schema.field(idx), col)
                 writer.write_table(c, row_group_size=FACT_ROW_GROUP)
         finally:
             writer.close()
@@ -155,7 +193,59 @@ def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 # (298 s at 10×, ~45 min at 30×) — above this factor only the Spark side
 # is timed and the ratio is recorded as null. The 10× row already
 # documents the crossover (0.01×, Spark 3.3 s vs DuckDB 298 s).
-SKIP_DUCK_ABOVE = {"q45_cosine_near_dup": 10}
+# q77's oracle is the same shape (all-pairs distance filter feeding a
+# recursive CTE): 16.7 s at 1× and Θ(n²·d) → ≥ 28 min at 10×.
+SKIP_DUCK_ABOVE = {"q45_cosine_near_dup": 10, "q77_dbscan": 1}
+
+# Tail rows whose DuckDB "oracle" is an O(1) invariant check (q76/q82:
+# sub-ms constant aggregates) or a different execution model entirely
+# (q93: batch interval-join SQL vs the full micro-batch streaming
+# harness). A wall-clock ratio against those is meaningless; the row
+# records the Spark-side scaling curve only.
+ORACLE_NOT_COMPARABLE = {
+    "q76_kmeans_fit": (
+        "oracle is an O(1) invariant check — ratio not meaningful; "
+        "row records Spark-side scaling only"
+    ),
+    "q82_lsh_knn": (
+        "oracle is an O(1) invariant check — ratio not meaningful; "
+        "row records Spark-side scaling only"
+    ),
+    "q93_stream_stream_join": (
+        "oracle is batch interval-join SQL; Spark side times the full "
+        "micro-batch streaming harness — row records Spark-side "
+        "scaling only"
+    ),
+}
+
+
+def tune_q77_eps(factor: int) -> float:
+    """Constant-degree ε for the scaled DBSCAN rows.
+
+    The fixture's sub-ε pair fraction at ε=1.18 (~0.7%) is mostly the
+    random-pair tail of near-orthogonal 64-dim vectors, so ε-graph edges
+    grow Θ(n²) under ANY honest scale-up of this distribution — that is
+    a property of fixed-ε DBSCAN, not of an engine. Practitioners re-tune
+    ε from the k-dist elbow at their data's scale; this mirrors that:
+    pick ε_f as the (frac_1x / factor)-quantile of the base pairwise
+    distance distribution, holding expected average degree constant
+    (≈13.6 on this fixture). Cross-copy pairs after the per-copy random
+    rotation follow the same near-orthogonal distance law, so the base
+    quantile transfers to the scaled cloud."""
+    import numpy as np
+
+    import dask_cuml_spark.queries.pandas_udfs as pu
+
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    flat = t.column("embedding").combine_chunks()
+    vals = flat.flatten().to_numpy(zero_copy_only=False)
+    v = vals.reshape(len(t), len(vals) // len(t)).astype(np.float32)
+    sq = (v * v).sum(1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (v @ v.T)
+    iu = np.triu_indices(len(v), 1)
+    d = np.sqrt(np.maximum(d2[iu], 0))
+    base_frac = float((d < pu._Q77_EPS).mean())
+    return float(np.quantile(d, base_frac / factor))
 
 # Spark-side skips: q45 is Θ(n²) for BOTH engines (the blocked GEMM is
 # ~100× faster than DuckDB's expression fold but still quadratic — 61 s
@@ -225,7 +315,21 @@ def main() -> None:
         spark_names = suite if fac == 1 else [
             n for n in suite if fac <= SKIP_SPARK_ABOVE.get(n, 10**9)
         ]
-        s = time_spark(spark, d, spark_names)
+        # q77 at factor>1 runs with the constant-degree ε for that scale
+        # (see tune_q77_eps) — patched around the timing calls so the 1×
+        # row and the correctness gate keep the registered ε.
+        q77_eps = None
+        if "q77_dbscan" in spark_names and fac > 1:
+            import dask_cuml_spark.queries.pandas_udfs as pu
+
+            q77_eps = tune_q77_eps(fac)
+            saved_eps = pu._Q77_EPS
+            pu._Q77_EPS = q77_eps
+        try:
+            s = time_spark(spark, d, spark_names)
+        finally:
+            if q77_eps is not None:
+                pu._Q77_EPS = saved_eps
         k = time_duck(d, duck_names)
         # merge per-query so tail runs extend, not replace, prior rows
         results.setdefault(label, {})
@@ -248,6 +352,16 @@ def main() -> None:
                 row["note"] = (
                     "both engines skipped: super-linear brute-force shape "
                     "at this factor; see SKIP_SPARK_ABOVE comment"
+                )
+            if n in ORACLE_NOT_COMPARABLE:
+                row["ratio"] = None
+                row["note"] = ORACLE_NOT_COMPARABLE[n]
+            if n == "q77_dbscan" and q77_eps is not None:
+                row["eps"] = round(q77_eps, 4)
+                row["note"] = (
+                    "constant-degree eps (see tune_q77_eps); duckdb "
+                    "oracle DNF above 1x: its all-pairs recursive CTE "
+                    "is Theta(n^2 d) — 16.7 s at 1x, >= 28 min at 10x"
                 )
             results[label][n] = row
         # q02 branch evidence (verdict r4 task 6): record which join

@@ -61,6 +61,15 @@ _PAIR_SCHEMA = StructType(
 )
 
 
+# Dense-buffer cap for one GEMM slice: 8M elements (64 MB at float64).
+# The kernel slices the A side so the sims buffer never exceeds this —
+# without it a 200k-point self-join put a 25k×50k×8B = 10 GB buffer in
+# EVERY worker at once (32 workers → OS OOM-killer took the JVM down;
+# first 100× q77 run). Memory is now independent of block row counts;
+# only FLOPs scale with the data.
+_GEMM_SLICE_ELEMS = 8 << 20
+
+
 def _gemm_filter(
     a_ids: np.ndarray,
     A: np.ndarray,
@@ -69,19 +78,29 @@ def _gemm_filter(
     threshold: float,
     upper_triangle: bool,
 ) -> pd.DataFrame:
-    """One dense A×Bᵀ block; keep (id_a, id_b, sim) with sim >= threshold."""
-    sims = A @ B.T
-    mask = sims >= threshold
-    if upper_triangle:
-        mask &= a_ids[:, None] < b_ids[None, :]
-    ai, bi = np.nonzero(mask)
-    return pd.DataFrame(
-        {
-            "id_a": a_ids[ai],
-            "id_b": b_ids[bi],
-            "sim": sims[ai, bi].astype(np.float64),
-        }
-    )
+    """One A×Bᵀ block; keep (id_a, id_b, sim) with sim >= threshold.
+    A is processed in row slices to bound the dense sims buffer."""
+    step = max(1, _GEMM_SLICE_ELEMS // max(len(b_ids), 1))
+    outs = []
+    Bt = B.T
+    for s in range(0, len(a_ids), step):
+        sims = A[s : s + step] @ Bt
+        mask = sims >= threshold
+        if upper_triangle:
+            mask &= a_ids[s : s + step, None] < b_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        outs.append(
+            pd.DataFrame(
+                {
+                    "id_a": a_ids[s : s + step][ai],
+                    "id_b": b_ids[bi],
+                    "sim": sims[ai, bi].astype(np.float64),
+                }
+            )
+        )
+    if len(outs) == 1:
+        return outs[0]
+    return pd.concat(outs, ignore_index=True)
 
 
 def pairwise_similarity_above(

@@ -110,6 +110,35 @@ def test_gemm_threshold_keeps_all_qualifying_pairs(spark, vecs):
     assert got == expect
 
 
+def test_gemm_filter_sliced_equals_unsliced():
+    """The A-row slicing that bounds the dense sims buffer (64 MB cap;
+    the first 100× q77 run OOM-killed the JVM without it) must not
+    change results. Production slice size is far above any test block,
+    so force slicing by shrinking the cap below the block size."""
+    import dask_cuml_spark.operators.gemm as g
+
+    rng = np.random.default_rng(7)
+    a_ids = np.arange(37, dtype=np.int64)
+    b_ids = np.arange(20, 73, dtype=np.int64)  # overlap for triangle mask
+    A = rng.standard_normal((37, 8))
+    B = rng.standard_normal((53, 8))
+    for tri in (False, True):
+        whole = g._gemm_filter(a_ids, A, b_ids, B, 0.5, tri)
+        saved = g._GEMM_SLICE_ELEMS
+        g._GEMM_SLICE_ELEMS = 5 * len(b_ids)  # 5 A-rows per slice
+        try:
+            sliced = g._gemm_filter(a_ids, A, b_ids, B, 0.5, tri)
+        finally:
+            g._GEMM_SLICE_ELEMS = saved
+        key = ["id_a", "id_b"]
+        w = whole.sort_values(key).reset_index(drop=True)
+        s = sliced.sort_values(key).reset_index(drop=True)
+        # ids exact; sims to BLAS summation-order tolerance (the module
+        # docstring's documented ~1e-12 relative error contract)
+        assert w[key].equals(s[key])
+        assert np.allclose(w["sim"], s["sim"], rtol=1e-12, atol=1e-12)
+
+
 @SETTINGS
 @given(
     docs=st.lists(
