@@ -764,10 +764,10 @@ def q105_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     quality = base.filter((F.col("nt") >= 30) & (F.col("ttr") >= 0.3))
-    # survivors feed the near-dup operator, the anti-join and two counts;
-    # cache at fixture scale, lazy localCheckpoint above 64 MB estimated
-    # input (verdict r4 task 8 — the composite's scale posture now
-    # matches its components; see dask_cuml_spark.plans.cost)
+    # survivors feed the near-dup operator, the final join and the tail
+    # aggregate; cache at fixture scale, lazy localCheckpoint above
+    # 64 MB estimated input (verdict r4 task 8 — the composite's scale
+    # posture now matches its components; see dask_cuml_spark.plans.cost)
     from dask_cuml_spark.plans.cost import persist_for_reuse
 
     surv = persist_for_reuse(exact_dedup(quality))
@@ -779,16 +779,31 @@ def q105_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
     )
     near_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    final = surv.join(near_ids, "doc_id", "left_anti")
-    return (
-        d.agg(F.count(F.lit(1)).alias("n_input"))
-        .crossJoin(base.agg(F.count(F.lit(1)).alias("n_lang")))
-        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
-        .crossJoin(surv.agg(F.count(F.lit(1)).alias("n_exact_unique")))
-        .crossJoin(
-            final.agg(
-                F.count(F.lit(1)).alias("n_final"),
-                F.sum("nt").cast("bigint").alias("total_tokens"),
-            )
-        )
+    # Funnel counts in TWO passes, not five (round-5): the head aggregate
+    # computes n_input / n_lang / n_quality as conditional counts in ONE
+    # scan of documents (the pre-r5 shape scanned it three more times —
+    # at 100 TB each extra pass re-reads the text column, since lang is
+    # mixed within row groups and can't prune pages). The tail marks
+    # near-dup survivors with a LEFT join instead of anti-join + separate
+    # count, folding n_exact_unique / n_final / total_tokens into one
+    # pass over the persisted survivor set.
+    is_en = F.col("lang") == "en"
+    is_q = is_en & (nt >= 30) & (
+        (F.array_size(F.array_distinct(toks)).cast("double") / nt) >= 0.3
     )
+    head = d.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count_if(is_en).alias("n_lang"),
+        F.count_if(is_q).alias("n_quality"),
+    )
+    marked = surv.join(
+        near_ids.withColumn("_nd", F.lit(1)), "doc_id", "left"
+    )
+    tail = marked.agg(
+        F.count(F.lit(1)).alias("n_exact_unique"),
+        F.count_if(F.col("_nd").isNull()).alias("n_final"),
+        F.sum(F.when(F.col("_nd").isNull(), F.col("nt")))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+    return head.crossJoin(tail)
