@@ -51,11 +51,14 @@ _PRIORITY = [
     "q59_ols_predict",
     "q96_train_test_split",
     "q97_make_blobs",
-    # -- (2) code changed in round 5
+    # -- (2) code new or changed in round 5
     "q103_simhash_near_dup",
     "q105_curation_pipeline",
     "q78_minhash_near_dup",
     "q44_multimodal_join",
+    "q108_semantic_dedup",
+    "q109_stratified_sample",
+    "q110_gopher_rules",
     # -- (3) r3-proven, rotating back into the hard gate
     "q03_top_orders_per_customer",
     "q04_segment_stats",
@@ -94,11 +97,12 @@ _PRIORITY = [
     "q83_logreg_predict",
     "q87_naive_bayes_predict",
     "q94_elasticnet_vs_ols",
+    # -- positions 51+: r3/r4-green, code-unchanged (kmeans-family
+    # q42/q48/q99 + q101/q102 first in line for r6 — the three new
+    # round-5 queries q108-q110 took their window slots)
     "q99_kmeans_parallel_fit",
     "q101_make_classification",
     "q102_adjusted_rand",
-    # -- positions 51+: r3/r4-green, code-unchanged (q42/q48 kmeans
-    # family first in line for r6)
     "q42_lloyd_iteration",
     "q48_kmeans_transform",
 ]

@@ -807,3 +807,164 @@ def q105_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_tokens"),
     )
     return head.crossJoin(tail)
+
+
+# ---------------------------------------------------------------------------
+# q109 — deterministic stratified sampling for training-mix construction
+# (D5 adjacent): each language stratum is downsampled at its own rate by a
+# portable multiplicative hash of doc_id, the way a 100 TB mixing job
+# re-weights sources WITHOUT a shuffle — keep/drop is a per-row predicate,
+# so the plan is scan → filter-free single aggregate (conditional counts),
+# reproducible across engines and runs (no RNG state, no sampleBy seed
+# drift between Spark versions). Rates are parts-per-4096.
+# ---------------------------------------------------------------------------
+_Q109_RATES = {"en": 2048, "de": 1024, "fr": 1024, "es": 512, "zh": 512}
+_Q109_MULT = 2654435761  # Knuth multiplicative constant, fits BIGINT
+
+
+@register(
+    "q109_stratified_sample",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         (doc_id * {_Q109_MULT}) % 4096 AS bucket,
+         len(string_split(text, ' ')) AS nt,
+         CASE lang
+           {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _Q109_RATES.items())}
+           ELSE 0 END AS rate
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_pool,
+       COUNT(*) FILTER (bucket < rate) AS n_sampled,
+       CAST(SUM(nt) FILTER (bucket < rate) AS BIGINT) AS sampled_tokens
+FROM scored GROUP BY lang ORDER BY lang
+""",
+)
+def q109_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for k, v in _Q109_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    bucket = F.pmod(F.col("doc_id") * F.lit(_Q109_MULT), F.lit(4096))
+    keep = bucket < rate
+    return (
+        d.select(
+            "lang",
+            keep.alias("_keep"),
+            F.array_size(tokens()).alias("_nt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pool"),
+            F.count_if(F.col("_keep")).alias("n_sampled"),
+            F.sum(F.when(F.col("_keep"), F.col("_nt")))
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110 — Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+# public method): the published MassiveText document filters as ONE
+# narrow pass of higher-order array expressions — word count bounds, mean
+# word length bounds, alphabetic-word fraction, duplicate-3-gram fraction
+# (the repetition rule), and the stopword-presence test. No UDF: every
+# metric is a codegen'd expression over the split-once token array, so at
+# 100 TB this runs at scan speed with full column pruning (only text is
+# read). Output is per-document metrics + the pass verdict (full-value
+# oracle).
+# ---------------------------------------------------------------------------
+_Q110_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "q110_gopher_rules",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+         ROUND(CAST(list_aggregate(list_transform(toks, t -> len(t)),
+                                   'sum') AS DOUBLE) / n_words, 6)
+           AS mean_word_len,
+         ROUND(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                    AS DOUBLE) / n_words, 6) AS alpha_frac,
+         ROUND(1.0 - CAST(len(list_distinct(
+                 list_transform(range(1, GREATEST(n_words - 2, 1) + 1),
+                                i -> array_to_string(toks[i:i+2], ' '))))
+               AS DOUBLE) / GREATEST(n_words - 2, 1), 6) AS dup_trigram_frac,
+         len(list_intersect(list_distinct(list_transform(toks,
+                                                         t -> lower(t))),
+             [{", ".join(repr(s) for s in _Q110_STOPWORDS)}]))
+           AS stopword_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, dup_trigram_frac,
+       stopword_hits,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND alpha_frac > 0.8
+            AND dup_trigram_frac < 0.3
+            AND stopword_hits >= 2 AS INTEGER) AS passes
+FROM m
+""",
+)
+def q110_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n = F.array_size(toks)
+    tri_total = F.greatest(n - 2, F.lit(1))
+    trigrams = F.transform(
+        F.sequence(F.lit(0), tri_total - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n,
+        6,
+    )
+    alpha_frac = F.round(
+        F.array_size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast(
+            "double"
+        )
+        / n,
+        6,
+    )
+    dup_tri = F.round(
+        F.lit(1.0)
+        - F.array_size(F.array_distinct(trigrams)).cast("double") / tri_total,
+        6,
+    )
+    stop_hits = F.array_size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in _Q110_STOPWORDS]),
+        )
+    )
+    out = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    return out.withColumn(
+        "passes",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_frac") > 0.8)
+            & (F.col("dup_trigram_frac") < 0.3)
+            & (F.col("stopword_hits") >= 2)
+        ).cast("int"),
+    )

@@ -475,3 +475,86 @@ def q47_ivf_search_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rk"
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
+# public method): embed → cluster → prune near-duplicate pairs INSIDE each
+# cluster only. The clustering bounds the quadratic: candidate pairs are
+# Θ(Σ|cluster|²), not Θ(n²) — with balanced clusters that is n²/k, and at
+# 100 TB the per-cluster pair scan becomes a cogrouped GEMM per cluster id
+# (operators/gemm.py kernel keyed by cluster instead of block id). The
+# assignment step is the q41 shape (broadcast centroids, one narrow pass);
+# deterministic first-k centroid init keeps the whole pipeline
+# SQL-expressible, so the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "q108_semantic_dedup",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < 16
+), assign AS (
+  SELECT vec_id, centroid_id, embedding
+  FROM (
+    SELECT e.vec_id, cent.centroid_id, e.embedding,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="cent.cv")},
+                      cent.centroid_id) AS rk
+    FROM embeddings e, cent
+  ) t WHERE rk = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")} >= 0.35
+)
+SELECT s.vec_id, s.centroid_id AS cluster_id,
+       CAST(d.vec_id IS NULL AS INTEGER) AS kept
+FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
+""",
+)
+def q108_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "centroid_id")
+    assign = (
+        _par(e)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "centroid_id",
+            "embedding",
+            l2_sq("embedding", "cv").alias("dist_sq"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id", "embedding")
+    )
+    a = assign.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assign.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    drops = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot("va", "vb") >= 0.35)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return assign.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("_drop").isNull().cast("int").alias("kept"),
+    )
