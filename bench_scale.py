@@ -73,6 +73,9 @@ TABLES_FOR = {
     "q93_stream_stream_join": {"events"},
     "q32_exact_dedup": {"documents"},
     "q105_curation_pipeline": {"documents"},
+    "q108_semantic_dedup": {"embeddings"},
+    "q109_stratified_sample": {"documents"},
+    "q110_gopher_rules": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -195,7 +198,14 @@ def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 # documents the crossover (0.01×, Spark 3.3 s vs DuckDB 298 s).
 # q77's oracle is the same shape (all-pairs distance filter feeding a
 # recursive CTE): 16.7 s at 1× and Θ(n²·d) → ≥ 28 min at 10×.
-SKIP_DUCK_ABOVE = {"q45_cosine_near_dup": 10, "q77_dbscan": 1}
+SKIP_DUCK_ABOVE = {
+    "q45_cosine_near_dup": 10,
+    "q77_dbscan": 1,
+    # oracle's within-cluster pair scan is an expression fold over
+    # Θ(Σ|cluster|²) pairs: 6.4 s at 10×, quadratic per cluster → ~11 min
+    # at 100× while the grouped GEMM finishes in seconds
+    "q108_semantic_dedup": 10,
+}
 
 # Tail rows whose DuckDB "oracle" is an O(1) invariant check (q76/q82:
 # sub-ms constant aggregates) or a different execution model entirely

@@ -205,3 +205,48 @@ def _broadcast_b_path(
 
     n_parts = spark.sparkContext.defaultParallelism
     return a.repartition(n_parts).mapInPandas(kernel, _PAIR_SCHEMA)
+
+
+def grouped_pairwise_similarity_above(
+    df: DataFrame,
+    group_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dtype=np.float64,
+) -> DataFrame:
+    """All within-group pairs (group, id_a < id_b, sim=dot >= threshold).
+
+    The group-keyed variant of the blocked kernel: when a clustering
+    already bounds the candidate sets (SemDeDup, ANN cells), the pair
+    scan needs NO replication at all — both sides share the group key,
+    so ONE self-cogroup per group id runs one dense GEMM over that
+    group's members. Shuffle volume is exactly |df| rows; candidate
+    work is Θ(Σ|group|²) by construction. The A-side slicing in
+    _gemm_filter bounds memory for large groups; a group big enough to
+    make its GEMM a straggler is a clustering problem (re-fit with more
+    cells), not a kernel problem — log-flagged rather than silently
+    split so skew is visible.
+    """
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    )
+    schema = StructType(
+        [
+            StructField("group_id", LongType()),
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def kernel(key, pdf):
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        M = np.array(pdf["_v"].tolist(), dtype=dtype)
+        out = _gemm_filter(ids, M, ids, M, threshold, True)
+        out.insert(0, "group_id", np.int64(key[0]))
+        return out
+
+    return src.groupBy("_g").applyInPandas(kernel, schema)

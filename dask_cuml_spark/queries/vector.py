@@ -535,20 +535,19 @@ def q108_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("vec_id", "centroid_id", "embedding")
     )
-    a = assign.select(
-        F.col("centroid_id"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
+    # Per-cluster pair scan through the grouped GEMM kernel: one dense
+    # GEMM per cluster id, no replication (both sides share the key).
+    # The expression-fold join (a ⋈ b ON centroid_id, dot >= τ) computes
+    # the same pairs but was 6.5× slower at 10× scale — per-element
+    # expression evaluation vs one BLAS call per cluster.
+    from dask_cuml_spark.operators.gemm import (
+        grouped_pairwise_similarity_above,
     )
-    b = assign.select(
-        F.col("centroid_id"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-    )
+
     drops = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot("va", "vb") >= 0.35)
+        grouped_pairwise_similarity_above(
+            assign, "centroid_id", 0.35, id_col="vec_id"
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("_drop", F.lit(1))
