@@ -915,7 +915,15 @@ FROM m
 """,
 )
 def q110_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # Spread the heavy per-row array pass across all cores: the fixture
+    # parquet is one row group → one partition, which serialized the
+    # trigram/distinct work onto a single task (measured: 1.22 s of the
+    # 1.46 s total on one core at sf0.1). At deployment scale the scan
+    # already has many splits and this repartition is a no-op-sized
+    # shuffle relative to the compute it unlocks.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens()
     n = F.array_size(toks)
     tri_total = F.greatest(n - 2, F.lit(1))
