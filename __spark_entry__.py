@@ -36,12 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q90/q91/q95/q59/q96/q97 — judge-green every session via
 #      tests/test_oracle_parity.py, but two fixture generations since a
 #      driver row);
-#   2. the queries whose CODE changed in round 5: q103 (SWAR-compare
-#      majority extract), q105 + q78 (12x3 LSH banding), q44 (PIL-exact
-#      luma arithmetic);
+#   2. the queries whose CODE is new or changed in round 5: q103
+#      (SWAR-compare majority extract), q105 + q78 (12x3 LSH banding;
+#      q105 two-pass funnel fold), q44 (PIL-exact luma arithmetic), and
+#      the four NEW queries q108 semantic dedup / q109 stratified
+#      sample / q110 Gopher rules / q111 clustered layout;
 #   3. the rest of the r3-proven set, oldest driver evidence first —
-#      all fit except q42/q48 (kmeans family, which keeps five other
-#      queries in rotation and full pytest parity coverage).
+#      all fit except q94/q99/q101/q102/q42/q48 (displaced by the new
+#      queries; all pytest-parity-green, first in line for r6).
 # Entries past position 50 are r3/r4-green and code-unchanged.
 _PRIORITY = [
     # -- (1) last driver row is r2
@@ -59,6 +61,7 @@ _PRIORITY = [
     "q108_semantic_dedup",
     "q109_stratified_sample",
     "q110_gopher_rules",
+    "q111_clustered_layout",
     # -- (3) r3-proven, rotating back into the hard gate
     "q03_top_orders_per_customer",
     "q04_segment_stats",
@@ -96,10 +99,10 @@ _PRIORITY = [
     "q82_lsh_knn",
     "q83_logreg_predict",
     "q87_naive_bayes_predict",
+    # -- positions 51+: r3/r4-green, code-unchanged (q94 + kmeans-family
+    # q42/q48/q99 + q101/q102 first in line for r6 — the four new
+    # round-5 queries q108-q111 took their window slots)
     "q94_elasticnet_vs_ols",
-    # -- positions 51+: r3/r4-green, code-unchanged (kmeans-family
-    # q42/q48/q99 + q101/q102 first in line for r6 — the three new
-    # round-5 queries q108-q110 took their window slots)
     "q99_kmeans_parallel_fit",
     "q101_make_classification",
     "q102_adjusted_rand",

@@ -580,3 +580,42 @@ def q84_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — range-clustered layout round-trip (§2C sinks / 100 TB data
+# skipping): cluster_write orders on o_totalprice (repartitionByRange +
+# sortWithinPartitions → narrow non-overlapping row-group [min,max]
+# ranges), read back, and aggregate a selective price band. The oracle
+# computes the same band over the source table, so the hash-match proves
+# the clustered layout is lossless; the PRUNING effect (a ~5% band
+# touches ≤25% of row groups vs 100% on an unclustered layout) is
+# measured footer-by-footer in tests/test_scale_features.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q111_clustered_layout",
+    oracle="""
+SELECT COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
+""",
+)
+def q111_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.layout import cluster_write
+
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"dcs_clustered_{os.path.basename(sf_dir)}"
+    )
+    cluster_write(
+        o.select("o_orderkey", "o_totalprice"), out, ["o_totalprice"]
+    )
+    back = spark.read.parquet(out)
+    return back.filter(F.col("o_totalprice").between(100000, 150000)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -125,3 +125,30 @@ def test_persist_for_reuse_cost_gate(spark):
     plan = big._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:500]
     assert big.count() == d.count()
+
+
+def test_q105_funnel_two_scan_shape(spark):
+    """The round-5 fold: the funnel summary must keep exactly TWO scans
+    of the documents table in the optimized plan — one conditional-count
+    head aggregate, one quality->survivor path — not the five-scan
+    crossJoin chain it replaced (each extra pass re-reads the text
+    column at 100 TB)."""
+    from dask_cuml_spark.registry import QUERIES
+    import dask_cuml_spark.queries  # noqa: F401
+
+    plan = (
+        QUERIES["q105_curation_pipeline"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # parquet LEAF relations only ("Relation [...] parquet" lines) —
+    # cache-read relations print as StorageLevel entries and don't
+    # re-scan. Two live scans max: the conditional-count head and the
+    # survivor-path materialization; the pre-fold shape had three more.
+    n_scans = sum(
+        1
+        for line in plan.splitlines()
+        if line.rstrip().endswith(" parquet")
+    )
+    assert 1 <= n_scans <= 2, f"{n_scans} parquet scans:\n" + plan[:800]

@@ -329,3 +329,52 @@ def test_global_row_number_matches_window(spark):
     assert n == len(ref)
     assert (got["_rn"] == ref["_rn"]).all()
     assert (got["nt"] == ref["nt"]).all()
+
+
+def test_cluster_write_enables_row_group_pruning(spark, tmp_path):
+    """Range-clustered layout must make footer-stats pruning effective:
+    a ~5%-selective range predicate on the clustering key can touch only
+    a small fraction of row groups, while the same data written in
+    doc_id order (uncorrelated with the key) leaves every row group's
+    [min, max] spanning the domain — nothing prunes. Results must be
+    identical on both layouts."""
+    from dask_cuml_spark.operators.layout import (
+        cluster_write,
+        row_groups_touched,
+    )
+
+    o = load_table(spark, "/root/testdata/sf0.1", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lo, hi = o.agg(
+        F.expr("percentile(o_totalprice, 0.50)"),
+        F.expr("percentile(o_totalprice, 0.55)"),
+    ).first()
+    clustered = str(tmp_path / "clustered")
+    unsorted = str(tmp_path / "unsorted")
+    cluster_write(o, clustered, ["o_totalprice"], num_files=4,
+                  row_group_bytes=1 << 18)
+    (
+        o.repartitionByRange(4, "o_orderkey")  # ordered by the WRONG key
+        .sortWithinPartitions("o_orderkey")
+        .write.option("parquet.block.size", 1 << 18)
+        .mode("overwrite")
+        .parquet(unsorted)
+    )
+
+    t_c, n_c = row_groups_touched(clustered, "o_totalprice", lo, hi)
+    t_u, n_u = row_groups_touched(unsorted, "o_totalprice", lo, hi)
+    assert n_c >= 8 and n_u >= 8, (n_c, n_u)  # granularity sanity
+    assert t_u == n_u  # random layout: every row group intersects
+    assert t_c / n_c <= 0.25, (t_c, n_c)  # clustered: most groups skip
+
+    pred = (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    a = sorted(
+        r[0] for r in
+        spark.read.parquet(clustered).filter(pred).select("o_orderkey").collect()
+    )
+    b = sorted(
+        r[0] for r in
+        spark.read.parquet(unsorted).filter(pred).select("o_orderkey").collect()
+    )
+    assert a == b and len(a) > 0
