@@ -509,10 +509,12 @@ def test_fast_get_long_fallback_rows(spark):
         # strings cannot fool the fast path
         ('{"msg": "x,\\"k\\": 5", "k": 9}', 9),
         ('{"msg": "x,\\"k\\": 5}", "k": 9}', 9),
-        # the one true divergence: the key inside a NESTED object — a
-        # regexp cannot track nesting (documented in functions/json.py);
-        # $.k JSON semantics would give 9
-        ('{"a": {"k": 5}, "k": 9}', 5),
+        # nested structure routes to the exact Jackson path (round-5
+        # flat gate — the former documented divergence is closed):
+        # $.k JSON semantics give the TOP-LEVEL 9, not the inner 5
+        ('{"a": {"k": 5}, "k": 9}', 9),
+        ('{"a": [{"k": 5}], "k": 9}', 9),
+        ('{"a": [1, 2], "k": 9}', 9),  # any nesting disables fast path
     ]
     df = spark.createDataFrame(
         [(r[0],) for r in rows], "props string"
