@@ -39,9 +39,120 @@ def brute_force_knn(
     cand_id: str = "neighbor_id",
     cand_vec: str = "cv",
     exclude_same_id: bool = False,
+    strategy: str = "gemm",
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact kNN: (query_id, neighbor_id, dist, rk), deterministic
-    (dist, id) tie-break."""
+    (dist, id) tie-break.
+
+    strategy='gemm' (default, round 5): the query block is task-broadcast
+    and each candidate Arrow batch computes ALL query distances as one
+    dense GEMM, emitting only its per-batch top-k per query (selected by
+    the same (dist, id) order the global merge uses, so the union
+    provably contains the global top-k). The shuffle then carries
+    ≈ batches × |Q| × k rows instead of |C| × |Q| — at 100× the
+    expression path evaluated 4M zip_with folds and ran 2.4 s; the GEMM
+    path is one BLAS call per batch. strategy='expr' keeps the
+    pure-expression plan (the SQL-oracle-shaped fallback; also the
+    reference for the numpy parity test)."""
+    if strategy == "gemm":
+        rows = queries.select(query_id, query_vec).limit(
+            max_broadcast_queries + 1
+        ).collect()
+        if len(rows) > max_broadcast_queries:
+            raise ValueError(
+                f"gemm strategy broadcasts queries; got >"
+                f"{max_broadcast_queries} rows — use strategy='expr' or "
+                "shard the query set"
+            )
+        qids = np.array([r[0] for r in rows], dtype=np.int64)
+        Q = np.array([r[1] for r in rows], dtype=np.float64)
+        qn = (Q * Q).sum(1)
+        spark = candidates.sparkSession
+        bc = spark.sparkContext.broadcast((qids, Q, qn))
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("_qid", LongType()),
+                StructField("_cid", LongType()),
+                StructField("_d2", DoubleType()),
+            ]
+        )
+
+        def kernel(it):
+            from dask_cuml_spark.operators.gemm import _GEMM_SLICE_ELEMS
+
+            ids_q, Qm, qn_ = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                cids = pdf["_id"].to_numpy(dtype=np.int64)
+                C = np.array(pdf["_v"].tolist(), dtype=np.float64)
+                cn = (C * C).sum(1)
+                out_q, out_c, out_d = [], [], []
+                # query-axis slicing bounds the dense d2 buffer (same
+                # 64 MB cap as the GEMM kernel)
+                step = max(1, _GEMM_SLICE_ELEMS // max(len(cids), 1))
+                for j0 in range(0, len(ids_q), step):
+                    # clamp: the norm-expansion form can go ~-1e-16 for
+                    # (near-)identical vectors, and sqrt(neg) = NaN —
+                    # the expression path's sum((a-b)^2) never does
+                    d2 = np.maximum(
+                        cn[:, None]
+                        + qn_[None, j0 : j0 + step]
+                        - 2.0 * (C @ Qm[j0 : j0 + step].T),
+                        0.0,
+                    )
+                    for jj in range(d2.shape[1]):
+                        j = j0 + jj
+                        col = d2[:, jj]
+                        ids_j = cids
+                        if exclude_same_id:
+                            keep = cids != ids_q[j]
+                            col = col[keep]
+                            ids_j = cids[keep]
+                        # per-batch selection in the GLOBAL (dist, id)
+                        # order so ties at the k-boundary keep the id
+                        # the global merge would keep
+                        order = np.lexsort((ids_j, col))[:k]
+                        out_q.append(
+                            np.full(len(order), ids_q[j], np.int64)
+                        )
+                        out_c.append(ids_j[order])
+                        out_d.append(col[order])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "_qid": np.concatenate(out_q),
+                            "_cid": np.concatenate(out_c),
+                            "_d2": np.concatenate(out_d),
+                        }
+                    )
+
+        partial = (
+            candidates.select(
+                F.col(cand_id).alias("_id"), F.col(cand_vec).alias("_v")
+            )
+            .mapInPandas(kernel, schema)
+            .select(
+                F.col("_qid").alias(query_id),
+                F.col("_cid").alias(cand_id),
+                F.col("_d2").alias("dist_sq"),
+            )
+        )
+        w = Window.partitionBy(query_id).orderBy("dist_sq", cand_id)
+        return (
+            partial.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id, cand_id, F.sqrt("dist_sq").alias("dist"), "rk")
+        )
+
     pairs = candidates.crossJoin(F.broadcast(queries))
     if exclude_same_id:
         pairs = pairs.filter(F.col(query_id) != F.col(cand_id))
