@@ -39,11 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. the queries whose CODE is new or changed in round 5: q103
 #      (SWAR-compare majority extract), q105 + q78 (12x3 LSH banding;
 #      q105 two-pass funnel fold), q44 (PIL-exact luma arithmetic), and
-#      the four NEW queries q108 semantic dedup / q109 stratified
-#      sample / q110 Gopher rules / q111 clustered layout;
+#      the five NEW queries q108 semantic dedup / q109 stratified
+#      sample / q110 Gopher rules / q111 clustered layout / q112
+#      incremental dedup;
 #   3. the rest of the r3-proven set, oldest driver evidence first —
-#      all fit except q94/q99/q101/q102/q42/q48 (displaced by the new
-#      queries; all pytest-parity-green, first in line for r6).
+#      all fit except q87/q94/q99/q101/q102/q42/q48 (displaced by the
+#      new queries; all pytest-parity-green, first in line for r6).
 # Entries past position 50 are r3/r4-green and code-unchanged.
 _PRIORITY = [
     # -- (1) last driver row is r2
@@ -62,6 +63,7 @@ _PRIORITY = [
     "q109_stratified_sample",
     "q110_gopher_rules",
     "q111_clustered_layout",
+    "q112_incremental_dedup",
     # -- (3) r3-proven, rotating back into the hard gate
     "q03_top_orders_per_customer",
     "q04_segment_stats",
@@ -98,10 +100,10 @@ _PRIORITY = [
     "q77_dbscan",
     "q82_lsh_knn",
     "q83_logreg_predict",
+    # -- positions 51+: r3/r4-green, code-unchanged (q87/q94 +
+    # kmeans-family q42/q48/q99 + q101/q102 first in line for r6 — the
+    # five new round-5 queries q108-q112 took their window slots)
     "q87_naive_bayes_predict",
-    # -- positions 51+: r3/r4-green, code-unchanged (q94 + kmeans-family
-    # q42/q48/q99 + q101/q102 first in line for r6 — the four new
-    # round-5 queries q108-q111 took their window slots)
     "q94_elasticnet_vs_ols",
     "q99_kmeans_parallel_fit",
     "q101_make_classification",

@@ -85,24 +85,16 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def band_buckets(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 12,
     rows_per_band: int = 3,
 ) -> DataFrame:
-    """Band the signature, bucket-join on (band, band_hash): candidate
-    pairs (id_a < id_b). The shuffle key is (band, hash) — constant-size
-    regardless of document size.
-
-    Banding recall: a pair with Jaccard J is bucketed with probability
-    p(J) = 1 - (1 - J^r)^b. The round-4 defaults (b=4, r=4) had their
-    p=0.99 knee at J=0.907 while the fixture's weakest true pair sits at
-    J=0.80 — recall there was seed luck (p(0.8)=0.88). The round-5
-    defaults (b=12, r=3) put the knee at J=0.683 and p(0.8)=0.9998;
-    tests/test_lsh_margin.py recomputes the exact fixture pair
-    distribution every run and asserts the margin holds."""
-    banded = sigs.select(
+    """(id, band, band_hash) bucket rows for a signature frame — the
+    storable LSH index representation (an incremental pipeline persists
+    exactly this frame, clustered by (band, band_hash))."""
+    return sigs.select(
         id_col,
         F.posexplode(
             F.array(
@@ -120,6 +112,26 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 12,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band_hash): candidate
+    pairs (id_a < id_b). The shuffle key is (band, hash) — constant-size
+    regardless of document size.
+
+    Banding recall: a pair with Jaccard J is bucketed with probability
+    p(J) = 1 - (1 - J^r)^b. The round-4 defaults (b=4, r=4) had their
+    p=0.99 knee at J=0.907 while the fixture's weakest true pair sits at
+    J=0.80 — recall there was seed luck (p(0.8)=0.88). The round-5
+    defaults (b=12, r=3) put the knee at J=0.683 and p(0.8)=0.9998;
+    tests/test_lsh_margin.py recomputes the exact fixture pair
+    distribution every run and asserts the margin holds."""
+    banded = band_buckets(sigs, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -326,3 +338,70 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def minhash_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 36,
+    bands: int = 12,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental near-dup: flag NEW documents that near-duplicate the
+    existing corpus or an earlier (lower-id) new document — the shape a
+    daily-ingest pipeline actually runs, which never re-pairs the corpus
+    against itself.
+
+    The candidate join is bands(new) ⋈ bands(corpus ∪ new) with the
+    keep-side id strictly below the new-doc id, so candidate work is
+    Θ(|new| × bucket hit rate) regardless of corpus size. In production
+    the corpus's (id, band, band_hash) bucket frame and shingle sets are
+    PRECOMPUTED once and stored (cluster_write by (band, band_hash)
+    makes the bucket probe a pruned scan); signing the daily batch is
+    the only per-run signature work. Here both sides are derived in-query
+    so the DuckDB oracle can replay the exact semantics.
+
+    Returns (id_a, id_b, jaccard): id_b is the flagged NEW doc, id_a the
+    earlier doc it duplicates (corpus or new), exact-verified.
+    """
+    rows_per_band = num_hashes // bands
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    sh_c = shingles(corpus.select(id_col, text_col), text_col, n).select(
+        id_col, "shingles"
+    )
+    sh_n = shingles(new.select(id_col, text_col), text_col, n).select(
+        id_col, "shingles"
+    )
+    sh_all = persist_for_reuse(sh_c.unionByName(sh_n))
+    bands_all = band_buckets(
+        minhash_signatures(sh_all, id_col, "shingles", num_hashes),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+    bands_new = band_buckets(
+        minhash_signatures(sh_n, id_col, "shingles", num_hashes),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+    a = bands_all.alias("a")
+    b = bands_new.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return jaccard_verify(cands, sh_all, id_col, "shingles", threshold)

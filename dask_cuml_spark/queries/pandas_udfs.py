@@ -495,3 +495,56 @@ def q83_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("acc_ge_majority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — incremental near-dup (D2, the daily-ingest shape): documents with
+# even ids play the existing corpus, odd ids the new batch; flag each new
+# doc that near-duplicates ANY earlier (lower-id) doc. The candidate join
+# is bands(new) ⋈ bands(all) — Θ(|new| × bucket hit rate), never
+# corpus × corpus — and in production the corpus bucket frame is
+# precomputed and stored clustered by (band, band_hash) (operators/
+# layout.cluster_write), so the probe is a pruned scan. FULL-VALUE
+# oracle: exact all-pairs shingle Jaccard restricted to new-doc targets,
+# so every driver run re-proves LSH recall on the incremental path too.
+# ---------------------------------------------------------------------------
+@register(
+    "q112_incremental_dedup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i+2], ' ')))
+           AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+""",
+)
+def q112_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.dedup import minhash_incremental
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    out = minhash_incremental(
+        corpus, new, n=3, num_hashes=36, bands=12, threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
