@@ -54,9 +54,14 @@ def test_q16_scan_prunes_to_used_columns(spark):
 
 def test_q40_candidate_side_parallelized(spark):
     plan = _plan(spark, "q40_knn_bruteforce")
-    # the repartition before the broadcast-NLJ must survive optimization
+    # round 5: the GEMM strategy replaced the broadcast-NLJ expression
+    # plan — candidates stream through MapInPandas (one BLAS call per
+    # batch), the repartition spreading the single-row-group fixture
+    # must survive optimization, and no join of any kind remains before
+    # the global top-k window
     assert "Exchange RoundRobinPartitioning" in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_q03_rank_limit_pushdown(spark):
