@@ -377,17 +377,21 @@ def minhash_incremental(
         id_col, "shingles"
     )
     sh_all = persist_for_reuse(sh_c.unionByName(sh_n))
-    bands_all = band_buckets(
-        minhash_signatures(sh_all, id_col, "shingles", num_hashes),
-        id_col,
-        bands,
-        rows_per_band,
+    # ONE signature pass (the explode+36-min aggregate is the heavy
+    # stage); the new-side bucket frame is the same banded frame
+    # restricted to new ids — signing the union twice cost 2.1 s vs
+    # 1.2 s at sf0.1. In production bands_all is the STORED index and
+    # only the new batch is signed per run.
+    bands_all = persist_for_reuse(
+        band_buckets(
+            minhash_signatures(sh_all, id_col, "shingles", num_hashes),
+            id_col,
+            bands,
+            rows_per_band,
+        )
     )
-    bands_new = band_buckets(
-        minhash_signatures(sh_n, id_col, "shingles", num_hashes),
-        id_col,
-        bands,
-        rows_per_band,
+    bands_new = bands_all.join(
+        new.select(id_col), id_col, "leftsemi"
     )
     a = bands_all.alias("a")
     b = bands_new.alias("b")
