@@ -64,6 +64,8 @@ _PRIORITY = [
     "q110_gopher_rules",
     "q111_clustered_layout",
     "q112_incremental_dedup",
+    "q113_bpe_token_accounting",
+    "q114_ngram_language_id",
     # -- (3) r3-proven, rotating back into the hard gate
     "q03_top_orders_per_customer",
     "q04_segment_stats",
@@ -98,11 +100,11 @@ _PRIORITY = [
     "q65_ranking_windows",
     "q76_kmeans_fit",
     "q77_dbscan",
+    # -- positions 51+: r3/r4-green, code-unchanged (q82/q83 + q87/q94 +
+    # kmeans-family q42/q48/q99 + q101/q102 first in line for r6 — the
+    # seven new round-5 queries q108-q114 took their window slots)
     "q82_lsh_knn",
     "q83_logreg_predict",
-    # -- positions 51+: r3/r4-green, code-unchanged (q87/q94 +
-    # kmeans-family q42/q48/q99 + q101/q102 first in line for r6 — the
-    # five new round-5 queries q108-q112 took their window slots)
     "q87_naive_bayes_predict",
     "q94_elasticnet_vs_ols",
     "q99_kmeans_parallel_fit",

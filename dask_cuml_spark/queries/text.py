@@ -976,3 +976,169 @@ def q110_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stopword_hits") >= 2)
         ).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — BPE-ish token accounting (D4 adjacent, north-star "token counting:
+# whitespace + a BPE-ish regex"): the training-cost estimate every corpus
+# job runs before a tokenizer exists. Tokens are greedy ≤4-char subword
+# chunks via ONE regexp_extract_all over the raw text — ` ?[a-z]{1,4}`
+# keeps the leading space on the first chunk of each word the way byte-
+# level BPE vocabularies do, digit/punct classes get their own branches.
+# Leftmost-greedy alternation behaves identically in Java regex (Spark)
+# and RE2 (DuckDB), so the count is an engine-portable integer. The whole
+# query is scan → narrow per-row expressions → one partial+final agg on
+# `source` (tiny key space): at 100 TB it runs at scan speed with only
+# (text, source) read, and the ratio is derived from the two integer sums
+# AFTER aggregation, so no float-order drift.
+# ---------------------------------------------------------------------------
+_Q113_PAT = " ?[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+
+
+@register(
+    "q113_bpe_token_accounting",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS ws,
+         len(regexp_extract_all(text, '{_Q113_PAT}')) AS bpe
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS bpe_per_word
+FROM t GROUP BY source ORDER BY source
+""",
+)
+def q113_bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.array_size(tokens()).alias("ws"),
+        F.array_size(
+            F.regexp_extract_all("text", F.lit(_Q113_PAT), 0)
+        ).alias("bpe"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+        ).alias("bpe_per_word"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q114 — n-gram language identification (D5, north-star "language-ID
+# (n-gram heuristic)"): the classic char-trigram profile classifier
+# (Cavnar & Trenkle 1994, public method) run end-to-end IN the engine —
+# profile building and classification are the same declarative plan.
+#
+#   1. char trigrams per doc (explode of a transform/sequence expression —
+#      narrow, no UDF);
+#   2. per-language profile = top-50 trigrams by frequency (count desc,
+#      trigram asc tie-break) — 5 langs × 50 rows, broadcast;
+#   3. score(doc, lang) = how many of the doc's trigram INSTANCES hit that
+#      language's profile set (integer, so engine-portable);
+#   4. prediction = argmax score (lang asc tie-break), docs with no
+#      profile hit fall back to 'unk';
+#   5. output = the actual×predicted confusion matrix.
+#
+# Scale: trigram explode is ~len(text) rows but feeds straight into two
+# partial+final aggregates (profile, scores); the profile join is a
+# broadcast of 250 rows; the only real shuffles are groupBy(doc_id, lang)
+# and the argmax window on doc_id. At 100 TB the profile step runs on a
+# fixed-rate sample instead of the full corpus (same plan, sampled scan);
+# classification stays a single broadcast-join pass.
+# ---------------------------------------------------------------------------
+_Q114_TOPK = 50
+
+
+@register(
+    "q114_ngram_language_id",
+    oracle=f"""
+WITH tri AS (
+  SELECT doc_id, lang,
+         UNNEST(list_transform(generate_series(1, length(text)-2),
+                               i -> substr(text, CAST(i AS INT), 3))) AS tri
+  FROM documents
+), prof AS (
+  SELECT lang, tri FROM (
+    SELECT lang, tri,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, tri) AS rk
+    FROM tri GROUP BY lang, tri
+  ) WHERE rk <= {_Q114_TOPK}
+), score AS (
+  SELECT t.doc_id, p.lang AS cand, COUNT(*) AS s
+  FROM tri t JOIN prof p ON t.tri = p.tri
+  GROUP BY t.doc_id, p.lang
+), pred AS (
+  SELECT doc_id, cand AS lang_pred
+  FROM (SELECT doc_id, cand,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, cand) AS rk
+        FROM score) WHERE rk = 1
+)
+SELECT d.lang AS lang_actual, COALESCE(p.lang_pred, 'unk') AS lang_pred,
+       COUNT(*) AS n_docs
+FROM documents d LEFT JOIN pred p USING (doc_id)
+GROUP BY lang_actual, lang_pred ORDER BY lang_actual, lang_pred
+""",
+)
+def q114_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tri_expr = F.when(
+        F.length("text") >= 3,
+        F.expr(
+            "transform(sequence(1, length(text)-2),"
+            " i -> substring(text, i, 3))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = d.select("doc_id", "lang", F.explode(tri_expr).alias("tri"))
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.col("n").desc(), F.col("tri").asc()
+        )
+    )
+    prof = (
+        tri.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= _Q114_TOPK)
+        .select(F.col("lang").alias("cand"), "tri")
+    )
+    score = (
+        tri.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    pred_rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("s").desc(), F.col("cand").asc()
+        )
+    )
+    pred = (
+        score.withColumn("rk", pred_rk)
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand").alias("lang_pred"))
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("lang_actual"))
+        .join(pred, "doc_id", "left")
+        .select(
+            "lang_actual",
+            F.coalesce(F.col("lang_pred"), F.lit("unk")).alias("lang_pred"),
+        )
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_actual", "lang_pred")
+    )
