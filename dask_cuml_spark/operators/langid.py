@@ -1,0 +1,117 @@
+"""n-gram language identification (north-star text analysis: "language-ID
+(n-gram heuristic)") — the Cavnar & Trenkle (1994) character-n-gram
+profile classifier as reusable DataFrame operators.
+
+Public-knowledge parity: the method behind langdetect/textcat-style
+identifiers; dask-cuml ships no lang-ID, so this sits in the LLM-pipeline
+extension tier (SURVEY §2D) next to quality scoring and tokenization.
+
+Scale design (100 TB):
+  - `char_ngrams` is a narrow transform/sequence expression + explode —
+    no UDF, runs inside whole-stage codegen at scan speed.
+  - `build_profiles` feeds the explode into ONE partial+final aggregate
+    on (label, ngram); at corpus scale you build profiles from a
+    fixed-rate deterministic sample (`sample_ppm`) — a per-row predicate
+    on a multiplicative hash of the id column, so the sample (and hence
+    the profile) is bit-reproducible across runs and engines, with no
+    extra shuffle. Profiles are topk×n_labels rows → always broadcast.
+  - `classify` is a single broadcast-join pass over the exploded n-grams
+    followed by two key-local aggregates; integer match-count scores keep
+    the argmax engine-portable (no float-order drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Knuth multiplicative constant (fits BIGINT) — same deterministic
+# sampling family as queries/text.py q109.
+_MULT = 2654435761
+
+
+def char_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Explode ``text_col`` into overlapping character n-grams.
+
+    One row per n-gram INSTANCE (multiplicity preserved — profile counts
+    and classification scores both want frequencies, not sets). Documents
+    shorter than ``n`` characters produce no rows.
+    """
+    grams = F.when(
+        F.length(text_col) >= n,
+        F.expr(
+            f"transform(sequence(1, length({text_col})-{n - 1}),"
+            f" i -> substring({text_col}, i, {n}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(*keep_cols, F.explode(grams).alias("ngram"))
+
+
+def build_profiles(
+    ngrams: DataFrame,
+    label_col: str = "lang",
+    topk: int = 50,
+    sample_ppm: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-label top-``topk`` n-gram profile → (label, ngram) rows.
+
+    Deterministic ordering: frequency desc, n-gram asc — ties never
+    depend on partitioning. With ``sample_ppm`` set (parts per 2^20),
+    profiles are built from the deterministic multiplicative-hash sample
+    of ``id_col`` — the 100 TB path: profile quality saturates long
+    before full-corpus counts, so the heavy explode runs on a fixed
+    fraction while classification still covers every document.
+    """
+    if sample_ppm is not None:
+        bucket = F.pmod(F.col(id_col) * F.lit(_MULT), F.lit(1 << 20))
+        ngrams = ngrams.filter(bucket < F.lit(sample_ppm))
+    rk = F.row_number().over(
+        Window.partitionBy(label_col).orderBy(
+            F.col("n").desc(), F.col("ngram").asc()
+        )
+    )
+    return (
+        ngrams.groupBy(label_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= topk)
+        .select(F.col(label_col).alias("cand"), "ngram")
+    )
+
+
+def classify(
+    ngrams: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    default: str = "unk",
+) -> DataFrame:
+    """Predict a label per document: (id_col, lang_pred, score).
+
+    score(doc, label) = number of the doc's n-gram instances that hit the
+    label's profile set; argmax with label-asc tie-break. Documents whose
+    n-grams miss every profile are absent — callers left-join and
+    coalesce to ``default`` (kept as an explicit parameter so the
+    contract is visible).
+    """
+    score = (
+        ngrams.join(F.broadcast(profiles), "ngram")
+        .groupBy(id_col, "cand")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("s").desc(), F.col("cand").asc()
+        )
+    )
+    return (
+        score.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("cand").alias("lang_pred"), F.col("s").alias("score"))
+    )

@@ -1095,42 +1095,16 @@ GROUP BY lang_actual, lang_pred ORDER BY lang_actual, lang_pred
 """,
 )
 def q114_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.langid import (
+        build_profiles,
+        char_ngrams,
+        classify,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    tri_expr = F.when(
-        F.length("text") >= 3,
-        F.expr(
-            "transform(sequence(1, length(text)-2),"
-            " i -> substring(text, i, 3))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tri = d.select("doc_id", "lang", F.explode(tri_expr).alias("tri"))
-    rk = F.row_number().over(
-        Window.partitionBy("lang").orderBy(
-            F.col("n").desc(), F.col("tri").asc()
-        )
-    )
-    prof = (
-        tri.groupBy("lang", "tri")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rk", rk)
-        .filter(F.col("rk") <= _Q114_TOPK)
-        .select(F.col("lang").alias("cand"), "tri")
-    )
-    score = (
-        tri.join(F.broadcast(prof), "tri")
-        .groupBy("doc_id", "cand")
-        .agg(F.count(F.lit(1)).alias("s"))
-    )
-    pred_rk = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy(
-            F.col("s").desc(), F.col("cand").asc()
-        )
-    )
-    pred = (
-        score.withColumn("rk", pred_rk)
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("cand").alias("lang_pred"))
-    )
+    tri = char_ngrams(d, "text", n=3, keep_cols=("doc_id", "lang"))
+    prof = build_profiles(tri, "lang", topk=_Q114_TOPK)
+    pred = classify(tri, prof).drop("score")
     return (
         d.select("doc_id", F.col("lang").alias("lang_actual"))
         .join(pred, "doc_id", "left")

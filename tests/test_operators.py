@@ -784,3 +784,49 @@ def test_q02_eager_agg_both_shapes_agree(spark, monkeypatch):
     monkeypatch.setattr(rel, "_Q02_EAGER_AGG_MIN_ORDERS_BYTES", 0)
     eager = {tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()}
     assert direct == eager and len(direct) > 0
+
+
+# ---------------------------------------------------------------------------
+# langid operators (round 5): sampled-profile determinism + classify
+# contract (operators/langid.py).
+# ---------------------------------------------------------------------------
+def test_langid_sampled_profile_deterministic_and_full_equiv(spark):
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.langid import build_profiles, char_ngrams
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tri = char_ngrams(d, "text", n=3, keep_cols=("doc_id", "lang"))
+    # full-rate sample (2^20 ppm) must equal the unsampled profile —
+    # the scale path degrades to identity when the sample covers all.
+    full = build_profiles(tri, "lang", topk=20)
+    sampled_all = build_profiles(tri, "lang", topk=20, sample_ppm=1 << 20)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, sampled_all.collect())
+    )
+    # half-rate sample is bit-reproducible across invocations (hash
+    # predicate, no RNG) and keeps the (label, ngram) schema.
+    s1 = sorted(map(tuple, build_profiles(tri, "lang", topk=20, sample_ppm=1 << 19).collect()))
+    s2 = sorted(map(tuple, build_profiles(tri, "lang", topk=20, sample_ppm=1 << 19).collect()))
+    assert s1 == s2 and len(s1) > 0
+
+
+def test_langid_classify_score_and_default_contract(spark):
+    from dask_cuml_spark.operators.langid import (
+        build_profiles,
+        char_ngrams,
+        classify,
+    )
+
+    rows = [
+        (0, "aaaa bbbb", "x"),
+        (1, "aaaa aaaa", "x"),
+        (2, "cccc dddd", "y"),
+        (3, "zz", "y"),  # shorter than n=4 → no ngrams → absent from preds
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    tri = char_ngrams(d, "text", n=4, keep_cols=("doc_id", "lang"))
+    prof = build_profiles(tri, "lang", topk=3)
+    preds = {r.doc_id: (r.lang_pred, r.score) for r in classify(tri, prof).collect()}
+    assert preds[1][0] == "x"  # pure-a doc hits x's profile hardest
+    assert 3 not in preds  # too-short doc: caller coalesces to default
+    assert all(s > 0 for _, s in preds.values())

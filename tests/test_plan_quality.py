@@ -157,3 +157,22 @@ def test_q105_funnel_two_scan_shape(spark):
         if line.rstrip().endswith(" parquet")
     )
     assert 1 <= n_scans <= 2, f"{n_scans} parquet scans:\n" + plan[:800]
+
+
+def test_q113_scan_prunes_to_text_and_source(spark):
+    # The BPE accounting pass must read only (text, source) — at 100 TB
+    # the documents table carries wide metadata columns; reading them
+    # would turn a scan-speed pass into an IO-bound one.
+    plan = _plan(spark, "q113_bpe_token_accounting")
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" in read and "source" in read, read
+    assert "doc_id" not in read and "n_chars" not in read, read
+
+
+def test_q114_profile_join_is_broadcast(spark):
+    # The 250-row language profile must broadcast; a shuffle join here
+    # would re-shuffle the full trigram explode (~len(text) rows/doc) on
+    # a 3-char key — the classic small-dim-join mistake at scale.
+    plan = _plan(spark, "q114_ngram_language_id")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
