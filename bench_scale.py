@@ -76,6 +76,10 @@ TABLES_FOR = {
     "q108_semantic_dedup": {"embeddings"},
     "q109_stratified_sample": {"documents"},
     "q110_gopher_rules": {"documents"},
+    "q111_clustered_layout": {"orders"},
+    "q112_incremental_dedup": {"documents"},
+    "q113_bpe_token_accounting": {"documents"},
+    "q114_ngram_language_id": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -42,15 +42,27 @@ def char_ngrams(
     One row per n-gram INSTANCE (multiplicity preserved — profile counts
     and classification scores both want frequencies, not sets). Documents
     shorter than ``n`` characters produce no rows.
+
+    Shape: explode an INT index sequence first, then substring on the
+    exploded rows — all inside one whole-stage-codegen span. Building a
+    per-row array<string> of the n-grams and exploding that is the
+    "obvious" formulation but measured 30× slower at 10× scale (12.4 s
+    vs 0.4 s for 14.7M trigrams): the array materializes ~len(text)
+    UTF8Strings per row into an unsafe array before the generate, while
+    the index-explode streams one substring per output row and never
+    materializes anything doc-sized.
     """
-    grams = F.when(
-        F.length(text_col) >= n,
-        F.expr(
-            f"transform(sequence(1, length({text_col})-{n - 1}),"
-            f" i -> substring({text_col}, i, {n}))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(*keep_cols, F.explode(grams).alias("ngram"))
+    idx = F.explode(
+        F.expr(f"sequence(1, length({text_col})-{n - 1})")
+    ).alias("_i")
+    # pre-filter instead of an empty-array guard: Spark's sequence(1, 0)
+    # counts DOWN ([1, 0]), so a too-short doc must never reach it.
+    return df.filter(F.length(text_col) >= n).select(
+        *keep_cols, text_col, idx
+    ).select(
+        *keep_cols,
+        F.expr(f"substring({text_col}, _i, {n})").alias("ngram"),
+    )
 
 
 def build_profiles(

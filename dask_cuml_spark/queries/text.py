@@ -1102,7 +1102,18 @@ def q114_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    tri = char_ngrams(d, "text", n=3, keep_cols=("doc_id", "lang"))
+    # Same single-row-group fixture trap as q110: the trigram explode and
+    # both downstream aggregates inherit the scan's partitioning, and one
+    # partition serializes ~len(text) rows/doc of work onto one core
+    # (measured 31 s at 10× — 11 s profile agg + 19 s scoring join, all
+    # single-task). At deployment scale the scan has many splits and this
+    # repartition is a no-op-sized shuffle.
+    tri = char_ngrams(
+        d.repartition(spark.sparkContext.defaultParallelism),
+        "text",
+        n=3,
+        keep_cols=("doc_id", "lang"),
+    )
     prof = build_profiles(tri, "lang", topk=_Q114_TOPK)
     pred = classify(tri, prof).drop("score")
     return (
