@@ -209,6 +209,12 @@ SKIP_DUCK_ABOVE = {
     # Θ(Σ|cluster|²) pairs: 6.4 s at 10×, quadratic per cluster → ~11 min
     # at 100× while the grouped GEMM finishes in seconds
     "q108_semantic_dedup": 10,
+    # oracle verifies the incremental near-dup by an exact shingle-
+    # intersection join of new x corpus: 20.5 s at 10x and superlinear in
+    # the candidate cross-section -> skipped beyond 10x while the banded
+    # Spark side (new-side bands semi-joined against the corpus index)
+    # stays minutes-free at any factor
+    "q112_incremental_dedup": 10,
 }
 
 # Tail rows whose DuckDB "oracle" is an O(1) invariant check (q76/q82:
@@ -229,6 +235,11 @@ ORACLE_NOT_COMPARABLE = {
         "oracle is batch interval-join SQL; Spark side times the full "
         "micro-batch streaming harness — row records Spark-side "
         "scaling only"
+    ),
+    "q111_clustered_layout": (
+        "Spark side WRITES the range-clustered parquet copy and reads "
+        "it back (the operator under test); oracle only filters the "
+        "source table — row records Spark-side scaling only"
     ),
 }
 
