@@ -55,24 +55,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session is GC'd, which would serve plans bound to a dead session
         key = (spark.sparkContext.applicationId, sf_dir, name)
         if key not in _TABLE_CACHE:
-            df = _load_table_uncached(spark, sf_dir, name)
-            # The fixture files are ONE row group each, so the scan —
-            # and therefore every narrow stage of every cached-table
-            # query (explodes, per-row expressions, map-side partial
-            # aggs) — would run as a single task on one core. Real
-            # deployments read many files/row groups and never see
-            # this; locally, spread fact tables across the cores ONCE
-            # at cache-materialization time so the whole suite's
-            # pre-shuffle work is parallel. Dimension tables stay as-is
-            # (broadcast sides; a 5-row region table in 32 partitions
-            # is pure task overhead).
-            par = spark.sparkContext.defaultParallelism
-            if (
-                name not in ("region", "nation", "supplier", "part")
-                and df.rdd.getNumPartitions() < par
-            ):
-                df = df.repartition(par)
-            df = df.cache()
+            # NOTE (round 5): the fixture files are ONE row group each,
+            # so this cached frame is 1-2 partitions and narrow stages
+            # run near-serial. A suite-wide repartition-to-cores here
+            # was tried and MEASURED A NET LOSS at sf0.1 (+0.3-0.5 s on
+            # nearly every query: 32-way task overhead dwarfs the CPU
+            # gain when a stage's work is sub-100 ms; suite 39.4 →
+            # 69.0 s). Only explode-heavy passes win, and those
+            # repartition inside the query (q110, q114). At deployment
+            # scale the scan has many splits and none of this applies.
+            df = _load_table_uncached(spark, sf_dir, name).cache()
             df.count()  # materialize once
             _TABLE_CACHE[key] = df
         return _TABLE_CACHE[key]

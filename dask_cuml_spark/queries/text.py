@@ -1,6 +1,8 @@
 """Text analysis + deduplication (SURVEY.md §2D D1/D2/D4/D5, §2A A11/A14):
 tokenization, tf-idf, top-terms, exact dedup, n-gram Jaccard near-dup,
-language/source slicing, quality scoring, naive-bayes decomposition.
+language/source slicing, quality scoring, naive-bayes decomposition,
+stratified sampling, Gopher quality rules, BPE-ish token accounting,
+n-gram language identification.
 
 Reference parity: cuml.dask feature_extraction.text (CountVectorizer/TFIDF)
 [SURVEY §2A A14] and the north-star LLM-pipeline dedup/text ops.

@@ -379,22 +379,3 @@ def test_cluster_write_enables_row_group_pruning(spark, tmp_path):
     )
     assert a == b and len(a) > 0
 
-
-def test_cached_fact_tables_are_parallelized(spark):
-    # Round-5 suite-wide fix: the fixture parquets are ONE row group, so
-    # an uncached scan (and previously the bench's shared cached frame)
-    # is a single partition — every narrow stage of every query ran on
-    # one core (q114 measured 31 s at 10× purely from this). The bench
-    # cache must spread fact tables across cores once at materialization
-    # time; dimension tables stay whole (broadcast sides).
-    from dask_cuml_spark.io import enable_table_cache
-
-    enable_table_cache(True)
-    try:
-        par = spark.sparkContext.defaultParallelism
-        facts = load_table(spark, SF, "documents")
-        assert facts.rdd.getNumPartitions() >= min(par, 8)
-        dim = load_table(spark, SF, "nation")
-        assert dim.rdd.getNumPartitions() <= 2
-    finally:
-        enable_table_cache(False)
