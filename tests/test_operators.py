@@ -830,3 +830,19 @@ def test_langid_classify_score_and_default_contract(spark):
     assert preds[1][0] == "x"  # pure-a doc hits x's profile hardest
     assert 3 not in preds  # too-short doc: caller coalesces to default
     assert all(s > 0 for _, s in preds.values())
+
+
+def test_langid_classify_strategies_agree(spark):
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.langid import (
+        build_profiles,
+        char_ngrams,
+        classify,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tri = char_ngrams(d, "text", n=3, keep_cols=("doc_id", "lang"))
+    prof = build_profiles(tri, "lang", topk=50)
+    a = sorted(map(tuple, classify(tri, prof, strategy="join").collect()))
+    b = sorted(map(tuple, classify(tri, prof, strategy="pivot").collect()))
+    assert a == b and len(a) > 0

@@ -169,10 +169,16 @@ def test_q113_scan_prunes_to_text_and_source(spark):
     assert "doc_id" not in read and "n_chars" not in read, read
 
 
-def test_q114_profile_join_is_broadcast(spark):
-    # The 250-row language profile must broadcast; a shuffle join here
-    # would re-shuffle the full trigram explode (~len(text) rows/doc) on
-    # a 3-char key — the classic small-dim-join mistake at scale.
+def test_q114_pivot_scoring_plan_shape(spark):
+    # The pivot classify path must keep its shape: per-label profile
+    # membership as INSET probes feeding a partial+final aggregate on
+    # doc_id (ONE shuffle for the whole scoring pass — no join
+    # row-expansion, no argmax window), and the small prediction side
+    # broadcast to the documents join. A shuffle join or window here
+    # re-shuffles the full trigram explode (~len(text) rows/doc).
     plan = _plan(spark, "q114_ngram_language_id")
+    assert "INSET" in plan
+    assert plan.count("partial_sum") >= 1
     assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
