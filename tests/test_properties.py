@@ -181,3 +181,65 @@ def test_simhash_swar_matches_naive_bit_votes(spark, docs):
         if sig >= 1 << 63:
             sig -= 1 << 64
         assert got[doc_id] == sig, (doc_id, got[doc_id], sig)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab xyz",  # spaces included → multi-word shapes
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(deadline=None, max_examples=25)
+def test_char_ngrams_matches_python_reference(spark, texts, n):
+    """The index-explode n-gram formulation must emit exactly the
+    overlapping substrings, with multiplicity, in any alphabet —
+    including texts shorter than n (no rows) and runs of spaces
+    (n-grams span word boundaries by design: Cavnar-Trenkle profiles
+    keep boundary grams)."""
+    from dask_cuml_spark.operators.langid import char_ngrams
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.ngram)
+        for r in char_ngrams(df, "text", n=n).collect()
+    )
+    want = sorted(
+        (i, t[j : j + n])
+        for i, t in rows
+        for j in range(max(len(t) - n + 1, 0))
+    )
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xy", min_size=3, max_size=24),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(deadline=None, max_examples=15)
+def test_langid_pivot_equals_join_strategy(spark, texts):
+    """classify's two physical strategies (driver-collected INSET pivot
+    vs broadcast-join + argmax window) must agree on every prediction
+    and score for ANY corpus, including all-tie and no-hit documents."""
+    from dask_cuml_spark.operators.langid import (
+        build_profiles,
+        char_ngrams,
+        classify,
+    )
+
+    rows = [(i, t, "l" + str(i % 2)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    tri = char_ngrams(df, "text", n=3, keep_cols=("doc_id", "lang"))
+    prof = build_profiles(tri, "lang", topk=5)
+    a = sorted(map(tuple, classify(tri, prof, strategy="join").collect()))
+    b = sorted(map(tuple, classify(tri, prof, strategy="pivot").collect()))
+    assert a == b
