@@ -846,3 +846,27 @@ def test_langid_classify_strategies_agree(spark):
     a = sorted(map(tuple, classify(tri, prof, strategy="join").collect()))
     b = sorted(map(tuple, classify(tri, prof, strategy="pivot").collect()))
     assert a == b and len(a) > 0
+
+
+def test_resize_images_roundtrip(spark):
+    """resize_images must decode real PNG bytes, nearest-neighbor
+    downsample on the deterministic integer grid, and re-encode PNGs the
+    pure-Python decoder inverts — end-to-end through mapInPandas."""
+    from dask_cuml_spark.operators.multimodal import (
+        _png_decode,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, (12, 9), dtype=np.uint8) for i in range(4)}
+    rows = [(i, bytearray(_encode_png(a))) for i, a in imgs.items()]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r.doc_id: r for r in resize_images(df, 4, 5).collect()}
+    assert set(out) == set(imgs)
+    for i, arr in imgs.items():
+        r = out[i]
+        assert (r.width, r.height) == (4, 5)
+        got = _png_decode(bytes(r.payload))
+        ys = (np.arange(5) * 12) // 5
+        xs = (np.arange(4) * 9) // 4
+        assert np.array_equal(got, arr[ys][:, xs])
