@@ -131,6 +131,10 @@ def classify(
     if strategy == "pivot":
         rows = profiles.collect()
         langs = sorted({r["cand"] for r in rows})
+        if not langs:  # empty profile → no doc can score a hit
+            return ngrams.sparkSession.createDataFrame(
+                [], f"{id_col} long, lang_pred string, score long"
+            )
         sets = {
             lang: [r["ngram"] for r in rows if r["cand"] == lang]
             for lang in langs
