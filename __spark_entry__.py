@@ -25,7 +25,9 @@ from dask_cuml_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return _shipped(QUERIES["q01_pricing_summary"])(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
@@ -115,13 +117,27 @@ _PRIORITY = [
 ]
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query so the package is shipped to executor Python workers
+    before any UDF-bearing plan runs — the driver controls the session
+    and may launch us from any cwd (see session.ensure_worker_code)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dask_cuml_spark.session import ensure_worker_code
+
+        ensure_worker_code(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's correctness window covers driver-unproven queries first."""
-    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    ordered = {n: _shipped(QUERIES[n]) for n in _PRIORITY if n in QUERIES}
     for n, fn in QUERIES.items():
         if n not in ordered:
-            ordered[n] = fn
+            ordered[n] = _shipped(fn)
     return ordered
 
 

@@ -69,3 +69,43 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_worker_code(spark: SparkSession) -> None:
+    """Make the package importable inside executor Python workers
+    regardless of the driver process's cwd/sys.path.
+
+    The driver owns the SparkSession (driver contract), so we cannot
+    rely on spark.submit.pyFiles or PYTHONPATH having been set: any
+    operator whose mapInPandas/pandas_udf closure references this
+    package (e.g. the grouped-GEMM kernel) would fail to unpickle on a
+    worker launched from a different working directory. Shipping the
+    package once per application via addPyFile is the standard Spark
+    mechanism (equivalent to --py-files) and a no-op when workers can
+    already import it."""
+    key = spark.sparkContext.applicationId
+    if key in _SHIPPED:
+        return
+    import zipfile
+
+    import dask_cuml_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(dask_cuml_spark.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"dcs_pkg_{key}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(
+                            full, os.path.dirname(pkg_dir)
+                        )
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)

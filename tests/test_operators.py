@@ -870,3 +870,27 @@ def test_resize_images_roundtrip(spark):
         ys = (np.arange(5) * 12) // 5
         xs = (np.arange(4) * 9) // 4
         assert np.array_equal(got, arr[ys][:, xs])
+
+
+def test_ensure_worker_code_ships_package_zip(spark):
+    """The driver contract must work from ANY cwd: queries() wraps every
+    callable with ensure_worker_code, which ships the package to executor
+    Python workers via addPyFile (q108's grouped-GEMM kernel failed to
+    unpickle on workers when the driver ran outside /root/repo).
+    Idempotent per application."""
+    import os
+    import tempfile
+
+    from dask_cuml_spark.session import _SHIPPED, ensure_worker_code
+
+    ensure_worker_code(spark)
+    key = spark.sparkContext.applicationId
+    assert key in _SHIPPED
+    zpath = os.path.join(tempfile.gettempdir(), f"dcs_pkg_{key}.zip")
+    assert os.path.exists(zpath)
+    import zipfile
+
+    with zipfile.ZipFile(zpath) as z:
+        names = z.namelist()
+    assert "dask_cuml_spark/operators/gemm.py" in names
+    ensure_worker_code(spark)  # second call: no error, still shipped
