@@ -48,14 +48,42 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     return df.withColumn("shingles", F.array_distinct(sh))
 
 
+def hashed_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """``shingles`` pre-compressed to xxhash64 longs (array<long>).
+
+    The MinHash family never needs the shingle TEXT — signatures hash
+    each shingle anyway, and exact-Jaccard verification is intersection
+    arithmetic, which is hash-invariant (the 2^-64 collision risk is
+    the same one minhash_signatures already accepts, and the one
+    exact_dedup stakes on its text-hash group key). Persisting the
+    hashed frame instead of the string frame is the point: a shingle
+    set is ~8 bytes/shingle instead of the n-word text, so the
+    multi-consumer persist in the incremental/near-dup pipelines
+    shrinks ~3× (q112 at 100×: the shingle persist was 16.4 s of the
+    30 s instrumented total)."""
+    sh = shingles(df, text_col, n)
+    return sh.withColumn(
+        "shingles",
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     shingle_col: str = "shingles",
     num_hashes: int = 36,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """(id, sig[num_hashes]): sig_i = min over shingles of
     xxhash64(pre_hash(shingle), i).
+
+    pre_hashed=True declares the shingle column already holds the
+    xxhash64 longs (hashed_shingles) — the string hashing step is
+    skipped and the explode carries longs straight into the k-min
+    aggregate.
 
     Shingles are exploded once and the k minima run as ONE partial+final
     aggregate (codegen, map-side combine) — measured faster than k
@@ -72,7 +100,11 @@ def minhash_signatures(
     8-byte long instead of the shingle text."""
     exploded = df.select(
         id_col, F.explode(F.col(shingle_col)).alias("_sh")
-    ).select(id_col, F.xxhash64("_sh").alias("_h"))
+    )
+    if pre_hashed:
+        exploded = exploded.select(id_col, F.col("_sh").alias("_h"))
+    else:
+        exploded = exploded.select(id_col, F.xxhash64("_sh").alias("_h"))
     agg = exploded.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_h{i}")
@@ -197,11 +229,13 @@ def minhash_near_dup(
     from dask_cuml_spark.plans.cost import persist_for_reuse
 
     sh = persist_for_reuse(
-        shingles(df.select(id_col, text_col), text_col, n).select(
+        hashed_shingles(df.select(id_col, text_col), text_col, n).select(
             id_col, "shingles"
         )
     )
-    sigs = minhash_signatures(sh, id_col, "shingles", num_hashes)
+    sigs = minhash_signatures(
+        sh, id_col, "shingles", num_hashes, pre_hashed=True
+    )
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, num_hashes // bands
     )
@@ -370,12 +404,12 @@ def minhash_incremental(
     rows_per_band = num_hashes // bands
     from dask_cuml_spark.plans.cost import persist_for_reuse
 
-    sh_c = shingles(corpus.select(id_col, text_col), text_col, n).select(
-        id_col, "shingles"
-    )
-    sh_n = shingles(new.select(id_col, text_col), text_col, n).select(
-        id_col, "shingles"
-    )
+    sh_c = hashed_shingles(
+        corpus.select(id_col, text_col), text_col, n
+    ).select(id_col, "shingles")
+    sh_n = hashed_shingles(
+        new.select(id_col, text_col), text_col, n
+    ).select(id_col, "shingles")
     sh_all = persist_for_reuse(sh_c.unionByName(sh_n))
     # ONE signature pass (the explode+36-min aggregate is the heavy
     # stage); the new-side bucket frame is the same banded frame
@@ -384,7 +418,9 @@ def minhash_incremental(
     # only the new batch is signed per run.
     bands_all = persist_for_reuse(
         band_buckets(
-            minhash_signatures(sh_all, id_col, "shingles", num_hashes),
+            minhash_signatures(
+                sh_all, id_col, "shingles", num_hashes, pre_hashed=True
+            ),
             id_col,
             bands,
             rows_per_band,
