@@ -61,12 +61,32 @@ def hashed_shingles(
     hashed frame instead of the string frame is the point: a shingle
     set is ~8 bytes/shingle instead of the n-word text, so the
     multi-consumer persist in the incremental/near-dup pipelines
-    shrinks ~3× (q112 at 100×: the shingle persist was 16.4 s of the
-    30 s instrumented total)."""
-    sh = shingles(df, text_col, n)
-    return sh.withColumn(
-        "shingles",
-        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)),
+    shrinks ~3× (8 bytes/shingle vs the n-word text).
+
+    Construction is posexplode(tokens) → lead window → multi-arg
+    xxhash64 → collect_set, NOT an array lambda: higher-order
+    transforms are interpreted (CodegenFallback) and measured 17-25 s
+    for 26M shingles at 100× vs ~4-6 s for this shape — the explode,
+    lead, hash and set-agg all stay in codegen, and the groupBy reuses
+    the window's hash partitioning on the id (one shuffle total).
+    Word-tuple identity is hashed directly (xxhash64 skips trailing
+    NULL leads, so a document shorter than n words contributes its
+    single whole-text shingle, exactly like ``shingles``); two shingles
+    are equal iff their word tuples are equal, so Jaccard over these
+    sets equals Jaccard over the string sets."""
+    tok = df.select(
+        "*", F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_w")
+    ).drop(text_col)
+    other = [c for c in tok.columns if c not in ("_pos", "_w")]
+    w = Window.partitionBy(*other).orderBy("_pos")
+    leads = [F.lead("_w", k).over(w) for k in range(1, n)]
+    keep = (F.col("_pos") == 0) | leads[-1].isNotNull()
+    hashed = tok.select(
+        *other,
+        F.when(keep, F.xxhash64("_w", *leads)).alias("_h"),
+    ).filter(F.col("_h").isNotNull())
+    return hashed.groupBy(*other).agg(
+        F.collect_set("_h").alias("shingles")
     )
 
 
