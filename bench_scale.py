@@ -78,6 +78,7 @@ TABLES_FOR = {
     "q110_gopher_rules": {"documents"},
     "q111_clustered_layout": {"orders"},
     "q112_incremental_dedup": {"documents"},
+    "q103_simhash_near_dup": {"documents"},
     "q113_bpe_token_accounting": {"documents"},
     "q114_ngram_language_id": {"documents"},
 }
@@ -265,6 +266,12 @@ ORACLE_NOT_COMPARABLE = {
         "oracle is batch interval-join SQL; Spark side times the full "
         "micro-batch streaming harness — row records Spark-side "
         "scaling only"
+    ),
+    "q103_simhash_near_dup": (
+        "oracle is an invariant check (exact dups at hamming 0 — "
+        "sub-0.1 s at every factor); row records the Spark side's "
+        "near-linear scaling of the full banded SimHash (1.6 s at 1x "
+        "-> 3.5 s at 100x)"
     ),
     "q111_clustered_layout": (
         "Spark side WRITES the range-clustered parquet copy and reads "
