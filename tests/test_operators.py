@@ -894,3 +894,27 @@ def test_ensure_worker_code_ships_package_zip(spark):
         names = z.namelist()
     assert "dask_cuml_spark/operators/gemm.py" in names
     ensure_worker_code(spark)  # second call: no error, still shipped
+
+
+def test_ivf_search_strategies_agree(spark):
+    """The cogrouped-GEMM distance path must reproduce the expression
+    path's exact (dist², id)-ordered top-k, ties included — per-cell
+    pruning at the k-th boundary is the subtle part."""
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.ivf import IVFIndex
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    idx = IVFIndex(n_cells=4, kmeans_iters=2).fit(e)
+    a = sorted(
+        map(tuple, idx.search(q, 4, 4, strategy="expr")
+            .select("query_id", "neighbor_id", "rk").collect())
+    )
+    b = sorted(
+        map(tuple, idx.search(q, 4, 4, strategy="gemm")
+            .select("query_id", "neighbor_id", "rk").collect())
+    )
+    assert a == b and len(a) > 0
