@@ -79,6 +79,7 @@ TABLES_FOR = {
     "q111_clustered_layout": {"orders"},
     "q112_incremental_dedup": {"documents"},
     "q103_simhash_near_dup": {"documents"},
+    "q47_ivf_search_full_probe": {"embeddings"},
     "q113_bpe_token_accounting": {"documents"},
     "q114_ngram_language_id": {"documents"},
 }
