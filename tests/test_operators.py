@@ -918,3 +918,40 @@ def test_ivf_search_strategies_agree(spark):
             .select("query_id", "neighbor_id", "rk").collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_q113_pattern_portable_across_engines(spark):
+    """q113's oracle parity rests on Java regex (Spark) and RE2 (DuckDB)
+    producing identical leftmost-greedy matches for the BPE-ish pattern.
+    The fixture is lowercase+space today; this tripwire proves the
+    equivalence over digits, punctuation, uppercase and unicode too, so
+    a fixture regeneration cannot silently split the engines."""
+    import duckdb
+
+    from dask_cuml_spark.queries.text import _Q113_PAT
+
+    texts = [
+        "",
+        "plain words here",
+        "numbers 123 mixed456with letters",
+        "punct! marks? and--dashes",
+        "UPPER Case MiXeD",
+        "unicode héllo wörld 中文 text",
+        "a" * 9 + " " + "b" * 3,
+        "  leading and  double  spaces ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got_spark = {
+        r.i: list(r.toks)
+        for r in df.select(
+            "i", F.regexp_extract_all("t", F.lit(_Q113_PAT), 0).alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        i: con.execute(
+            "SELECT regexp_extract_all(?, ?)", [t, _Q113_PAT]
+        ).fetchone()[0]
+        for i, t in enumerate(texts)
+    }
+    assert got_spark == got_duck
