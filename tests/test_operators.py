@@ -955,3 +955,30 @@ def test_q113_pattern_portable_across_engines(spark):
         for i, t in enumerate(texts)
     }
     assert got_spark == got_duck
+
+
+def test_q114_trigrams_portable_across_engines(spark):
+    """q114's parity needs substring (Spark) and substr+generate_series
+    (DuckDB) to agree on code-point indexing — including multi-byte
+    UTF-8, where byte-based slicing would diverge."""
+    import duckdb
+
+    from dask_cuml_spark.operators.langid import char_ngrams
+
+    texts = ["abcd", "héllo wörld", "中文文本测试", "ab", "ñaña", "aé中b"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "t"])
+    got_spark = sorted(
+        (r.doc_id, r.ngram)
+        for r in char_ngrams(df, "t", n=3, keep_cols=("doc_id",)).collect()
+    )
+    con = duckdb.connect()
+    got_duck = sorted(
+        (i, g)
+        for i, t in enumerate(texts)
+        for (g,) in con.execute(
+            "SELECT UNNEST(list_transform(generate_series(1, length(?)-2),"
+            " i -> substr(?, CAST(i AS INT), 3)))",
+            [t, t],
+        ).fetchall()
+    )
+    assert got_spark == got_duck
