@@ -68,6 +68,13 @@ _PRIORITY = [
     "q112_incremental_dedup",
     "q113_bpe_token_accounting",
     "q114_ngram_language_id",
+    # streaming state-partition sizing changed late in round 5
+    # (auto_state_partitions) — changed code re-enters the hard gate
+    "q70_stream_sessionization",
+    "q71_stream_hourly_counts",
+    "q79_stream_stateful_totals",
+    "q93_stream_stream_join",
+    "q98_stream_dedup",
     # -- (3) r3-proven, rotating back into the hard gate
     "q03_top_orders_per_customer",
     "q04_segment_stats",
@@ -95,16 +102,18 @@ _PRIORITY = [
     "q47_ivf_search_full_probe",
     "q50_feature_stats",
     "q51_ols_fit",
+    "q76_kmeans_fit",
+    "q77_dbscan",
+    # -- positions 51+: r3/r4-green, code-unchanged (q52/q53/q54/q55/q65
+    # displaced by the five late-round-5-changed streaming queries;
+    # q82/q83 + q87/q94 + kmeans-family q42/q48/q99 + q101/q102 first in
+    # line for r6 — the seven new round-5 queries q108-q114 took their
+    # window slots)
     "q52_ridge_fit",
     "q53_standard_scaler",
     "q54_minmax_scaler",
     "q55_corr_cov_matrix",
     "q65_ranking_windows",
-    "q76_kmeans_fit",
-    "q77_dbscan",
-    # -- positions 51+: r3/r4-green, code-unchanged (q82/q83 + q87/q94 +
-    # kmeans-family q42/q48/q99 + q101/q102 first in line for r6 — the
-    # seven new round-5 queries q108-q114 took their window slots)
     "q82_lsh_knn",
     "q83_logreg_predict",
     "q87_naive_bayes_predict",
