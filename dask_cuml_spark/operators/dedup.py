@@ -12,8 +12,11 @@ minhash_signatures / minhash_lsh_candidates / minhash_near_dup —
 simhash          — 64-bit SimHash over token hashes (majority bit vote),
                    hamming-distance candidate pairs.
 
-MinHash/SimHash signatures are engine-specific (xxhash64 seeds), so these
-are ROWS-checked + golden-set pytest, not DuckDB-oracled (SURVEY §2D D2).
+The signatures are engine-specific (xxhash64 seeds) but the OUTPUTS are
+not: q78/q105/q112 carry full-value DuckDB oracles that recompute the
+exact shingle-Jaccard pair sets (LSH recall proven on every run; margin
+tripwire in tests/test_lsh_margin.py), and q103's oracle pins the
+SimHash invariant that exact duplicates collide at hamming 0.
 """
 
 from __future__ import annotations
