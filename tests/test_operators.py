@@ -982,3 +982,38 @@ def test_q114_trigrams_portable_across_engines(spark):
         ).fetchall()
     )
     assert got_spark == got_duck
+
+
+def test_hashed_shingles_jaccard_equals_string_shingles(spark):
+    """hashed_shingles replaces shingle STRINGS with word-tuple hashes;
+    the contract is that pairwise Jaccard is unchanged — including the
+    subtle cases: documents shorter than n words (single whole-text
+    shingle via xxhash64's trailing-NULL skip), repeated shingles
+    (set semantics), and empty-ish docs."""
+    from itertools import combinations
+
+    from dask_cuml_spark.operators.dedup import hashed_shingles, shingles
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d e"),          # exact dup of 0
+        (2, "b c d e f"),          # overlapping shingles
+        (3, "a b"),                # shorter than n=3 → one shingle
+        (4, "a b"),                # dup of the short doc
+        (5, "x"),                  # single word
+        (6, "a b c a b c a b c"),  # repeated shingles → set semantics
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairwise(frame):
+        sets = {
+            r.doc_id: frozenset(r.shingles) for r in frame.collect()
+        }
+        return {
+            (i, j): len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            for i, j in combinations(sorted(sets), 2)
+        }
+
+    via_strings = pairwise(shingles(df, "text", 3).select("doc_id", "shingles"))
+    via_hashes = pairwise(hashed_shingles(df, "text", 3).select("doc_id", "shingles"))
+    assert via_strings == via_hashes
