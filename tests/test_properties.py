@@ -243,3 +243,41 @@ def test_langid_pivot_equals_join_strategy(spark, texts):
     a = sorted(map(tuple, classify(tri, prof, strategy="join").collect()))
     b = sorted(map(tuple, classify(tri, prof, strategy="pivot").collect()))
     assert a == b
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa b ccc dd e ff".split()),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(deadline=None, max_examples=20)
+def test_hashed_shingles_jaccard_property(spark, docs, n):
+    """For ANY corpus and shingle width, the codegen hashed-shingle sets
+    must induce the same pairwise Jaccard as the string shingle sets —
+    the whole MinHash verify stage rests on this equivalence."""
+    from itertools import combinations
+
+    from dask_cuml_spark.operators.dedup import hashed_shingles, shingles
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairwise(frame):
+        sets = {r.doc_id: frozenset(r.shingles) for r in frame.collect()}
+        return {
+            (i, j): len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            for i, j in combinations(sorted(sets), 2)
+        }
+
+    assert pairwise(
+        shingles(df, "text", n).select("doc_id", "shingles")
+    ) == pairwise(
+        hashed_shingles(df, "text", n).select("doc_id", "shingles")
+    )
