@@ -1,5 +1,7 @@
 """Source/sink layer beyond parquet (SURVEY.md §2B B1/B2): CSV, JSON,
-ORC readers/writers and partitioned parquet writes.
+ORC readers/writers, partitioned parquet writes, plus the raw-corpus
+ingestion sources (binaryFile for multimodal payloads, text/wholetext
+for line corpora).
 
 dask_cudf exposes read_parquet/csv/orc/json + to_parquet(partition_on=)
 [SURVEY §2B]; Spark's DataFrameReader/Writer covers all of it — these
@@ -57,3 +59,28 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Read raw files as (path, modificationTime, length, content) rows
+    via Spark's `binaryFile` source — how a multimodal pipeline actually
+    ingests image/audio/video payloads before the mapInPandas decode /
+    resize / feature-extract steps (operators/multimodal.py). The
+    source splits per FILE (content is one cell), so parallelism is
+    file-count-bound; pathGlobFilter prunes by extension at the listing
+    level, before any bytes are read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, whole: bool = False
+) -> DataFrame:
+    """Read newline-delimited text (one row per line), or whole files as
+    single rows with wholetext=true — the raw-corpus ingestion shape
+    that feeds the documents-table text operators."""
+    return spark.read.option("wholetext", str(whole).lower()).text(path)

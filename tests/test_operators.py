@@ -1017,3 +1017,42 @@ def test_hashed_shingles_jaccard_equals_string_shingles(spark):
     via_strings = pairwise(shingles(df, "text", 3).select("doc_id", "shingles"))
     via_hashes = pairwise(hashed_shingles(df, "text", 3).select("doc_id", "shingles"))
     assert via_strings == via_hashes
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """End-to-end ingestion: binaryFile source → decode/resize — the
+    actual on-disk shape of a multimodal corpus (one payload per file),
+    with extension-glob pruning at the listing level."""
+    from dask_cuml_spark.operators.multimodal import (
+        _png_decode,
+        resize_images,
+    )
+    from dask_cuml_spark.sources.formats import (
+        read_binary_files,
+        read_text_lines,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, (8, 6), dtype=np.uint8) for i in range(3)}
+    for i, a in imgs.items():
+        (tmp_path / f"img_{i}.png").write_bytes(_encode_png(a))
+    (tmp_path / "notes.txt").write_text("not an image\n")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert files.count() == 3  # the .txt never enters the scan
+    payloads = files.select(
+        F.regexp_extract("path", r"img_(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    out = {r.doc_id: r for r in resize_images(payloads, 3, 4).collect()}
+    assert set(out) == set(imgs)
+    ys = (np.arange(4) * 8) // 4
+    xs = (np.arange(3) * 6) // 3
+    for i, a in imgs.items():
+        assert np.array_equal(_png_decode(bytes(out[i].payload)), a[ys][:, xs])
+
+    lines = read_text_lines(spark, str(tmp_path / "notes.txt"))
+    assert [r.value for r in lines.collect()] == ["not an image"]
