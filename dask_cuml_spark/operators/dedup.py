@@ -76,11 +76,26 @@ def hashed_shingles(
     NULL leads, so a document shorter than n words contributes its
     single whole-text shingle, exactly like ``shingles``); two shingles
     are equal iff their word tuples are equal, so Jaccard over these
-    sets equals Jaccard over the string sets."""
+    sets equals Jaccard over the string sets.
+
+    Contract vs ``shingles`` (the two must stay interchangeable for the
+    MinHash family): NULL-text rows are DROPPED here (posexplode of a
+    null token array emits nothing) where ``shingles`` keeps them with a
+    null shingle column — neither contributes a signature downstream
+    (minhash_signatures explodes the shingle set, so a null/empty set
+    yields no rows either way), so pipeline outputs agree; callers that
+    need the null rows preserved should use ``shingles``. n == 1 is the
+    degenerate unigram case (no lead window needed): each distinct token
+    hashes directly."""
+    assert n >= 1, f"shingle size must be >= 1, got {n}"
     tok = df.select(
         "*", F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_w")
     ).drop(text_col)
     other = [c for c in tok.columns if c not in ("_pos", "_w")]
+    if n == 1:
+        return tok.groupBy(*other).agg(
+            F.collect_set(F.xxhash64("_w")).alias("shingles")
+        )
     w = Window.partitionBy(*other).orderBy("_pos")
     leads = [F.lead("_w", k).over(w) for k in range(1, n)]
     keep = (F.col("_pos") == 0) | leads[-1].isNotNull()

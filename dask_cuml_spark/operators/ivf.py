@@ -165,12 +165,17 @@ class IVFIndex:
                     )
                 return pd.concat(frames, ignore_index=True)
 
+            # id dtypes come from the INPUT frames so strategy='auto'
+            # flipping expr→gemm at the 64 MB gate never changes the
+            # output schema for non-long id columns (advisor r5)
+            qid_t = dict(probes.dtypes)[query_id]
+            cid_t = dict(self.cells_.dtypes)[self.id_col_]
             pairs = (
                 q_side.groupBy("cell_id")
                 .cogroup(c_side.groupBy("cell_id"))
                 .applyInPandas(
                     kernel,
-                    "query_id_ long, neighbor_id long, dist_sq double",
+                    f"query_id_ {qid_t}, neighbor_id {cid_t}, dist_sq double",
                 )
                 .withColumnRenamed("query_id_", query_id)
             )

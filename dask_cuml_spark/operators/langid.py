@@ -12,9 +12,9 @@ Scale design (100 TB):
   - `build_profiles` feeds the explode into ONE partial+final aggregate
     on (label, ngram); at corpus scale you build profiles from a
     fixed-rate deterministic sample (`sample_ppm`) — a per-row predicate
-    on a multiplicative hash of the id column, so the sample (and hence
-    the profile) is bit-reproducible across runs and engines, with no
-    extra shuffle. Profiles are topk×n_labels rows → always broadcast.
+    on xxhash64 of the id column, so the sample (and hence the profile)
+    is bit-reproducible across runs and overflow-free for any id width,
+    with no extra shuffle. Profiles are topk×n_labels rows → always broadcast.
   - `classify` is a single broadcast-join pass over the exploded n-grams
     followed by two key-local aggregates; integer match-count scores keep
     the argmax engine-portable (no float-order drift).
@@ -25,10 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-# Knuth multiplicative constant (fits BIGINT) — same deterministic
-# sampling family as queries/text.py q109.
-_MULT = 2654435761
 
 
 def char_ngrams(
@@ -43,25 +39,61 @@ def char_ngrams(
     and classification scores both want frequencies, not sets). Documents
     shorter than ``n`` characters produce no rows.
 
-    Shape: explode an INT index sequence first, then substring on the
-    exploded rows — all inside one whole-stage-codegen span. Building a
-    per-row array<string> of the n-grams and exploding that is the
-    "obvious" formulation but measured 30× slower at 10× scale (12.4 s
-    vs 0.4 s for 14.7M trigrams): the array materializes ~len(text)
-    UTF8Strings per row into an unsafe array before the generate, while
-    the index-explode streams one substring per output row and never
-    materializes anything doc-sized.
+    Shape: TWO nested explodes inside one whole-stage-codegen span —
+    first into ~√len-char blocks, then n-grams within each block.
+    Building a per-row array<string> of the n-grams and exploding that
+    is the "obvious" formulation but measured 30× slower at 10× scale
+    (12.4 s vs 0.4 s for 14.7M trigrams): the array materializes
+    ~len(text) UTF8Strings per row before the generate. The single-level
+    index explode (substring(text, i, n) per instance) is what round 5
+    shipped, and it hides a QUADRATIC: Spark's UTF8String.substringSQL
+    walks the string from byte 0 to find char boundary i (no ASCII fast
+    path, unlike DuckDB), so a doc pays Σᵢ i ≈ len²/2 char-steps —
+    measured 7.4 s of the 8.2 s per-aggregate cost at 100× (194M
+    instances). Blocking at step ≈ √len makes the outer substrings cost
+    len²/(2·step) and the inner ones len·step/2 — O(len^1.5) total, ~10×
+    fewer char-steps on ~400-char docs and asymptotically safer for long
+    documents. Char semantics are exact (positions are merely
+    decomposed), so oracle parity is unaffected.
     """
-    idx = F.explode(
-        F.expr(f"sequence(1, length({text_col})-{n - 1})")
-    ).alias("_i")
     # pre-filter instead of an empty-array guard: Spark's sequence(1, 0)
     # counts DOWN ([1, 0]), so a too-short doc must never reach it.
-    return df.filter(F.length(text_col) >= n).select(
-        *keep_cols, text_col, idx
+    # step >= n keeps every block at least n chars; ceil(sqrt(len)) is
+    # the cost-balancing block size (see docstring arithmetic).
+    L = f"length({text_col})"
+    blocks = (
+        df.filter(F.length(text_col) >= n)
+        .select(
+            *keep_cols,
+            text_col,
+            F.greatest(
+                F.ceil(F.sqrt(F.length(text_col))).cast("int"), F.lit(n)
+            ).alias("_step"),
+        )
+        .select(
+            *keep_cols,
+            text_col,
+            "_step",
+            F.explode(
+                F.expr(f"sequence(1, {L} - {n - 1}, _step)")
+            ).alias("_b"),
+        )
+        .select(
+            *keep_cols,
+            F.expr(f"substring({text_col}, _b, _step + {n - 1})").alias(
+                "_blk"
+            ),
+        )
+    )
+    return blocks.select(
+        *keep_cols,
+        F.explode(F.expr(f"sequence(1, length(_blk) - {n - 1})")).alias(
+            "_i"
+        ),
+        "_blk",
     ).select(
         *keep_cols,
-        F.expr(f"substring({text_col}, _i, {n})").alias("ngram"),
+        F.expr(f"substring(_blk, _i, {n})").alias("ngram"),
     )
 
 
@@ -76,13 +108,18 @@ def build_profiles(
 
     Deterministic ordering: frequency desc, n-gram asc — ties never
     depend on partitioning. With ``sample_ppm`` set (parts per 2^20),
-    profiles are built from the deterministic multiplicative-hash sample
+    profiles are built from the deterministic xxhash64 sample
     of ``id_col`` — the 100 TB path: profile quality saturates long
     before full-corpus counts, so the heavy explode runs on a fixed
     fraction while classification still covers every document.
     """
     if sample_ppm is not None:
-        bucket = F.pmod(F.col(id_col) * F.lit(_MULT), F.lit(1 << 20))
+        # hash FIRST: a raw multiplicative id*const bigint multiply
+        # overflows for large ids — silent wraparound under default
+        # Spark but a runtime error under spark.sql.ansi.enabled
+        # (advisor r5). xxhash64 is overflow-free, deterministic, and
+        # engine-portable.
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
         ngrams = ngrams.filter(bucket < F.lit(sample_ppm))
     rk = F.row_number().over(
         Window.partitionBy(label_col).orderBy(
@@ -115,13 +152,20 @@ def classify(
 
     strategy='pivot' (default, the scale path): collect the profile to
     the driver (model-state-sized — topk × n_labels rows, same class as
-    broadcasting k-means centroids) and score every label in ONE
-    conditional aggregate over the n-gram stream: per row, n_labels
-    hash-set membership probes feeding partial aggregation — no join
-    row-expansion (an instance matching m profiles emitted m rows: ~1.75×
-    the stream on the fixture), no second shuffle, no argmax window (the
-    argmax is a greatest/CASE expression over the per-label columns,
-    label-asc on ties). Measured 38.7 → ~19 s at 100× (150M trigrams).
+    broadcasting k-means centroids), fold it into a (xxhash64(ngram) →
+    label bitmask) table, and score with ONE broadcast hash-join probe
+    per n-gram row — the join key is an 8-byte long and the profile side
+    is pre-OR'd to one row per distinct ngram, so there is NO row
+    expansion (unlike the string-profile join, which emitted ~1.75× the
+    stream on the fixture) — followed by one aggregate whose per-label
+    scores are bitmask lane sums (`(mask >> i) & 1` — ALU ops, not
+    string probes). Round-5 shape was n_labels string InSet probes per
+    row (n_labels string hashes); this does ONE string hash + ONE long
+    probe per row. A/B at 100× (150M trigrams): 19.4 s → see
+    SCALEBENCH q114. No second shuffle, no argmax window (the argmax is
+    a greatest/CASE over the per-label sums, label-asc on ties).
+    Equality is xxhash64-equality — the same 2^-64 collision class
+    exact_dedup and the MinHash family already stake on.
 
     strategy='join' keeps everything executor-side (broadcast profile
     join + integer-score argmax window) — the formulation the DuckDB
@@ -135,27 +179,36 @@ def classify(
             return ngrams.sparkSession.createDataFrame(
                 [], f"{id_col} long, lang_pred string, score long"
             )
-        sets = {
-            lang: [r["ngram"] for r in rows if r["cand"] == lang]
-            for lang in langs
-        }
-        score_cols = [
-            F.sum(
-                F.when(F.col("ngram").isin(sets[lang]), 1).otherwise(0)
+        lane = {lang: i for i, lang in enumerate(langs)}
+        mask_by_ngram: dict[str, int] = {}
+        for r in rows:
+            mask_by_ngram[r["ngram"]] = mask_by_ngram.get(
+                r["ngram"], 0
+            ) | (1 << lane[r["cand"]])
+        prof = (
+            ngrams.sparkSession.createDataFrame(
+                list(mask_by_ngram.items()), "ngram string, _mask long"
             )
+            .select(F.xxhash64("ngram").alias("_h"), "_mask")
+        )
+        hits = ngrams.select(
+            id_col, F.xxhash64("ngram").alias("_h")
+        ).join(F.broadcast(prof), "_h")
+        score_cols = [
+            F.sum(F.shiftright(F.col("_mask"), i).bitwiseAND(F.lit(1)))
             .cast("long")
             .alias(f"_s_{i}")
-            for i, lang in enumerate(langs)
+            for i in range(len(langs))
         ]
-        per_doc = ngrams.groupBy(id_col).agg(*score_cols)
+        per_doc = hits.groupBy(id_col).agg(*score_cols)
         s = [F.col(f"_s_{i}") for i in range(len(langs))]
         mx = F.greatest(*s) if len(s) > 1 else s[0]
         pred = F.when(s[0] == mx, F.lit(langs[0]))
         for i in range(1, len(langs)):  # asc order == asc tie-break
             pred = pred.when(s[i] == mx, F.lit(langs[i]))
-        return (
-            per_doc.filter(mx > 0)  # no profile hit → absent, as in join
-            .select(id_col, pred.alias("lang_pred"), mx.alias("score"))
+        # inner join already drops no-hit docs (≡ the old filter(mx>0))
+        return per_doc.select(
+            id_col, pred.alias("lang_pred"), mx.alias("score")
         )
     score = (
         ngrams.join(F.broadcast(profiles), "ngram")

@@ -251,7 +251,7 @@ GROUP BY lang
 """,
 )
 def q98_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dask_cuml_spark.streaming import _state_partitions
+    from dask_cuml_spark.streaming import _state_partitions, auto_state_partitions
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -266,7 +266,9 @@ def q98_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_distinct_texts"))
     )
     name = f"dedup_{abs(hash(sf_dir)) % 10_000_000}"
-    with tempfile.TemporaryDirectory() as ckpt, _state_partitions(spark, 8):
+    with tempfile.TemporaryDirectory() as ckpt, _state_partitions(
+        spark, auto_state_partitions(sf_dir, table="documents")
+    ):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)

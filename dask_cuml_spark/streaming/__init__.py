@@ -18,7 +18,7 @@ def _state_partitions(spark, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def auto_state_partitions(sf_dir: str) -> int:
+def auto_state_partitions(sf_dir: str, table: str = "events") -> int:
     """Size the state-store partition count to the stream's input.
 
     Local micro-batches pay a fixed per-state-partition cost every
@@ -33,7 +33,7 @@ def auto_state_partitions(sf_dir: str) -> int:
     import os
 
     try:
-        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
     except OSError:
         return 8
     return 4 if size < (64 << 20) else 8
