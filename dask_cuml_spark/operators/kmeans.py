@@ -25,28 +25,28 @@ from pyspark.sql import functions as F
 
 
 def _assignment_expr(vec_col: str, centers: np.ndarray) -> Column:
-    """argmin_c ||x - c||² as a fold over literal centroid arrays with a
-    deterministic (dist, cid) tie-break."""
-    best_id: Column = F.lit(0)
-    best_d: Column | None = None
-    for cid, center in enumerate(centers):
-        lit_center = F.array(*[F.lit(float(v)) for v in center])
-        d = F.aggregate(
+    """argmin_c ||x - c||² over a literal centroid table with a
+    deterministic (dist, cid) tie-break (array_position returns the
+    FIRST index holding the min — same earliest-centroid-wins rule as
+    the strict-less-than chain this replaces). The centroid table is one
+    parsed SQL literal (functions.vector.matrix_lit): the per-centroid
+    F.lit tree cost ~0.5 s of py4j round trips in plan construction per
+    call at k=8, dim=64, paid by every assignment-bearing query."""
+    from dask_cuml_spark.functions.vector import matrix_lit
+
+    dists = F.transform(
+        matrix_lit(centers),
+        lambda c: F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                lit_center,
+                c,
                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-        if best_d is None:
-            best_d = d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_id
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def _partial_sums(df: DataFrame, vec_col: str, centers: np.ndarray) -> DataFrame:

@@ -430,6 +430,27 @@ def q48_kmeans_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_FIT_CACHE: dict = {}
 
 
+def _fitted_ivf(spark: SparkSession, sf_dir: str):
+    """The session's memoized IVF index over the embeddings fixture.
+
+    An IVF index is built ONCE and queried many times; re-fitting the
+    coarse quantizer per call is not how the operator is used, so the
+    fitted index is memoized per (session, fixture) — repeated bench /
+    driver invocations time the search, not the fit. The fit itself is
+    deterministic (first-k init, fixed iteration count).
+    Keyed on applicationId, not id(spark): Python reuses id() after GC,
+    which could resurrect a model bound to a dead session (ADVICE r2)."""
+    from dask_cuml_spark.operators.ivf import IVFIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_FIT_CACHE.get(key)
+    if idx is None:
+        e = load_table(spark, sf_dir, "embeddings")
+        idx = IVFIndex(n_cells=8, kmeans_iters=3).fit(e)
+        _IVF_FIT_CACHE[key] = idx
+    return idx
+
+
 @register(
     "q47_ivf_search_full_probe",
     oracle=f"""
@@ -451,27 +472,92 @@ WHERE rk <= 5
 """,
 )
 def q47_ivf_search_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dask_cuml_spark.operators.ivf import IVFIndex
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = _fitted_ivf(spark, sf_dir).search(q, k=5, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — IVF search at the REAL operating point (nprobe ≪ n_cells): the
+# configuration a production neighborhood-graph build would run, where
+# probing p of c cells scans ~p/c of the corpus. q47 (full probe) keeps
+# the full-value SQL oracle; this row proves the partial-probe search is
+# well-formed and actually approximates exact kNN — q82-style provable
+# invariants instead of a value oracle (the probe set depends on the
+# k-means fit, which SQL can't replay cheaply): result shape, the
+# self-point always found at rank 1 (a query's own cell is always its
+# nearest probe), no approx result ever beating exact at the same rank,
+# and recall vs in-query exact kNN above a pinned floor (measured ~0.6+
+# at nprobe=2/8 on both fixtures; floor 0.40 leaves the same safety
+# margin style as the LSH knee — see tests/test_lsh_margin.py ethos).
+# ---------------------------------------------------------------------------
+@register(
+    "q115_ivf_partial_probe",
+    oracle="""
+SELECT CAST(10 AS BIGINT) AS n_queries,
+       CAST(50 AS BIGINT) AS n_results,
+       CAST(10 AS BIGINT) AS n_self_top1,
+       CAST(0 AS BIGINT) AS n_rank_violations,
+       1 AS recall_ok
+""",
+)
+def q115_ivf_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.knn import brute_force_knn
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    # An IVF index is built ONCE and queried many times; re-fitting the
-    # coarse quantizer per call is not how the operator is used, so the
-    # fitted index is memoized per (session, fixture) — repeated bench /
-    # driver invocations time the search, not the fit. The fit itself is
-    # deterministic (first-k init, fixed iteration count).
-    # keyed on applicationId, not id(spark): Python reuses id() after GC,
-    # which could resurrect a model bound to a dead session (ADVICE r2)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    idx = _IVF_FIT_CACHE.get(key)
-    if idx is None:
-        idx = IVFIndex(n_cells=8, kmeans_iters=3).fit(e)
-        _IVF_FIT_CACHE[key] = idx
-    out = idx.search(q, k=5, nprobe=8)
-    return out.select(
-        "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rk"
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    approx = (
+        _fitted_ivf(spark, sf_dir)
+        .search(q, k=5, nprobe=2)
+        .localCheckpoint()
+    )
+    exact = brute_force_knn(q, c, k=5, strategy="expr").localCheckpoint()
+    n_q = approx.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_results"),
+        F.sum(
+            ((F.col("rk") == 1) & (F.col("query_id") == F.col("neighbor_id")))
+            .cast("long")
+        ).alias("n_self_top1"),
+    )
+    # 1e-6 absolute epsilon: at 100× the cost gate flips the cell scan
+    # to the GEMM kernel, whose summation order differs from the expr
+    # baseline in the last ulps (the q82 lesson)
+    rank = approx.join(
+        exact.select("query_id", "rk", F.col("dist").alias("ed")),
+        ["query_id", "rk"],
+    ).agg(
+        F.sum((F.col("dist") < F.col("ed") - 1e-6).cast("long")).alias(
+            "n_rank_violations"
+        )
+    )
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).agg(F.count(F.lit(1)).alias("_n_hits"))
+    return (
+        n_q.crossJoin(rank)
+        .crossJoin(hits)
+        .select(
+            "n_queries",
+            "n_results",
+            "n_self_top1",
+            "n_rank_violations",
+            F.when(F.col("_n_hits") / F.col("n_results") >= 0.40, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("recall_ok"),
+        )
     )
 
 
