@@ -32,83 +32,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-5 window, in order
-# (WINDOW_r05.md has the per-query evidence trail):
-#   1. the 6 queries whose latest driver row is r2 (verdict r4 task 3:
-#      q90/q91/q95/q59/q96/q97 — judge-green every session via
-#      tests/test_oracle_parity.py, but two fixture generations since a
-#      driver row);
-#   2. the queries whose CODE is new or changed in round 5: q103
-#      (SWAR-compare majority extract), q105 + q78 (12x3 LSH banding;
-#      q105 two-pass funnel fold), q44 (PIL-exact luma arithmetic), and
-#      the five NEW queries q108 semantic dedup / q109 stratified
-#      sample / q110 Gopher rules / q111 clustered layout / q112
-#      incremental dedup;
-#   3. the rest of the r3-proven set, oldest driver evidence first —
-#      all fit except q87/q94/q99/q101/q102/q42/q48 (displaced by the
-#      new queries; all pytest-parity-green, first in line for r6).
-# Entries past position 50 are r3/r4-green and code-unchanged.
+# re-enters the hard gate (advisor r2). Round-6 window, in order
+# (WINDOW_r06.md has the per-query evidence trail):
+#   1. the 14 queries whose latest driver row is r3 — the standing
+#      rotation obligation from the r5 verdict (task 1), displaced two
+#      rounds running by new/changed code; all judge-green every session
+#      via tests/test_oracle_parity.py;
+#   2. the queries whose CODE is new or changed in round 6: q115 (NEW —
+#      partial-probe IVF), q47/q41/q76/q108 + the group-1 members
+#      q42/q48/q99 (matrix_lit literal centroid table + argmin-rewrite
+#      of _assignment_expr), q31 (window-df single-DAG rewrite), q114
+#      (O(len^1.5) trigram explode + hashed-bitmask scoring), q98
+#      (auto state-partition sizing), and the hashed-shingle consumers
+#      q78/q112/q105/q35 (n==1 guard — n>=2 behavior unchanged, gated
+#      defensively);
+#   3. 24 of the 43 r4-evidence queries, lowest query number first —
+#      the remaining 19 (q61-q92 block, listed at positions 51+) are
+#      first in line for r7.
+# Entries past position 50 are r4/r5-green and code-unchanged.
 _PRIORITY = [
-    # -- (1) last driver row is r2
-    "q90_regexp_ops",
-    "q91_python_udtf",
-    "q95_random_forest",
-    "q59_ols_predict",
-    "q96_train_test_split",
-    "q97_make_blobs",
-    # -- (2) code new or changed in round 5
-    "q103_simhash_near_dup",
-    "q105_curation_pipeline",
-    "q78_minhash_near_dup",
-    "q44_multimodal_join",
-    "q108_semantic_dedup",
-    "q109_stratified_sample",
-    "q110_gopher_rules",
-    "q111_clustered_layout",
-    "q112_incremental_dedup",
-    "q113_bpe_token_accounting",
-    "q114_ngram_language_id",
-    # streaming state-partition sizing changed late in round 5
-    # (auto_state_partitions) — changed code re-enters the hard gate
-    "q70_stream_sessionization",
-    "q71_stream_hourly_counts",
-    "q79_stream_stateful_totals",
-    "q93_stream_stream_join",
-    "q98_stream_dedup",
-    # -- (3) r3-proven, rotating back into the hard gate
-    "q03_top_orders_per_customer",
-    "q04_segment_stats",
-    "q06_orders_by_month",
-    "q07_fillna_left_join",
-    "q08_value_counts",
-    "q09_drop_duplicates",
-    "q10_set_ops",
-    "q11_rollup",
-    "q12_quantiles_histogram",
-    "q30_top_terms",
-    "q31_tfidf_top_term",
-    "q32_exact_dedup",
-    "q33_lang_source_slice",
-    "q34_text_quality",
-    "q35_jaccard_near_dup",
-    "q36_naive_bayes_fit",
-    "q37_label_encode",
-    "q38_fingerprint",
-    "q39_count_vectorizer",
-    "q40_knn_bruteforce",
-    "q41_centroid_assignment",
-    "q43_cosine_topk",
-    "q46_knn_classify",
-    "q47_ivf_search_full_probe",
-    "q50_feature_stats",
-    "q51_ols_fit",
-    "q76_kmeans_fit",
-    "q77_dbscan",
-    # -- positions 51+: r3/r4-green, code-unchanged (q52/q53/q54/q55/q65
-    # displaced by the five late-round-5-changed streaming queries;
-    # q82/q83 + q87/q94 + kmeans-family q42/q48/q99 + q101/q102 first in
-    # line for r6 — the seven new round-5 queries q108-q114 took their
-    # window slots)
+    # -- (1) last driver row is r3 (r5 verdict task 1)
     "q52_ridge_fit",
     "q53_standard_scaler",
     "q54_minmax_scaler",
@@ -123,6 +66,65 @@ _PRIORITY = [
     "q102_adjusted_rand",
     "q42_lloyd_iteration",
     "q48_kmeans_transform",
+    # -- (2) code new or changed in round 6
+    "q115_ivf_partial_probe",
+    "q47_ivf_search_full_probe",
+    "q41_centroid_assignment",
+    "q76_kmeans_fit",
+    "q108_semantic_dedup",
+    "q31_tfidf_top_term",
+    "q114_ngram_language_id",
+    "q98_stream_dedup",
+    "q78_minhash_near_dup",
+    "q112_incremental_dedup",
+    "q105_curation_pipeline",
+    "q35_jaccard_near_dup",
+    # -- (3) r4-evidence, rotating back into the hard gate
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q05_string_ops",
+    "q100_merge_schema",
+    "q104_json_parse_at_ingest",
+    "q106_salted_skew_join",
+    "q107_approx_aggregates",
+    "q13_semi_anti_join",
+    "q14_range_join_bands",
+    "q15_global_topk",
+    "q16_project_cast_case",
+    "q17_rolling_avg",
+    "q18_lag_lead",
+    "q20_sessionization",
+    "q21_funnel",
+    "q22_json_extract",
+    "q23_retention",
+    "q24_event_value_stats",
+    "q25_hourly_windows",
+    "q45_cosine_near_dup",
+    "q56_confusion_matrix",
+    "q57_metrics",
+    "q58_gram_matrix",
+    "q60_asof_join",
+    # -- positions 51+: r4-green code-unchanged (first in line for r7),
+    # then the r5-green set
+    "q61_cube",
+    "q62_partitioned_write",
+    "q63_multiformat_roundtrip",
+    "q64_map_functions",
+    "q66_language_id",
+    "q67_token_count",
+    "q68_knn_regressor",
+    "q72_map_partitions",
+    "q73_grouped_normalize",
+    "q74_grouped_agg_udf",
+    "q75_pivot",
+    "q80_range_window",
+    "q81_one_hot",
+    "q84_merge_upsert",
+    "q85_grouping_sets",
+    "q86_profile_table",
+    "q88_group_quantiles",
+    "q89_unpivot_melt",
+    "q92_interval_join",
 ]
 
 

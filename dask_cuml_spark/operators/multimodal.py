@@ -174,6 +174,21 @@ def _auto_decode(payload: bytes) -> np.ndarray:
     return _fake_decode(payload)
 
 
+def _strict_auto_decode(payload: bytes) -> np.ndarray:
+    """Like _auto_decode but a non-PNG payload FAILS LOUDLY instead of
+    silently decoding to the deterministic stub — the write-path (resize/
+    re-encode) contract: normalizing a fake decode of a corrupt image into
+    the training set is silent data corruption, so stubbing there must be
+    an explicit opt-in (mode='fake' or strict=False)."""
+    if payload[:8] == _PNG_SIG:
+        return _png_decode(payload)
+    raise ValueError(
+        "non-PNG payload in strict decode: refusing to substitute the "
+        "deterministic stub on a write path (pass mode='fake' or "
+        "strict=False to opt in)"
+    )
+
+
 def resolve_decoder(mode: str = "auto"):
     """Pick the decode branch: "fake" (stub), "pil" (require PIL), "png"
     (require the builtin PNG decoder), or "auto" — PIL when importable on
@@ -310,6 +325,7 @@ def resize_images(
     id_col: str = "doc_id",
     binary_col: str = "payload",
     mode: str = "auto",
+    strict: bool = True,
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode, one Arrow batch at
     a time (mapInPandas): the standard image-normalization step of a
@@ -318,11 +334,20 @@ def resize_images(
     decoder feature-detected per worker (resolve_decoder). Nearest-
     neighbor sampling is deterministic (index grid via integer centers),
     so every engine/worker produces identical output bytes for the
-    grayscale re-encode path."""
+    grayscale re-encode path.
+
+    strict=True (default): in mode='auto' without PIL, a non-PNG payload
+    raises instead of silently resizing the deterministic stub — this is
+    a WRITE path, and a stubbed decode leaking into re-encoded training
+    data is silent corruption (a fixture regression could otherwise
+    change semantics without any test noticing). Pass mode='fake' or
+    strict=False to opt in to the stub explicitly."""
     decoder = mode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = resolve_decoder(decoder)
+        if strict and decode is _auto_decode:
+            decode = _strict_auto_decode
         rows = []
         for pdf in it:
             for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):

@@ -93,27 +93,27 @@ WHERE rk = 1
 )
 def q31_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # O(1) metadata-ish count; model state not data
     tok = d.select("doc_id", F.explode(tokens()).alias("term"))
     # df from tf, NOT from tok: tf rows are distinct (doc, term), so a
-    # plain count per term IS the document frequency — this drops the
-    # second tokenize+explode pass and turns countDistinct into a count
-    # over the already-aggregated (much smaller) frame. localCheckpoint
-    # materializes tf ONCE: without it Catalyst column-prunes each
-    # consumer's copy of the subtree differently (term-only vs full),
-    # so the exchanges don't canonicalize equal and the corpus would be
-    # tokenized twice anyway (plan audit r3: 2 explodes, 0 reuse).
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
+    # plain count per term IS the document frequency. Round-5 shipped
+    # this as localCheckpoint(tf) + agg + broadcast join, but that shape
+    # costs TWO extra eager jobs per call (a d.count() for n_docs and
+    # the checkpoint materialization — 0.38 s of the 0.65 s sf0.1 wall).
+    # A count() window over term keeps everything ONE lazy DAG: tf rows
+    # flow tokenize → (doc,term) agg → term exchange (window df) →
+    # doc_id exchange (top-1). Measured faster at both ends: 0.97 →
+    # 0.67 s at sf0.1, 4.39 → 3.92 s at 100× — the extra full-row term
+    # exchange is cheaper than checkpoint-write + two job round trips.
+    # n_docs rides along as a broadcast 1-row cross join, not a count().
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tf.crossJoin(
+        F.broadcast(d.agg(F.count(F.lit(1)).alias("_n")))
+    ).select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("_n").cast("double") / dfw), 6
         ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))

@@ -872,6 +872,24 @@ def test_resize_images_roundtrip(spark):
         assert np.array_equal(got, arr[ys][:, xs])
 
 
+def test_resize_images_rejects_non_png_loudly(spark):
+    """Tripwire (verdict r5 #8): a non-PNG payload through resize_images
+    must FAIL, not silently resize the deterministic stub — the decode
+    branch chooser is the last place a fixture change could silently
+    change semantics. The stub stays available as an explicit opt-in."""
+    import pytest
+
+    from dask_cuml_spark.operators.multimodal import resize_images
+
+    rows = [(0, bytearray(b"definitely not a PNG payload"))]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    with pytest.raises(Exception, match="non-PNG payload in strict decode"):
+        resize_images(df, 4, 4).collect()
+    # explicit opt-in still works (schema/plumbing unchanged)
+    out = resize_images(df, 4, 4, strict=False).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (4, 4)
+
+
 def test_ensure_worker_code_ships_package_zip(spark):
     """The driver contract must work from ANY cwd: queries() wraps every
     callable with ensure_worker_code, which ships the package to executor
