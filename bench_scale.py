@@ -82,6 +82,9 @@ TABLES_FOR = {
     "q47_ivf_search_full_probe": {"embeddings"},
     "q113_bpe_token_accounting": {"documents"},
     "q114_ngram_language_id": {"documents"},
+    "q115_ivf_partial_probe": {"embeddings"},
+    "q41_centroid_assignment": {"embeddings"},
+    "q31_tfidf_top_term": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -284,6 +287,12 @@ ORACLE_NOT_COMPARABLE = {
         "Spark side WRITES the range-clustered parquet copy and reads "
         "it back (the operator under test); oracle only filters the "
         "source table — row records Spark-side scaling only"
+    ),
+    "q115_ivf_partial_probe": (
+        "oracle is an O(1) invariant check; the Spark side runs BOTH "
+        "the partial-probe search AND an in-query exact-kNN baseline "
+        "for the recall/rank invariants — row records Spark-side "
+        "scaling only"
     ),
 }
 

@@ -28,10 +28,15 @@ def _assignment_expr(vec_col: str, centers: np.ndarray) -> Column:
     """argmin_c ||x - c||² over a literal centroid table with a
     deterministic (dist, cid) tie-break (array_position returns the
     FIRST index holding the min — same earliest-centroid-wins rule as
-    the strict-less-than chain this replaces). The centroid table is one
-    parsed SQL literal (functions.vector.matrix_lit): the per-centroid
-    F.lit tree cost ~0.5 s of py4j round trips in plan construction per
-    call at k=8, dim=64, paid by every assignment-bearing query."""
+    the strict-less-than chain this replaces). Two wins over the chain:
+    (1) the centroid table is one parsed SQL literal
+    (functions.vector.matrix_lit) instead of ~0.5 s of per-element py4j
+    lit() round trips per call at k=8, dim=64; (2) each distance fold
+    evaluates exactly ONCE — the old when(d_i < best_d)-chain nested
+    every previous d inside best_d, and with no common-subexpression
+    elimination in the interpreted higher-order fold that re-evaluated
+    O(k²) folds per row. Measured on q76 (fit+predict, 200k×64 vectors,
+    100×): 18.8 s → 1.2 s."""
     from dask_cuml_spark.functions.vector import matrix_lit
 
     dists = F.transform(
