@@ -64,6 +64,19 @@ def test_q40_candidate_side_parallelized(spark):
     assert "Join" not in plan
 
 
+def test_q41_assignment_is_narrow(spark):
+    # round 6: centroid assignment is a zero-join narrow select over a
+    # literal centroid table (argmin via transform + array_position) —
+    # no crossJoin row expansion and no per-vector window. The only
+    # Exchange is the repartition spreading the single-row-group
+    # fixture; at cluster scale the operator is join-free and
+    # shuffle-free, which is the point.
+    plan = _plan(spark, "q41_centroid_assignment")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1, plan[:1500]
+
+
 def test_q03_rank_limit_pushdown(spark):
     """Spark 4's WindowGroupLimit must fire partial (map-side) + final —
     the reference's shard-local-top-k + merge (SURVEY §3.2) for free;
@@ -170,14 +183,19 @@ def test_q113_scan_prunes_to_text_and_source(spark):
 
 
 def test_q114_pivot_scoring_plan_shape(spark):
-    # The pivot classify path must keep its shape: per-label profile
-    # membership as INSET probes feeding a partial+final aggregate on
-    # doc_id (ONE shuffle for the whole scoring pass — no join
-    # row-expansion, no argmax window), and the small prediction side
-    # broadcast to the documents join. A shuffle join or window here
-    # re-shuffles the full trigram explode (~len(text) rows/doc).
+    # The pivot classify path must keep its round-6 shape: ONE
+    # xxhash64 probe per trigram row against the broadcast
+    # (hash → label-bitmask) profile (a long-key BroadcastHashJoin with
+    # NO row expansion — the profile side is pre-OR'd to one row per
+    # distinct ngram), bitmask lane sums feeding a partial+final
+    # aggregate on doc_id (ONE shuffle for the whole scoring pass), no
+    # argmax window, and no per-label string InSet probes (the round-5
+    # shape this replaced — n_labels string hashes per row). A shuffle
+    # join or window here re-shuffles the full trigram explode
+    # (~len(text) rows/doc).
     plan = _plan(spark, "q114_ngram_language_id")
-    assert "INSET" in plan
+    assert "xxhash64" in plan
+    assert "INSET" not in plan
     assert plan.count("partial_sum") >= 1
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
