@@ -39,13 +39,20 @@ def brute_force_knn(
     cand_id: str = "neighbor_id",
     cand_vec: str = "cv",
     exclude_same_id: bool = False,
-    strategy: str = "gemm",
+    strategy: str = "auto",
     max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact kNN: (query_id, neighbor_id, dist, rk), deterministic
     (dist, id) tie-break.
 
-    strategy='gemm' (default, round 5): the query block is task-broadcast
+    strategy='auto' (default, round 6): the repo's standard 64 MB cost
+    gate on the candidate side — 'expr' below it (the Arrow round trip +
+    Python worker pass costs more than the interpreted fold on small
+    candidate sets: 0.67 vs 0.56 s at sf0.1), 'gemm' above (BLAS wins
+    as batches grow: 2.4 s expr vs sub-second gemm at 100×). Same gate
+    and crossover reasoning as IVFIndex.search.
+
+    strategy='gemm' (round 5): the query block is task-broadcast
     and each candidate Arrow batch computes ALL query distances as one
     dense GEMM, emitting only its per-batch top-k per query (selected by
     the same (dist, id) order the global merge uses, so the union
@@ -55,6 +62,14 @@ def brute_force_knn(
     path is one BLAS call per batch. strategy='expr' keeps the
     pure-expression plan (the SQL-oracle-shaped fallback; also the
     reference for the numpy parity test)."""
+    if strategy == "auto":
+        from dask_cuml_spark.plans.cost import (
+            REUSE_CHECKPOINT_MIN_BYTES,
+            plan_size_bytes,
+        )
+
+        big = plan_size_bytes(candidates) >= REUSE_CHECKPOINT_MIN_BYTES
+        strategy = "gemm" if big else "expr"
     if strategy == "gemm":
         rows = queries.select(query_id, query_vec).limit(
             max_broadcast_queries + 1
