@@ -102,10 +102,14 @@ _PRIORITY = [
     "q45_cosine_near_dup",
     "q56_confusion_matrix",
     "q57_metrics",
-    "q58_gram_matrix",
-    "q60_asof_join",
+    # overflow-free sampling-hash rewrite (bucket-identical, but changed
+    # code re-enters the hard gate; displaces q58/q60 to r7's queue)
+    "q109_stratified_sample",
+    "q96_train_test_split",
     # -- positions 51+: r4-green code-unchanged (first in line for r7),
     # then the r5-green set
+    "q58_gram_matrix",
+    "q60_asof_join",
     "q61_cube",
     "q62_partitioned_write",
     "q63_multiformat_roundtrip",

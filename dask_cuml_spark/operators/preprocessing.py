@@ -103,7 +103,16 @@ def train_test_split(
     if method == "xxhash64":
         bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
     elif method == "multiplicative":
-        bucket = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(10_000))
+        # pre-mod before the multiply: bucket-identical to
+        # (id * M) % 10000 (the difference is a multiple of 10000·M) but
+        # overflow-free for any id width — the raw multiply wraps
+        # silently for id ≳ 2^31 under default Spark while DuckDB
+        # computes exactly (cross-engine divergence), and errors under
+        # spark.sql.ansi.enabled (advisor-r5 finding class).
+        bucket = F.pmod(
+            F.pmod(F.col(id_col), F.lit(10_000)) * F.lit(2654435761),
+            F.lit(10_000),
+        )
     else:
         raise ValueError(f"unknown split method: {method}")
     cut = int(test_fraction * 10_000)

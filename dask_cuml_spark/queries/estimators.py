@@ -159,7 +159,7 @@ def q95_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q96_train_test_split",
     oracle="""
-SELECT CASE WHEN (c_custkey * 2654435761) % 10000 < 2500
+SELECT CASE WHEN ((c_custkey % 10000) * 2654435761) % 10000 < 2500
             THEN 'test' ELSE 'train' END AS split,
        COUNT(*) AS n,
        ROUND(AVG(c_acctbal), 6) AS avg_bal,

@@ -829,7 +829,7 @@ _Q109_MULT = 2654435761  # Knuth multiplicative constant, fits BIGINT
     oracle=f"""
 WITH scored AS (
   SELECT lang,
-         (doc_id * {_Q109_MULT}) % 4096 AS bucket,
+         ((doc_id % 4096) * {_Q109_MULT}) % 4096 AS bucket,
          len(string_split(text, ' ')) AS nt,
          CASE lang
            {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _Q109_RATES.items())}
@@ -848,7 +848,16 @@ def q109_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(0)
     for k, v in _Q109_RATES.items():
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
-    bucket = F.pmod(F.col("doc_id") * F.lit(_Q109_MULT), F.lit(4096))
+    # pre-mod before the multiply: (doc_id * M) % 4096 is bucket-identical
+    # (the difference is a multiple of 4096·M) but overflows bigint for
+    # doc_id ≳ 2^31 — silent wraparound under default Spark where DuckDB
+    # computes exactly (cross-engine divergence), and a runtime error
+    # under spark.sql.ansi.enabled (the advisor-r5 langid finding, same
+    # class). (4095 × M) < 2^44 can never overflow in either engine.
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(4096)) * F.lit(_Q109_MULT),
+        F.lit(4096),
+    )
     keep = bucket < rate
     return (
         d.select(
