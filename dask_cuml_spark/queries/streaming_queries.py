@@ -108,3 +108,27 @@ def q79_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_cuml_spark.streaming.stateful import stream_user_totals
 
     return stream_user_totals(spark, sf_dir)
+
+
+@register(
+    "q116_stream_upsert_sink",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q116_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once foreachBatch merge sink: streaming per-user totals
+    upserted into a versioned parquet table with atomic pointer commits
+    (streaming/upsert_sink.py has the idempotence argument). The target
+    is pre-seeded with stale rows so every run exercises both merge
+    paths (update + insert); the final committed table equals the batch
+    GROUP BY — a full-value oracle for the sink, not just the
+    aggregation."""
+    from dask_cuml_spark.streaming.upsert_sink import stream_upsert_totals
+
+    return stream_upsert_totals(spark, sf_dir)

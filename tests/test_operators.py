@@ -1074,3 +1074,20 @@ def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
 
     lines = read_text_lines(spark, str(tmp_path / "notes.txt"))
     assert [r.value for r in lines.collect()] == ["not an image"]
+
+
+def test_stream_upsert_sink_replay_idempotent(spark):
+    """The exactly-once merge sink's guarantee is idempotent replays: a
+    batch re-executed after a failure (write landed, checkpoint commit
+    did not) must rewrite the same version from the same input and
+    converge to the same table. Two full runs — fresh checkpoints, so
+    batch 0 genuinely replays — must produce identical tables, and the
+    seeded stale rows (-1 totals for user_id < 50) must ALL have been
+    updated by the merge, proving the update path ran."""
+    from dask_cuml_spark.streaming.upsert_sink import stream_upsert_totals
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in stream_upsert_totals(spark, sf).collect()]
+    b = [tuple(r) for r in stream_upsert_totals(spark, sf).collect()]
+    assert a == b and len(a) > 0
+    assert all(r[1] > 0 for r in a), "stale seed rows must be overwritten"
