@@ -29,6 +29,11 @@ from pyspark.sql.window import Window
 
 from dask_cuml_spark.functions.vector import l2_sq
 
+# expr/gemm crossover for dense-kernel candidates (see brute_force_knn
+# docstring for the bracketing measurements) — deliberately lower than
+# plans.cost.REUSE_CHECKPOINT_MIN_BYTES
+KNN_GEMM_MIN_BYTES = 16 << 20
+
 
 def brute_force_knn(
     queries: DataFrame,
@@ -45,12 +50,15 @@ def brute_force_knn(
     """Exact kNN: (query_id, neighbor_id, dist, rk), deterministic
     (dist, id) tie-break.
 
-    strategy='auto' (default, round 6): the repo's standard 64 MB cost
-    gate on the candidate side — 'expr' below it (the Arrow round trip +
-    Python worker pass costs more than the interpreted fold on small
-    candidate sets: 0.67 vs 0.56 s at sf0.1), 'gemm' above (BLAS wins
-    as batches grow: 2.4 s expr vs sub-second gemm at 100×). Same gate
-    and crossover reasoning as IVFIndex.search.
+    strategy='auto' (default, round 6): a 16 MB cost gate on the
+    candidate side — 'expr' below it (the Arrow round trip + Python
+    worker pass costs more than the interpreted fold on small candidate
+    sets: 0.67 vs 0.56 s at sf0.1, ~5 MB of vectors), 'gemm' above
+    (BLAS wins as batches grow: measured 0.94 s gemm vs 1.96 s expr on
+    48 MB of vectors at 100× — which is why this operator's gate is
+    LOWER than the repo's 64 MB checkpoint gate: the crossover is
+    bracketed by those two measurements, and the dense-kernel advantage
+    kicks in well before a frame is worth checkpointing).
 
     strategy='gemm' (round 5): the query block is task-broadcast
     and each candidate Arrow batch computes ALL query distances as one
@@ -63,12 +71,9 @@ def brute_force_knn(
     pure-expression plan (the SQL-oracle-shaped fallback; also the
     reference for the numpy parity test)."""
     if strategy == "auto":
-        from dask_cuml_spark.plans.cost import (
-            REUSE_CHECKPOINT_MIN_BYTES,
-            plan_size_bytes,
-        )
+        from dask_cuml_spark.plans.cost import plan_size_bytes
 
-        big = plan_size_bytes(candidates) >= REUSE_CHECKPOINT_MIN_BYTES
+        big = plan_size_bytes(candidates) >= KNN_GEMM_MIN_BYTES
         strategy = "gemm" if big else "expr"
     if strategy == "gemm":
         rows = queries.select(query_id, query_vec).limit(
