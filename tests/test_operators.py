@@ -1091,3 +1091,22 @@ def test_stream_upsert_sink_replay_idempotent(spark):
     b = [tuple(r) for r in stream_upsert_totals(spark, sf).collect()]
     assert a == b and len(a) > 0
     assert all(r[1] > 0 for r in a), "stale seed rows must be overwritten"
+
+
+def test_matrix_lit_bit_exact_roundtrip(spark):
+    """matrix_lit is load-bearing for every centroid-assignment path
+    (kmeans/_assignment_expr, IVF probes, q41): its repr→SQL-parse
+    round trip must be BIT-exact for doubles, including denormals and
+    values with no short decimal form — a lossy literal would silently
+    shift assignment boundaries and break oracle parity."""
+    from dask_cuml_spark.functions.vector import matrix_lit
+
+    vals = [
+        [1e-300, -1.5e5, 0.1, 123456789.123456789],
+        [5e-324, 0.0, -0.0, 2.0 ** 1023],
+        [1 / 3, -7.23e-12, 3.141592653589793, 1e308],
+    ]
+    got = spark.range(1).select(matrix_lit(vals).alias("m")).collect()[0].m
+    for row_got, row_want in zip(got, vals):
+        for g, w in zip(row_got, row_want):
+            assert g == w and str(g) == str(float(w)), (g, w)
