@@ -573,6 +573,91 @@ def q115_ivf_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q118 — kNN-GRAPH construction (D3 at corpus scale): top-k neighbors for
+# EVERY vector, the neighborhood-graph primitive under SemDeDup-style
+# clustering dedup and graph-based ANN. Built as IVF self-search with the
+# whole table as the query side — the cogrouped GEMM path shuffles on
+# cell_id only (queries are never broadcast or crossJoined), so edge
+# candidates are Θ(n · nprobe · n/n_cells), not n² — and like q108's
+# cluster count, production keeps CELL SIZE fixed (n_cells ∝ n, cells of
+# a few thousand vectors), making the build linear in n; the fixture's
+# n_cells=8 is pinned only so the fit is cheap and deterministic.
+# strategy='gemm' is
+# FORCED rather than auto: the expr fallback's per-pair interpreted fold
+# is fine for a handful of queries but a self-search is |Q| = n (100M
+# pair folds already at sf0.1); the gate keys on the candidate side and
+# cannot see that. Invariants in the q115 style, with the exact-kNN
+# rank/recall checks on a 20-query sample (exact all-pairs for every
+# node is the n² this operator exists to avoid).
+# ---------------------------------------------------------------------------
+@register(
+    "q118_knn_graph",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_nodes,
+       (SELECT COUNT(*) * 5 FROM embeddings) AS n_edges,
+       (SELECT COUNT(*) FROM embeddings) AS n_self_top1,
+       CAST(0 AS BIGINT) AS n_rank_violations,
+       1 AS recall_ok
+""",
+)
+def q118_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.knn import brute_force_knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    allq = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    graph = (
+        _fitted_ivf(spark, sf_dir)
+        .search(allq, k=5, nprobe=2, strategy="gemm")
+        .localCheckpoint()
+    )
+    sample = allq.filter(F.col("query_id") < 20)
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    exact = brute_force_knn(sample, c, k=5, strategy="expr").localCheckpoint()
+    totals = graph.agg(
+        F.count_distinct("query_id").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            ((F.col("rk") == 1) & (F.col("query_id") == F.col("neighbor_id")))
+            .cast("long")
+        ).alias("n_self_top1"),
+    )
+    samp = graph.filter(F.col("query_id") < 20)
+    rank = samp.join(
+        exact.select("query_id", "rk", F.col("dist").alias("ed")),
+        ["query_id", "rk"],
+    ).agg(
+        F.sum((F.col("dist") < F.col("ed") - 1e-6).cast("long")).alias(
+            "n_rank_violations"
+        )
+    )
+    hits = samp.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).agg(
+        F.count(F.lit(1)).alias("_n_hits"),
+        F.count_distinct("query_id").alias("_n_sq"),
+    )
+    return (
+        totals.crossJoin(rank)
+        .crossJoin(hits)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_self_top1",
+            "n_rank_violations",
+            F.when(F.col("_n_hits") / (F.col("_n_sq") * 5) >= 0.40, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("recall_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q108 — semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
 # public method): embed → cluster → prune near-duplicate pairs INSIDE each
 # cluster only. The clustering bounds the quadratic: candidate pairs are
