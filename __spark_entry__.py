@@ -98,12 +98,13 @@ _PRIORITY = [
     "q22_json_extract",
     "q23_retention",
     "q24_event_value_stats",
-    "q25_hourly_windows",
-    # q116/q117/q118 are NEW round-6 code (exactly-once foreachBatch
-    # merge sink; stream-static enrichment join; IVF kNN-graph build);
-    # the overflow-free sampling-hash rewrite (bucket-identical, but
-    # changed code re-enters the hard gate) adds q109/q96 — together
-    # displacing q45/q56/q57/q58/q60 to r7's queue
+    # q116-q119 are NEW round-6 code (exactly-once foreachBatch merge
+    # sink; stream-static enrichment join; IVF kNN-graph build;
+    # benchmark-contamination check); the overflow-free sampling-hash
+    # rewrite (bucket-identical, but changed code re-enters the hard
+    # gate) adds q109/q96 — together displacing q25/q45/q56/q57/q58/q60
+    # to r7's queue
+    "q119_contamination_check",
     "q118_knn_graph",
     "q116_stream_upsert_sink",
     "q117_stream_static_enrichment",
@@ -111,6 +112,7 @@ _PRIORITY = [
     "q96_train_test_split",
     # -- positions 51+: r4-green code-unchanged (first in line for r7),
     # then the r5-green set
+    "q25_hourly_windows",
     "q45_cosine_near_dup",
     "q56_confusion_matrix",
     "q57_metrics",

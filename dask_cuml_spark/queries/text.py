@@ -1138,3 +1138,62 @@ def q114_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_actual", "lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — benchmark-contamination detection (the GPT-3/PaLM decontamination
+# pattern, public method: flag training documents sharing word n-grams
+# with an evaluation set). The eval set here is the deterministic
+# doc_id % 97 slice (stand-in for a benchmark corpus); n=4 because the
+# fixture's documents are short random-word texts (10-99 words) where
+# the real-world n=8..13 yields zero overlap — the PLAN is length-
+# agnostic. Candidate grams are xxhash64 longs (operators/dedup.
+# hashed_shingles — 8-byte join keys at any scale; equality-of-hash ≡
+# equality-of-string at the repo's accepted 2^-64 collision class, and
+# the DuckDB oracle recomputes the overlap on the STRINGS, so the hash
+# shortcut is re-proven against string truth on every driver run). At
+# 100 TB the eval side is benchmark-sized → broadcast; the training side
+# streams through one explode + one partial-agg'd join, no n² anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "q119_contamination_check",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM w, UNNEST(generate_series(1, len(w)-3)) AS t(i)
+  WHERE len(w) >= 4
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_shared
+FROM grams g JOIN eval_grams e ON g.g = e.g
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def q119_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.dedup import hashed_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    # ≥4-word filter mirrors the oracle AND sidesteps hashed_shingles'
+    # short-doc whole-text rule (docs below n words contribute one
+    # whole-text shingle there; the oracle's generate_series emits none)
+    d4 = d.filter(
+        F.array_size(F.split(F.col("text"), " ")) >= 4
+    ).select("doc_id", "text")
+    grams = hashed_shingles(d4, "text", n=4).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    eval_g = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(eval_g, "g")
+        .groupBy("doc_id")
+        # shingle SETS are distinct per doc (collect_set), so a plain
+        # count is COUNT(DISTINCT shared grams)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
