@@ -83,6 +83,7 @@ TABLES_FOR = {
     "q113_bpe_token_accounting": {"documents"},
     "q114_ngram_language_id": {"documents"},
     "q115_ivf_partial_probe": {"embeddings"},
+    "q119_contamination_check": {"documents"},
     "q41_centroid_assignment": {"embeddings"},
     "q31_tfidf_top_term": {"documents"},
 }
