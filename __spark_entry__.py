@@ -32,86 +32,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-6 window, in order
-# (WINDOW_r06.md has the per-query evidence trail):
-#   1. the 14 queries whose latest driver row is r3 — the standing
-#      rotation obligation from the r5 verdict (task 1), displaced two
-#      rounds running by new/changed code; all judge-green every session
-#      via tests/test_oracle_parity.py;
-#   2. the queries whose CODE is new or changed in round 6: q115 (NEW —
-#      partial-probe IVF), q47/q41/q76/q108 + the group-1 members
-#      q42/q48/q99 (matrix_lit literal centroid table + argmin-rewrite
-#      of _assignment_expr), q31 (window-df single-DAG rewrite), q114
-#      (O(len^1.5) trigram explode + hashed-bitmask scoring), q98
-#      (auto state-partition sizing), and the hashed-shingle consumers
-#      q78/q112/q105/q35 (n==1 guard — n>=2 behavior unchanged, gated
-#      defensively);
-#   3. 24 of the 43 r4-evidence queries, lowest query number first —
-#      the remaining 19 (q61-q92 block, listed at positions 51+) are
-#      first in line for r7.
-# Entries past position 50 are r4/r5-green and code-unchanged.
+# re-enters the hard gate (advisor r2). Round-7 window, in order
+# (WINDOW_r07.md has the per-query evidence trail):
+#   1. the 25 queries whose latest driver row is r4 — the r6 verdict's
+#      task 1 (hard obligation: driver evidence must not age past r4);
+#      all judge-green every session via tests/test_oracle_parity.py;
+#   2. the queries whose CODE changed in round 7: q116 (bucketed
+#      manifest merge sink — per-batch writes O(batch) not O(table) +
+#      committed-replay no-op guard), q118 (recall denominator fixed to
+#      the sample size), q114 (langid >63-label pivot fallback guard),
+#      and the matrix_lit consumers q41/q42/q47/q48/q76/q99/q108/q115
+#      (non-finite validation added; literal rendering unchanged) —
+#      changed code always re-enters the hard gate;
+#   3. oldest r5-evidence queries, lowest number first, filling to 50.
+# Entries past position 50 are r5/r6-green and code-unchanged.
 _PRIORITY = [
-    # -- (1) last driver row is r3 (r5 verdict task 1)
-    "q52_ridge_fit",
-    "q53_standard_scaler",
-    "q54_minmax_scaler",
-    "q55_corr_cov_matrix",
-    "q65_ranking_windows",
-    "q82_lsh_knn",
-    "q83_logreg_predict",
-    "q87_naive_bayes_predict",
-    "q94_elasticnet_vs_ols",
-    "q99_kmeans_parallel_fit",
-    "q101_make_classification",
-    "q102_adjusted_rand",
-    "q42_lloyd_iteration",
-    "q48_kmeans_transform",
-    # -- (2) code new or changed in round 6
-    "q115_ivf_partial_probe",
-    "q47_ivf_search_full_probe",
-    "q41_centroid_assignment",
-    "q76_kmeans_fit",
-    "q108_semantic_dedup",
-    "q31_tfidf_top_term",
-    "q114_ngram_language_id",
-    "q98_stream_dedup",
-    "q78_minhash_near_dup",
-    "q112_incremental_dedup",
-    "q105_curation_pipeline",
-    "q35_jaccard_near_dup",
-    # -- (3) r4-evidence, rotating back into the hard gate
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q05_string_ops",
-    "q100_merge_schema",
-    "q104_json_parse_at_ingest",
-    "q106_salted_skew_join",
-    "q107_approx_aggregates",
-    "q13_semi_anti_join",
-    "q14_range_join_bands",
-    "q15_global_topk",
-    "q16_project_cast_case",
-    "q17_rolling_avg",
-    "q18_lag_lead",
-    "q20_sessionization",
-    "q21_funnel",
-    "q22_json_extract",
-    "q23_retention",
-    "q24_event_value_stats",
-    # q116-q119 are NEW round-6 code (exactly-once foreachBatch merge
-    # sink; stream-static enrichment join; IVF kNN-graph build;
-    # benchmark-contamination check); the overflow-free sampling-hash
-    # rewrite (bucket-identical, but changed code re-enters the hard
-    # gate) adds q109/q96 — together displacing q25/q45/q56/q57/q58/q60
-    # to r7's queue
-    "q119_contamination_check",
-    "q118_knn_graph",
-    "q116_stream_upsert_sink",
-    "q117_stream_static_enrichment",
-    "q109_stratified_sample",
-    "q96_train_test_split",
-    # -- positions 51+: r4-green code-unchanged (first in line for r7),
-    # then the r5-green set
+    # -- (1) last driver row is r4 (r6 verdict task 1)
     "q25_hourly_windows",
     "q45_cosine_near_dup",
     "q56_confusion_matrix",
@@ -137,6 +73,73 @@ _PRIORITY = [
     "q88_group_quantiles",
     "q89_unpivot_melt",
     "q92_interval_join",
+    # -- (2) code changed in round 7 (re-enters the hard gate)
+    "q116_stream_upsert_sink",
+    "q118_knn_graph",
+    "q114_ngram_language_id",
+    "q41_centroid_assignment",
+    "q42_lloyd_iteration",
+    "q47_ivf_search_full_probe",
+    "q48_kmeans_transform",
+    "q76_kmeans_fit",
+    "q99_kmeans_parallel_fit",
+    "q108_semantic_dedup",
+    "q115_ivf_partial_probe",
+    # -- (3) oldest r5-evidence, lowest number first, filling to 50
+    "q03_top_orders_per_customer",
+    "q04_segment_stats",
+    "q06_orders_by_month",
+    "q07_fillna_left_join",
+    "q08_value_counts",
+    "q09_drop_duplicates",
+    "q10_set_ops",
+    "q11_rollup",
+    "q12_quantiles_histogram",
+    "q30_top_terms",
+    "q32_exact_dedup",
+    "q33_lang_source_slice",
+    "q34_text_quality",
+    "q36_naive_bayes_fit",
+    # -- positions 51+: r5/r6-green code-unchanged
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q05_string_ops",
+    "q13_semi_anti_join",
+    "q14_range_join_bands",
+    "q15_global_topk",
+    "q16_project_cast_case",
+    "q17_rolling_avg",
+    "q18_lag_lead",
+    "q20_sessionization",
+    "q21_funnel",
+    "q22_json_extract",
+    "q23_retention",
+    "q24_event_value_stats",
+    "q31_tfidf_top_term",
+    "q35_jaccard_near_dup",
+    "q52_ridge_fit",
+    "q53_standard_scaler",
+    "q54_minmax_scaler",
+    "q55_corr_cov_matrix",
+    "q65_ranking_windows",
+    "q78_minhash_near_dup",
+    "q82_lsh_knn",
+    "q83_logreg_predict",
+    "q87_naive_bayes_predict",
+    "q94_elasticnet_vs_ols",
+    "q96_train_test_split",
+    "q98_stream_dedup",
+    "q100_merge_schema",
+    "q101_make_classification",
+    "q102_adjusted_rand",
+    "q104_json_parse_at_ingest",
+    "q105_curation_pipeline",
+    "q106_salted_skew_join",
+    "q107_approx_aggregates",
+    "q109_stratified_sample",
+    "q112_incremental_dedup",
+    "q117_stream_static_enrichment",
+    "q119_contamination_check",
 ]
 
 

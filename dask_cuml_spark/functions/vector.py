@@ -68,9 +68,23 @@ def matrix_lit(mat) -> Column:
     parse (measured 3 ms warm). repr(float) round-trips exactly through
     Spark's double-literal parser (verified incl. 5e-324), so values are
     bit-identical to the per-element form.
+
+    Non-finite values would render as ``infD``/``nanD``, which Spark's
+    SQL parser rejects with an opaque ParseException far from the cause
+    (e.g. a degenerate k-means fit with an empty cluster) — validate up
+    front and name the offending cell instead.
     """
-    rows = ",".join(
-        "array(" + ",".join(f"{float(v)!r}D" for v in r) + ")"
-        for r in mat
-    )
-    return F.expr(f"array({rows})")
+    import math
+
+    rows = []
+    for i, r in enumerate(mat):
+        vals = [float(v) for v in r]
+        for j, v in enumerate(vals):
+            if not math.isfinite(v):
+                raise ValueError(
+                    f"matrix_lit: non-finite value {v!r} at row {i}, "
+                    f"col {j} — check for empty clusters / bad input "
+                    "vectors upstream"
+                )
+        rows.append("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.expr(f"array({','.join(rows)})")

@@ -179,6 +179,13 @@ def classify(
             return ngrams.sparkSession.createDataFrame(
                 [], f"{id_col} long, lang_pred string, score long"
             )
+        if len(langs) > 63:
+            # the bitmask ships as ONE signed-long column: lane 63 is the
+            # sign bit and lane 64+ would alias lower lanes. Lang-ID label
+            # sets are tens of languages, so fall back to the unbounded
+            # broadcast-join formulation rather than chunking masks.
+            strategy = "join"
+    if strategy == "pivot":
         lane = {lang: i for i, lang in enumerate(langs)}
         mask_by_ngram: dict[str, int] = {}
         for r in rows:

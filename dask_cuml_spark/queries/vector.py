@@ -637,13 +637,15 @@ def q118_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = samp.join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
-    ).agg(
-        F.count(F.lit(1)).alias("_n_hits"),
-        F.count_distinct("query_id").alias("_n_sq"),
-    )
+    ).agg(F.count(F.lit(1)).alias("_n_hits"))
+    # recall denominator is the FIXED sample size (advisor r6): dividing
+    # by count_distinct over the hits join would drop zero-overlap
+    # queries from the denominator and inflate measured recall
+    nsq = sample.agg(F.count(F.lit(1)).alias("_n_sq"))
     return (
         totals.crossJoin(rank)
         .crossJoin(hits)
+        .crossJoin(nsq)
         .select(
             "n_nodes",
             "n_edges",

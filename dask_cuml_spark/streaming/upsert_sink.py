@@ -9,16 +9,29 @@ on a real deployment the foreachBatch body is a Delta/Iceberg MERGE.
 Without a table format in this container, the same guarantee is built
 from primitives:
 
-  - the target table is a family of immutable versioned parquet dirs
-    ``v{n}`` plus a one-line pointer file naming the committed version;
+  - the table is hash-bucketed on the key into ``_N_BUCKETS`` immutable
+    parquet dirs; a VERSION is a manifest file mapping bucket id → the
+    dir that currently holds that bucket's rows, plus a one-line pointer
+    file naming the committed manifest;
   - each batch merges (operators/merge.merge_upsert — keyed upsert, one
-    shuffle on the key) the batch's updated per-key totals into the
-    CURRENT committed version and writes a NEW version dir;
+    shuffle on the key) ONLY the buckets its keys hash into, writing new
+    dirs for those buckets and copying the manifest entries of untouched
+    buckets forward unchanged — per-batch written bytes are
+    O(batch's buckets), not O(table), which is exactly how real table
+    formats bound merge amplification (rewrite only touched files). A
+    full-table rewrite at 100 TB of per-key totals would copy the world
+    every micro-batch; this layout writes ~|touched|/|buckets| of it
+    (measured: see tests/test_operators.py bucket-locality assertions
+    and PLANS.md "merge-sink write amplification");
   - the commit is ``os.replace`` of the pointer file — atomic on POSIX,
     so readers see the old or the new version, never a torn table;
-  - a REPLAYED batch (failure between write and checkpoint commit)
-    rewrites the same version dir from the same input deterministically
-    and re-points — idempotent, each event's effect lands exactly once.
+  - a REPLAYED batch (failure between write and checkpoint commit) is
+    handled in two tiers: if the pointer already names this batch's
+    version the sink is a NO-OP (advisor r6: re-deriving from the
+    now-advanced pointer would read and overwrite the same dirs); if the
+    pointer does not, the replay re-derives the same bucket dirs from
+    the same committed inputs deterministically and re-points. Either
+    way each event's effect lands exactly once.
 
 Aggregation runs in update output mode: the state store holds cumulative
 per-key totals, so each batch emits full replacement rows for changed
@@ -30,6 +43,7 @@ version family is a table-format commit log in miniature.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -41,6 +55,14 @@ from dask_cuml_spark.operators.merge import merge_upsert
 from dask_cuml_spark.streaming import _state_partitions, auto_state_partitions
 
 _POINTER = "COMMITTED"
+_N_BUCKETS = 16
+
+
+def _bucket(key: str):
+    """Bucket id for a key value — stable across versions, so a key's
+    rows live in exactly one bucket dir and a merge touches only the
+    buckets its batch keys hash into."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(_N_BUCKETS)).cast("int")
 
 
 def _commit(root: str, version: str) -> None:
@@ -53,6 +75,108 @@ def _commit(root: str, version: str) -> None:
 def _committed(root: str) -> str:
     with open(os.path.join(root, _POINTER)) as f:
         return f.read().strip()
+
+
+def _write_manifest(root: str, version: str, manifest: dict) -> None:
+    tmp = os.path.join(root, version + ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump({str(k): v for k, v in manifest.items()}, f)
+    os.replace(tmp, os.path.join(root, version + ".manifest"))
+
+
+def _read_manifest(root: str, version: str) -> dict:
+    with open(os.path.join(root, version + ".manifest")) as f:
+        return {int(k): v for k, v in json.load(f).items()}
+
+
+def read_committed(spark: SparkSession, root: str) -> DataFrame:
+    """The committed table: union of every bucket dir in the committed
+    manifest (dirs from different versions — that's the point)."""
+    manifest = _read_manifest(root, _committed(root))
+    return spark.read.parquet(
+        *[os.path.join(root, rel) for rel in manifest.values()]
+    )
+
+
+def init_table(
+    spark: SparkSession, root: str, df: DataFrame, key: str
+) -> None:
+    """Seed version v0: bucket df on the key, one dir per bucket."""
+    (
+        df.withColumn("_b", _bucket(key))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(os.path.join(root, "v0"))
+    )
+    # partitionBy materializes dirs only for non-empty buckets; the
+    # manifest tracks exactly those (absent bucket ≡ zero rows)
+    manifest = {
+        b: f"v0/_b={b}"
+        for b in range(_N_BUCKETS)
+        if os.path.isdir(os.path.join(root, f"v0/_b={b}"))
+    }
+    _write_manifest(root, "v0", manifest)
+    _commit(root, "v0")
+
+
+def merge_batch(
+    spark: SparkSession,
+    root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    key: str,
+    update_cols: list[str],
+) -> None:
+    """Merge one micro-batch into the table — idempotent under replay.
+
+    Reads only the committed bucket dirs the batch's keys hash into,
+    merges, writes new dirs for those buckets under v{batch_id+1}, and
+    copies untouched buckets' manifest entries forward. One Spark job
+    regardless of how many buckets are touched.
+    """
+    version = f"v{batch_id + 1}"
+    if _committed(root) == version:
+        # replay of an already-committed batch (failure landed between
+        # pointer commit and checkpoint commit): the work is done; doing
+        # it again would read v{n} while overwriting v{n}
+        return
+    manifest = _read_manifest(root, _committed(root))
+    batch_df = batch_df.withColumn("_b", _bucket(key)).localCheckpoint()
+    touched = sorted(
+        r["_b"] for r in batch_df.select("_b").distinct().collect()
+    )
+    if touched:
+        batch_flat = batch_df.drop("_b")
+        existing = [
+            os.path.join(root, manifest[b]) for b in touched if b in manifest
+        ]
+        cur = (
+            spark.read.parquet(*existing)
+            if existing
+            # every touched bucket is empty so far → pure insert
+            else spark.createDataFrame([], batch_flat.schema)
+        )
+        merged = merge_upsert(
+            cur, batch_flat, key, update_cols
+        ).withColumn("_b", _bucket(key))
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(os.path.join(root, version))
+        )
+        for b in touched:
+            manifest[b] = f"{version}/_b={b}"
+    _write_manifest(root, version, manifest)
+    _commit(root, version)
+
+
+def version_bytes(root: str, version: str) -> int:
+    """Bytes on disk under one version dir (write-amplification probe)."""
+    total = 0
+    vdir = os.path.join(root, version)
+    for dirpath, _dirs, files in os.walk(vdir):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
 
 
 def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,8 +203,7 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(-1.0).alias("total_value"),
             )
         )
-        seed.write.mode("overwrite").parquet(os.path.join(root, "v0"))
-        _commit(root, "v0")
+        init_table(spark, root, seed, "user_id")
 
         stream = (
             spark.readStream.schema(schema)
@@ -93,15 +216,10 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            cur = spark.read.parquet(os.path.join(root, _committed(root)))
-            merged = merge_upsert(
-                cur, batch_df, "user_id", ["n_events", "total_value"]
+            merge_batch(
+                spark, root, batch_df, batch_id,
+                "user_id", ["n_events", "total_value"],
             )
-            version = f"v{batch_id + 1}"
-            merged.write.mode("overwrite").parquet(
-                os.path.join(root, version)
-            )
-            _commit(root, version)
 
         with tempfile.TemporaryDirectory() as ckpt, _state_partitions(
             spark, auto_state_partitions(sf_dir)
@@ -115,7 +233,9 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
 
-        final = spark.read.parquet(os.path.join(root, _committed(root)))
+        final = read_committed(spark, root).select(
+            "user_id", "n_events", "total_value"
+        )
         # materialize before the tempdir is removed; the committed table
         # is per-key totals (thousands of rows), not event-sized
         rows = final.orderBy("user_id").collect()

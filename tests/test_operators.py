@@ -1110,3 +1110,104 @@ def test_matrix_lit_bit_exact_roundtrip(spark):
     for row_got, row_want in zip(got, vals):
         for g, w in zip(row_got, row_want):
             assert g == w and str(g) == str(float(w)), (g, w)
+
+
+def test_matrix_lit_rejects_non_finite(spark):
+    """Non-finite cells must fail fast with the offending coordinate,
+    not surface as an opaque ParseException from `infD`/`nanD` deep in
+    some centroid-assignment plan (advisor r6)."""
+    from dask_cuml_spark.functions.vector import matrix_lit
+
+    with pytest.raises(ValueError, match=r"row 1, col 2"):
+        matrix_lit([[1.0, 2.0, 3.0], [4.0, 5.0, float("inf")]])
+    with pytest.raises(ValueError, match=r"row 0, col 0"):
+        matrix_lit([[float("nan")]])
+
+
+def test_langid_pivot_falls_back_above_63_labels(spark):
+    """The pivot bitmask ships as ONE signed long: lane 63 is the sign
+    bit and 64+ labels would alias lanes (advisor r6). Above 63 labels
+    classify must silently take the unbounded join formulation and still
+    produce identical predictions."""
+    from dask_cuml_spark.operators.langid import classify
+
+    # 64 labels, each owning one unique ngram; doc i speaks language i
+    labels = [f"L{i:02d}" for i in range(64)]
+    prof = spark.createDataFrame(
+        [(f"g{i:02d}", lab) for i, lab in enumerate(labels)],
+        ["ngram", "cand"],
+    )
+    ngrams = spark.createDataFrame(
+        [(i, f"g{i:02d}") for i in range(64) for _ in range(3)],
+        ["doc_id", "ngram"],
+    )
+    got = {
+        r.doc_id: (r.lang_pred, r.score)
+        for r in classify(ngrams, prof, strategy="pivot").collect()
+    }
+    assert got == {i: (labels[i], 3) for i in range(64)}
+    via_join = {
+        r.doc_id: (r.lang_pred, r.score)
+        for r in classify(ngrams, prof, strategy="join").collect()
+    }
+    assert got == via_join
+
+
+def test_merge_batch_bucket_locality_and_replay_noop(spark, tmp_path):
+    """The merge sink must (a) rewrite ONLY the bucket dirs a batch's
+    keys hash into — per-batch bytes O(batch), not O(table) — and
+    (b) be a NO-OP when replayed against an already-committed version
+    (advisor r6: re-deriving from the advanced pointer would read and
+    overwrite the same dirs, failing recovery permanently)."""
+    import os
+
+    from dask_cuml_spark.streaming.upsert_sink import (
+        _N_BUCKETS,
+        _committed,
+        _read_manifest,
+        init_table,
+        merge_batch,
+        read_committed,
+        version_bytes,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    init_table(spark, root, base, "k")
+    m0 = _read_manifest(root, "v0")
+    assert set(m0) == set(range(_N_BUCKETS))
+
+    # batch touches 3 keys: 2 updates + 1 insert
+    batch = spark.createDataFrame(
+        [(5, 50), (17, 170), (9999, 99)], "k long, v long"
+    )
+    merge_batch(spark, root, batch, 0, "k", ["v"])
+    assert _committed(root) == "v1"
+    m1 = _read_manifest(root, "v1")
+    rewritten = {b for b in m1 if m1[b] != m0[b]}
+    assert 1 <= len(rewritten) <= 3  # ≤ one bucket per batch key
+    for b in set(m1) - rewritten:  # untouched buckets: copied forward
+        assert m1[b] == m0[b] == f"v0/_b={b}"
+    # write amplification: v1 holds ≤3 of 16 buckets' worth of rows
+    assert version_bytes(root, "v1") < 0.5 * version_bytes(root, "v0")
+
+    expect = {i: 0 for i in range(2000)} | {5: 50, 17: 170, 9999: 99}
+    got = {r.k: r.v for r in read_committed(spark, root).collect()}
+    assert got == expect
+
+    # replay of the committed batch: pointer already names v1 → no-op
+    before = version_bytes(root, "v1")
+    merge_batch(spark, root, batch, 0, "k", ["v"])
+    assert _committed(root) == "v1"
+    assert version_bytes(root, "v1") == before
+    assert {r.k: r.v for r in read_committed(spark, root).collect()} == expect
+
+    # replay of an UNcommitted batch (write landed, pointer did not):
+    # deterministic re-derivation converges to the same table
+    merge_batch(spark, root, batch, 1, "k", ["v"])
+    merge_batch(spark, root, batch, 1, "k", ["v"])  # post-commit replay
+    assert _committed(root) == "v2"
+    assert {r.k: r.v for r in read_committed(spark, root).collect()} == expect
