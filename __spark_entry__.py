@@ -37,13 +37,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #   1. the 25 queries whose latest driver row is r4 — the r6 verdict's
 #      task 1 (hard obligation: driver evidence must not age past r4);
 #      all judge-green every session via tests/test_oracle_parity.py;
-#   2. the queries whose CODE changed in round 7: q116 (bucketed
-#      manifest merge sink — per-batch writes O(batch) not O(table) +
-#      committed-replay no-op guard), q118 (recall denominator fixed to
-#      the sample size), q114 (langid >63-label pivot fallback guard),
-#      and the matrix_lit consumers q41/q42/q47/q48/q76/q99/q108/q115
-#      (non-finite validation added; literal rendering unchanged) —
-#      changed code always re-enters the hard gate;
+#   2. the queries whose CODE changed in round 7: q120 (NEW —
+#      cell-blocked DBSCAN over SQL-replayable blob points, full-value
+#      oracle), q02 (three-branch cost gate: new bcast-cmap +
+#      shuffled-hash-join middle branch — the measured 100× win),
+#      q116 (bucketed manifest merge sink — per-batch writes O(batch)
+#      not O(table) + committed-replay no-op guard), q118 (recall
+#      denominator fixed to the sample size; IVF probe selection on the
+#      gated GEMM primitive), q114 (langid >63-label pivot fallback
+#      guard), q77 (dbscan gained strategy/n_cells params; default
+#      path unchanged), and the matrix_lit/kmeans consumers
+#      q41/q42/q47/q48/q76/q99/q108/q115 (non-finite validation +
+#      nearest_centers primitive; fixture plans unchanged) — changed
+#      code always re-enters the hard gate;
 #   3. oldest r5-evidence queries, lowest number first, filling to 50.
 # Entries past position 50 are r5/r6-green and code-unchanged.
 _PRIORITY = [
@@ -74,9 +80,12 @@ _PRIORITY = [
     "q89_unpivot_melt",
     "q92_interval_join",
     # -- (2) code changed in round 7 (re-enters the hard gate)
+    "q120_dbscan_blocked",
+    "q02_revenue_by_nation",
     "q116_stream_upsert_sink",
     "q118_knn_graph",
     "q114_ngram_language_id",
+    "q77_dbscan",
     "q41_centroid_assignment",
     "q42_lloyd_iteration",
     "q47_ivf_search_full_probe",
@@ -97,12 +106,8 @@ _PRIORITY = [
     "q12_quantiles_histogram",
     "q30_top_terms",
     "q32_exact_dedup",
-    "q33_lang_source_slice",
-    "q34_text_quality",
-    "q36_naive_bayes_fit",
     # -- positions 51+: r5/r6-green code-unchanged
     "q01_pricing_summary",
-    "q02_revenue_by_nation",
     "q05_string_ops",
     "q13_semi_anti_join",
     "q14_range_join_bands",

@@ -86,6 +86,8 @@ TABLES_FOR = {
     "q119_contamination_check": {"documents"},
     "q41_centroid_assignment": {"embeddings"},
     "q31_tfidf_top_term": {"documents"},
+    "q118_knn_graph": {"embeddings"},
+    "q120_dbscan_blocked": {"embeddings"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -247,6 +249,10 @@ def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 SKIP_DUCK_ABOVE = {
     "q45_cosine_near_dup": 10,
     "q77_dbscan": 1,
+    # same all-pairs recursive-CTE oracle shape as q77: Θ(n²) pair
+    # candidates (4e8 distance evals at 10×) — the 1× row is the
+    # comparable point; scaled rows record the Spark-side curve
+    "q120_dbscan_blocked": 1,
     # oracle's within-cluster pair scan is an expression fold over
     # Θ(Σ|cluster|²) pairs: 6.4 s at 10×, quadratic per cluster → ~11 min
     # at 100× while the grouped GEMM finishes in seconds
@@ -298,6 +304,29 @@ ORACLE_NOT_COMPARABLE = {
         "the partial-probe search AND an in-query exact-kNN baseline "
         "for the recall/rank invariants — row records Spark-side "
         "scaling only"
+    ),
+    "q118_knn_graph": (
+        "oracle is an O(1) invariant check (count constants); the "
+        "Spark side builds the FULL kNN graph (IVF self-search over "
+        "every vector) plus the sampled exact-kNN recall check — row "
+        "records the Spark-side build curve; at factor>1 n_cells is "
+        "scaled ∝ n (cell size held ~constant, the production IVF "
+        "posture) and candidate_edges records the measured probed-"
+        "candidate total, which should grow ~linearly"
+    ),
+}
+
+# Rows whose ratio is real but measures a deliberately conservative
+# configuration — annotated, not nulled (r6 verdict task 7).
+RATIO_CAVEATS = {
+    "q47_ivf_search_full_probe": (
+        "ratio measures an ORACLE-FIDELITY configuration, not an ANN "
+        "operating point: full probe (nprobe == n_cells) re-scans the "
+        "whole corpus so the result is exactly brute-force kNN and the "
+        "SQL oracle stays full-value — the engine pays k-means fit + "
+        "every-cell probe while DuckDB brute-forces 10 query vectors. "
+        "The ANN ratio row is q115 (partial probe, the real operating "
+        "point)"
     ),
 }
 
@@ -408,11 +437,68 @@ def main() -> None:
             q77_eps = tune_q77_eps(fac)
             saved_eps = pu._Q77_EPS
             pu._Q77_EPS = q77_eps
+        # q118 at factor>1 holds CELL SIZE ~constant (n_cells ∝ n, the
+        # production IVF posture — FAISS guidance n_cells ~ √n..n/256)
+        # so the claimed-linear build curve is measured at a fixed
+        # per-cell workload, not a quadratically densifying one. The
+        # patch would change q47/q115's configuration too (they share
+        # _fitted_ivf), so a scaled q118 run must be --only.
+        # q120 at factor>1: constant-degree ε by closed form — blob
+        # density is uniform in a 4-D unit box, so the ε holding the
+        # expected neighbor count fixed scales as factor^(-1/4) (the
+        # same practitioner re-tune tune_q77_eps does empirically for
+        # the orthogonal cloud, but exact here by construction).
+        q120_eps = None
+        if "q120_dbscan_blocked" in spark_names and fac > 1:
+            import dask_cuml_spark.queries.pandas_udfs as pu120
+
+            q120_eps = round(0.5 * fac ** -0.25, 4)
+            saved_q120_eps = pu120._Q120_EPS
+            pu120._Q120_EPS = q120_eps
+        q118_cells = None
+        if "q118_knn_graph" in spark_names and fac > 1:
+            assert not (
+                {"q47_ivf_search_full_probe", "q115_ivf_partial_probe"}
+                & set(spark_names)
+            ), "run scaled q118 via --only (n_cells patch is shared)"
+            import dask_cuml_spark.queries.vector as vec
+
+            q118_cells = 8 * fac
+            saved_cells = vec._IVF_N_CELLS
+            vec._IVF_N_CELLS = q118_cells
         try:
             s = time_spark(spark, d, spark_names)
+            # candidate-edge accounting for the q118 row: measured sum
+            # of probed-cell sizes over ALL queries (the graph build's
+            # true pair-scan volume) — should grow ~linearly when cell
+            # size is held constant. Uses the memoized index the timed
+            # runs just built, so this costs two tiny jobs.
+            if "q118_knn_graph" in spark_names:
+                import dask_cuml_spark.queries.vector as vec
+                from dask_cuml_spark.io import load_table
+                from pyspark.sql import functions as F
+
+                idx = vec._fitted_ivf(spark, d)
+                csz = idx.cells_.groupBy("cell_id").agg(
+                    F.count(F.lit(1)).alias("csz")
+                )
+                allq = load_table(spark, d, "embeddings").select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                )
+                q118_cand = int(
+                    idx.probes(allq, 2, "qv")
+                    .join(csz, "cell_id")
+                    .agg(F.sum("csz"))
+                    .collect()[0][0]
+                )
         finally:
             if q77_eps is not None:
                 pu._Q77_EPS = saved_eps
+            if q118_cells is not None:
+                vec._IVF_N_CELLS = saved_cells
+            if q120_eps is not None:
+                pu120._Q120_EPS = saved_q120_eps
         k = time_duck(d, duck_names)
         # merge per-query so tail runs extend, not replace, prior rows
         results.setdefault(label, {})
@@ -439,6 +525,22 @@ def main() -> None:
             if n in ORACLE_NOT_COMPARABLE:
                 row["ratio"] = None
                 row["note"] = ORACLE_NOT_COMPARABLE[n]
+            if n in RATIO_CAVEATS:
+                row["note"] = RATIO_CAVEATS[n]
+            if n == "q118_knn_graph" and n in spark_names:
+                row["n_cells"] = q118_cells or 8
+                row["candidate_edges"] = q118_cand
+            if n == "q120_dbscan_blocked" and q120_eps is not None:
+                row["eps"] = q120_eps
+                row["note"] = (
+                    "constant-degree eps (0.5 * factor^-0.25, exact for "
+                    "uniform 4-D blob density); duckdb oracle is the "
+                    "q77-shaped all-pairs recursive CTE — 1x is its "
+                    "comparable point. exact_path_spark_sec times the "
+                    "SAME data/eps through the all-pairs blocked-GEMM "
+                    "eps-join (the q77 physical plan) — the delta IS "
+                    "the cell-blocking win"
+                )
             if n == "q77_dbscan" and q77_eps is not None:
                 row["eps"] = round(q77_eps, 4)
                 row["note"] = (
@@ -456,18 +558,48 @@ def main() -> None:
 
             row = results[label]["q02_revenue_by_nation"]
             row["branch"] = rel.q02_plan_branch(spark, d)
-            if row["branch"] == "eager-agg":
-                saved = rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES
-                rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES = 1 << 60
+            if row["branch"] != "direct":
+                # time the roads not taken so the gate's choice is
+                # measured, not asserted (r4 task 6; extended r7 for
+                # the three-branch gate)
+                saved_e = rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES
+                saved_b = rel._Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES
                 try:
-                    forced = time_spark(
+                    rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES = 1 << 60
+                    row["direct_branch_spark_sec"] = time_spark(
                         spark, d, ["q02_revenue_by_nation"]
-                    )
-                    row["direct_branch_spark_sec"] = forced[
-                        "q02_revenue_by_nation"
-                    ]
+                    )["q02_revenue_by_nation"]
+                    rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES = 1
+                    if row["branch"] == "bcast-cmap":
+                        rel._Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = 0
+                        row["eager_agg_branch_spark_sec"] = time_spark(
+                            spark, d, ["q02_revenue_by_nation"]
+                        )["q02_revenue_by_nation"]
+                    else:
+                        rel._Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = 1 << 60
+                        row["bcast_cmap_branch_spark_sec"] = time_spark(
+                            spark, d, ["q02_revenue_by_nation"]
+                        )["q02_revenue_by_nation"]
                 finally:
-                    rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES = saved
+                    rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES = saved_e
+                    rel._Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = saved_b
+        # q120 road-not-taken: same blob data + eps through the exact
+        # all-pairs eps-join, so the cell-blocking win is measured
+        if "q120_dbscan_blocked" in spark_names and fac > 1:
+            import dask_cuml_spark.queries.pandas_udfs as pu120
+
+            pu120._Q120_EPS = q120_eps  # keep the scaled eps
+            saved_strat = pu120._Q120_STRATEGY
+            pu120._Q120_STRATEGY = "exact"
+            try:
+                results[label]["q120_dbscan_blocked"][
+                    "exact_path_spark_sec"
+                ] = time_spark(spark, d, ["q120_dbscan_blocked"])[
+                    "q120_dbscan_blocked"
+                ]
+            finally:
+                pu120._Q120_STRATEGY = saved_strat
+                pu120._Q120_EPS = saved_q120_eps
     spark.stop()
 
     def med(label):

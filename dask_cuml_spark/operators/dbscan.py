@@ -75,6 +75,139 @@ def _eps_pairs(
     )
 
 
+def _eps_pairs_cell_blocked(
+    df: DataFrame,
+    eps: float,
+    id_col: str,
+    vec_col: str,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """Cell-blocked ε-join — the declared 100 TB path for DBSCAN's pair
+    scan (PLANS.md scale-path table; r6 verdict task 6).
+
+    Reuses the IVF machinery: k-means coarse cells (n_cells ∝ n, cell
+    size ~constant), then each point probes only the cells that can
+    contain an ε-neighbor. Completeness is the triangle inequality: if
+    ||a−b|| ≤ ε and b lives in cell j, then d(a, c_j) ≤ d(a,b) +
+    d(b, c_j) ≤ ε + r_j, where r_j = max member distance to centroid j
+    (one aggregate after assignment) — so probing {j : d(a, c_j) ≤
+    ε + r_j} can never miss a true pair, and distances within probed
+    cells are EXACT: the result is bit-identical to the all-pairs scan
+    (directed pairs appear once per direction because each member is
+    owned by exactly one cell and the guarantee covers both a→cell(b)
+    and b→cell(a)). Pair-scan work drops from Θ(n²) to
+    Θ(n · cells-probed · cell-size), which is where the win lives —
+    but ONLY when the data has density structure: on a cloud of
+    near-orthogonal vectors every cell is ε-reachable from everywhere
+    (r_j ≈ point spread), probes degenerate to all cells, and the exact
+    blocked-GEMM path is strictly better. That is a property of the
+    data, not the plan — hence an explicit strategy, not an auto gate.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dask_cuml_spark.operators.kmeans import KMeans, nearest_centers
+
+    if n_cells is None:
+        n_cells = int(max(4, min(4096, df.count() // 256)))
+    km = KMeans(k=n_cells, max_iter=3).fit(df, vec_col=vec_col, id_col=id_col)
+    centers = km.cluster_centers_
+    sc = df.sparkSession.sparkContext
+    cells = (
+        nearest_centers(
+            df.select(id_col, vec_col), vec_col, centers, 1, "_c", "gemm"
+        )
+        .select(
+            F.col(id_col).alias("_mid"),
+            F.col(vec_col).alias("_mv"),
+            F.col("_c")[0].alias("cell_id"),
+        )
+        .cache()
+    )
+
+    bc_c = sc.broadcast(centers)
+
+    def d_own_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc_c.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["_mv"].tolist(), dtype=np.float64)
+            cid = pdf["cell_id"].to_numpy()
+            d = np.sqrt(((X - C[cid]) ** 2).sum(axis=1))
+            yield pd.DataFrame({"cell_id": cid, "_d": d})
+
+    radii = np.zeros(n_cells)
+    for r in (
+        cells.select("cell_id", "_mv")
+        .mapInPandas(d_own_kernel, "cell_id int, _d double")
+        .groupBy("cell_id")
+        .agg(F.max("_d").alias("_r"))
+        .collect()
+    ):  # k rows — model-state-sized, like centroids
+        radii[r["cell_id"]] = r["_r"]
+
+    bc_cr = sc.broadcast((centers, radii))
+
+    def probe_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C, R = bc_cr.value
+        c_norms = (C * C).sum(axis=1)
+        thr = eps + R  # per-cell reachability radius
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                + c_norms[None, :]
+                - 2.0 * (X @ C.T)
+            )
+            np.maximum(d2, 0.0, out=d2)
+            mask = np.sqrt(d2) <= thr[None, :]
+            rows, cols = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "_qid": pdf[id_col].to_numpy()[rows],
+                    "_qv": pdf[vec_col].to_numpy()[rows],
+                    "cell_id": cols.astype(np.int32),
+                }
+            )
+
+    qid_t = dict(df.dtypes)[id_col]
+    vec_t = dict(df.dtypes)[vec_col]
+    probes = df.select(id_col, vec_col).mapInPandas(
+        probe_kernel, f"_qid {qid_t}, _qv {vec_t}, cell_id int"
+    )
+
+    eps_sq = eps * eps
+
+    def pair_kernel(key, qpdf, cpdf):
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        Q = np.array(qpdf["_qv"].tolist(), dtype=np.float64)
+        C = np.array(cpdf["_mv"].tolist(), dtype=np.float64)
+        d2 = (
+            (Q * Q).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * (Q @ C.T)
+        )
+        np.maximum(d2, 0.0, out=d2)
+        qa = qpdf["_qid"].to_numpy()
+        cb = cpdf["_mid"].to_numpy()
+        rows, cols = np.nonzero(
+            (d2 <= eps_sq) & (qa[:, None] != cb[None, :])
+        )
+        return pd.DataFrame({"id_a": qa[rows], "id_b": cb[cols]})
+
+    return (
+        probes.groupBy("cell_id")
+        .cogroup(cells.groupBy("cell_id"))
+        .applyInPandas(pair_kernel, f"id_a {qid_t}, id_b {qid_t}")
+    )
+
+
 def dbscan(
     df: DataFrame,
     eps: float,
@@ -84,6 +217,8 @@ def dbscan(
     max_rounds: int = 20,
     union_find_max_edges: int = 100_000,
     dtype=None,
+    strategy: str = "exact",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Returns (id, cluster) with noise = -1. Cluster ids are the min
     member id of each component (deterministic).
@@ -91,8 +226,18 @@ def dbscan(
     dtype=np.float32 halves the eps-join's shuffle width (the dominant
     cost at scale); it moves the eps boundary by ~1e-6 relative, so use
     it only when cluster membership tolerates that (the float64 default
-    keeps the SQL-oracle-exact boundary)."""
-    pairs = _eps_pairs(df, eps, id_col, vec_col, dtype=dtype).cache()
+    keeps the SQL-oracle-exact boundary).
+
+    strategy='exact' scans all pairs through the blocked GEMM kernel;
+    strategy='cells' bounds the scan with radius-bounded IVF cell
+    probes (_eps_pairs_cell_blocked — bit-identical pair set, wins only
+    on data WITH density structure, see its docstring)."""
+    if strategy == "cells":
+        pairs = _eps_pairs_cell_blocked(
+            df, eps, id_col, vec_col, n_cells=n_cells
+        ).cache()
+    else:
+        pairs = _eps_pairs(df, eps, id_col, vec_col, dtype=dtype).cache()
     try:
         if min_pts <= 1:
             # every point's ε-neighborhood contains itself, so ALL points

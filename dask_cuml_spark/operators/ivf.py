@@ -25,8 +25,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dask_cuml_spark.functions.vector import l2_sq, matrix_lit
-from dask_cuml_spark.operators.kmeans import KMeans, _assignment_expr
+from dask_cuml_spark.functions.vector import l2_sq
+from dask_cuml_spark.operators.kmeans import (
+    KMeans,
+    _assignment_expr,
+    nearest_centers,
+)
+
+
+def _assign_use_gemm(df: DataFrame, k: int) -> bool:
+    """Same bytes×k fold-work gate as kmeans.nearest_centers 'auto'."""
+    from dask_cuml_spark.plans.cost import plan_size_bytes
+
+    return plan_size_bytes(df) * k >= (256 << 20)
 
 
 @dataclass
@@ -49,9 +60,24 @@ class IVFIndex:
             candidates, vec_col=vec_col, id_col=id_col
         )
         self.centers_ = km.cluster_centers_
-        self.cells_ = candidates.withColumn(
-            "cell_id", _assignment_expr(vec_col, self.centers_)
-        ).cache()
+        # assignment via the gated primitive: the expr fold at fixture
+        # scale (oracle-mirroring, plan unchanged from r6), the Arrow
+        # GEMM kernel once rows×n_cells work is large — with cells held
+        # constant-size (n_cells ∝ n) the fold is Θ(n²·dim/cell) and
+        # would dominate the whole index build (kmeans.nearest_centers)
+        if _assign_use_gemm(candidates, self.n_cells):
+            self.cells_ = (
+                nearest_centers(
+                    candidates, vec_col, self.centers_, 1, "_cells", "gemm"
+                )
+                .withColumn("cell_id", F.col("_cells")[0])
+                .drop("_cells")
+                .cache()
+            )
+        else:
+            self.cells_ = candidates.withColumn(
+                "cell_id", _assignment_expr(vec_col, self.centers_)
+            ).cache()
         self.id_col_, self.vec_col_ = id_col, vec_col
         # cost-gate decision (expr vs gemm) is a property of the INDEX,
         # not of a search — decide once here instead of paying a
@@ -63,6 +89,33 @@ class IVFIndex:
 
         self.big_ = plan_size_bytes(candidates) >= REUSE_CHECKPOINT_MIN_BYTES
         return self
+
+    def probes(
+        self, queries: DataFrame, nprobe: int, query_vec: str = "qv"
+    ) -> DataFrame:
+        """queries exploded to one row per (query, probed cell_id) — the
+        nprobe nearest cells per query in exact (dist², cid) order.
+
+        Probe selection is the same k-vs-rows tradeoff as cell
+        assignment, so it runs on the same gated primitive
+        (kmeans.nearest_centers): the expr fold at fixture scale — ONE
+        parsed SQL centroid literal (functions.vector.matrix_lit; the
+        per-element lit() form cost ~0.5 s of py4j round trips per
+        search call), n_cells×dim interpreted ops per row — and the
+        Arrow GEMM kernel when queries×n_cells work is large (an
+        all-vector self-search at n_cells ∝ n would otherwise spend
+        Θ(n²·dim/cell) in the fold before the search proper starts)."""
+        assert self.centers_ is not None, "call fit() first"
+        strategy = (
+            "gemm" if _assign_use_gemm(queries, self.n_cells) else "expr"
+        )
+        return (
+            nearest_centers(
+                queries, query_vec, self.centers_, nprobe, "_cells", strategy
+            )
+            .select("*", F.explode("_cells").alias("cell_id"))
+            .drop("_cells")
+        )
 
     def search(
         self,
@@ -98,44 +151,7 @@ class IVFIndex:
         strategy='expr' keeps the pure-expression distances (the
         formulation the SQL oracle mirrors term-for-term)."""
         assert self.cells_ is not None, "call fit() first"
-        # nprobe nearest cells per query, as a probe list (small: queries
-        # are few; at scale this stays a broadcast). The centroid table
-        # is ONE parsed SQL literal, not n_cells×dim client-side lit()
-        # calls: the per-element form cost ~0.5 s of py4j round trips in
-        # plan CONSTRUCTION per search call at n_cells=8, dim=64
-        # (functions.vector.matrix_lit docstring has the measurement) —
-        # executor-side work is identical (the same interpreted fold per
-        # (query, centroid), n_cells×dim ops/row).
-        cents_lit = matrix_lit(self.centers_)
-        dists = F.transform(
-            cents_lit,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.col(query_vec),
-                    c,
-                    lambda x, y: (x.cast("double") - y)
-                    * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        probe_structs = F.transform(
-            dists,
-            lambda d, i: F.struct(
-                d.alias("d"), i.cast("int").alias("cid")
-            ),
-        )
-        probes = (
-            queries.select(
-                "*",
-                F.explode(
-                    F.slice(F.array_sort(probe_structs), 1, nprobe)
-                ).alias("_probe"),
-            )
-            .withColumn("cell_id", F.col("_probe.cid"))
-            .drop("_probe")
-        )
+        probes = self.probes(queries, nprobe, query_vec)
         if strategy == "auto":
             strategy = "gemm" if self.big_ else "expr"
         if strategy == "gemm":

@@ -54,6 +54,119 @@ def _assignment_expr(vec_col: str, centers: np.ndarray) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def nearest_centers(
+    df: DataFrame,
+    vec_col: str,
+    centers: np.ndarray,
+    n: int = 1,
+    output_col: str = "_cells",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Append an array<int> column of the n nearest centroid ids, in
+    exact (dist², cid) ascending order — the shared primitive under IVF
+    cell assignment (n=1) and probe selection (n=nprobe).
+
+    strategy='expr' (the formulation SQL oracles mirror) evaluates a
+    k×dim interpreted fold per row — fine at the fixture's k≤16, but
+    Θ(rows·k·dim) of CodegenFallback work: with cells sized constant
+    (n_cells ∝ n, the IVF scale posture) that term grows Θ(n²·dim/cell)
+    and dominates the whole search. strategy='gemm' computes the same
+    distances as ONE dense BLAS product per Arrow batch (mapInPandas —
+    same kernel family as IVFIndex.search's cogrouped GEMM) and top-n
+    selects with the identical (dist², cid) tie-break.
+
+    'auto' gates on estimated fold work: rows_bytes × k, using the
+    repo's standard plan-size estimate — the same crossover class as
+    brute_force_knn's 16 MB candidate gate (BLAS wins once the fold
+    stops fitting noise); expr keeps every oracle-pinned fixture path
+    bit-identical to round 6.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if strategy == "auto":
+        from dask_cuml_spark.plans.cost import plan_size_bytes
+
+        # bytes×k proxy for fold ops; 16 MB × k=8 fixture scale stays
+        # expr (measured equal-or-better there), 100×-scale flips gemm
+        strategy = (
+            "gemm"
+            if plan_size_bytes(df) * centers.shape[0] >= (256 << 20)
+            else "expr"
+        )
+    if strategy == "expr":
+        from dask_cuml_spark.functions.vector import matrix_lit
+
+        dists = F.transform(
+            matrix_lit(centers),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        structs = F.transform(
+            dists,
+            lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("cid")),
+        )
+        probe = F.transform(
+            F.slice(F.array_sort(structs), 1, n), lambda s: s["cid"]
+        )
+        return df.withColumn(output_col, probe)
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centers, dtype=np.float64)
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    in_cols = df.columns
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(output_col, ArrayType(IntegerType()))]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        c_norms = (C * C).sum(axis=1)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # full d² (not the dropped-|x|² fit shortcut) so the sort
+            # key matches the expr fold's quantity; ties break on cid
+            # via stable argsort over (d², cid) exactly like the expr
+            # path's array_sort on (d, cid) structs
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                + c_norms[None, :]
+                - 2.0 * (X @ C.T)
+            )
+            np.maximum(d2, 0.0, out=d2)
+            if n == 1:
+                top = d2.argmin(axis=1)[:, None]  # lowest cid wins ties
+            else:
+                part = np.argsort(d2, axis=1, kind="stable")[:, :n]
+            out = pdf[in_cols].copy()
+            out[output_col] = [
+                [int(v) for v in row]
+                for row in (top if n == 1 else part)
+            ]
+            yield out
+
+    return df.mapInPandas(kernel, schema)
+
+
 def _partial_sums(df: DataFrame, vec_col: str, centers: np.ndarray) -> DataFrame:
     """Per-partition assignment (argmin L2, lowest-index tie-break) +
     per-cluster partial sums, as one mapInPandas GEMM kernel."""

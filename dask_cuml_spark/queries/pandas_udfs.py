@@ -304,6 +304,101 @@ def q77_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q120 — DBSCAN with the CELL-BLOCKED ε-join (the scale path PLANS.md
+# promises for q77; r6 verdict task 6). The fixture embeddings are
+# near-orthogonal BY DESIGN (no density structure — every IVF cell is
+# ε-reachable from everywhere, so blocking can't prune there; see
+# _eps_pairs_cell_blocked's docstring), so this query runs the operator
+# on data DBSCAN is actually for: 16 well-separated uniform blobs at
+# the corners of a 4-D hypercube (spacing 10 ≫ ε), derived
+# DETERMINISTICALLY from vec_id — blob corner from the low 4 bits,
+# jitter from a multiplicative hash on a 1/997 grid — so DuckDB replays
+# the generator exactly and the oracle is FULL-VALUE (the q97
+# make_blobs pattern). The 1/997 quantization makes ε-boundary ties
+# impossible by arithmetic: within-blob d² = (Σm²)/997² with integer m,
+# and Σm² = 997²·ε² = 997²/4 has no integer solution.
+# ---------------------------------------------------------------------------
+_Q120_EPS = 0.5  # ≈10 ε-neighbors/point at the fixture's 31-point blobs
+_Q120_MIN_PTS = 3
+_Q120_DIM = 4
+_Q120_MULT = 1103515245  # dim i uses MULT + i·12345
+# bench_scale patches this to 'exact' to time the road-not-taken (the
+# all-pairs blocked-GEMM ε-join) on the same blob data at scale
+_Q120_STRATEGY = "cells"
+
+
+def _q120_point_exprs():
+    return [
+        F.shiftright(F.col("vec_id") % 16, i)
+        .bitwiseAND(F.lit(1))
+        .cast("double")
+        * 10.0
+        + ((F.col("vec_id") * F.lit(_Q120_MULT + i * 12345)) % 997).cast(
+            "double"
+        )
+        / 997.0
+        for i in range(_Q120_DIM)
+    ]
+
+
+_Q120_SQL_DIMS = ",\n".join(
+    f"    CAST(((vec_id % 16) >> {i}) & 1 AS DOUBLE) * 10.0"
+    f" + CAST((vec_id * {_Q120_MULT + i * 12345}) % 997 AS DOUBLE) / 997.0"
+    f" AS x{i}"
+    for i in range(_Q120_DIM)
+)
+_Q120_SQL_D2 = " + ".join(
+    f"(a.x{i} - b.x{i}) * (a.x{i} - b.x{i})" for i in range(_Q120_DIM)
+)
+
+
+@register(
+    "q120_dbscan_blocked",
+    oracle=f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT vec_id,
+{_Q120_SQL_DIMS}
+  FROM embeddings
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
+  WHERE {_Q120_SQL_D2} <= {_Q120_EPS} * {_Q120_EPS}
+), core AS MATERIALIZED (
+  SELECT id_a AS id FROM pairs
+  GROUP BY id_a HAVING COUNT(*) + 1 >= {_Q120_MIN_PTS}
+), core_edges AS MATERIALIZED (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN core ca ON p.id_a = ca.id JOIN core cb ON p.id_b = cb.id
+), reach(id, lab) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.id_a, r.lab FROM core_edges e JOIN reach r ON e.id_b = r.id
+), comp AS (
+  SELECT id, MIN(lab) AS label FROM reach GROUP BY id
+), border AS (
+  SELECT p.id_a AS id, MIN(c.label) AS label
+  FROM pairs p JOIN comp c ON p.id_b = c.id
+  WHERE p.id_a NOT IN (SELECT id FROM core)
+  GROUP BY p.id_a
+), lab AS (
+  SELECT id, label FROM comp UNION ALL SELECT id, label FROM border
+)
+SELECT e.vec_id, CAST(COALESCE(l.label, -1) AS BIGINT) AS cluster
+FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.id
+""",
+)
+def q120_dbscan_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.dbscan import dbscan
+
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(*_q120_point_exprs()).alias("embedding")
+    )
+    return dbscan(
+        pts, eps=_Q120_EPS, min_pts=_Q120_MIN_PTS, strategy=_Q120_STRATEGY
+    )
+
+
+# ---------------------------------------------------------------------------
 # q78 — MinHash-LSH near-dup (D2), FULL-VALUE oracle: the pipeline's
 # output is candidate pairs that pass an EXACT Jaccard >= 0.5 verify, so
 # whenever LSH recall is 100% the result ≡ the brute-force shingle-

@@ -65,34 +65,52 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q02 — revenue by nation: 4-way join + agg (dask_cudf merge chain).
 # nation/region are broadcast (25 / 5 rows — at 100 TB still tiny).
-# lineitem always rolls up per orderkey before joining (fact shuffle →
-# order-level rows). The SECOND eager-aggregation level — rolling the
-# order-level rows up per custkey before the customer join, cutting that
-# exchange from |orders| to |customer| rows — pays one extra shuffle
-# stage (~0.3 s fixed latency locally), so it is applied COST-BASED on
-# Catalyst's size estimate of the orders scan, the same size-threshold
-# shape Spark uses for broadcast decisions. Catalyst has no eager-agg
-# rule of its own; this is the hand-applied rewrite from the OLAP
-# literature, gated the way an optimizer would gate it. Both shapes are
-# result-identical (pinned by test_q02_eager_agg_both_shapes_agree).
+# Three cost-gated shapes (r7: stage-profiled at 100× — scan 0.22 s,
+# per-order agg 2.3 s, orders⋈bcast-customer 0.9 s — the 15M-group
+# order rollup and the SMJ sorts were the gap, not the scan):
+#
+#   'direct' (orders below 64 MB): plain join chain; Catalyst
+#     broadcasts everything at fixture scale. Unchanged from r4.
+#   'bcast-cmap' (orders large, customer map broadcastable): the
+#     DuckDB-shaped pipeline — broadcast the pruned (custkey →
+#     nationkey) map into orders (narrow), then ONE shuffled HASH join
+#     lineitem ⋈ (orderkey → nationkey) and a 25-group aggregate. No
+#     order-level or custkey-level rollup at all: the measured 100×
+#     A/B is direct-SMJ 5.42 s / eager-agg 5.15 s / per-order+hash
+#     4.45 s / THIS 3.66 s. The shuffle_hash hint matters: SMJ sorts
+#     60 M + 15 M rows for a join whose output feeds a 25-group agg.
+#   'eager-agg' (customer too big to broadcast — the 100 TB regime):
+#     roll lineitem up per orderkey, then per custkey below the
+#     customer join, cutting that exchange from |orders| to |customer|
+#     rows (the OLAP eager-aggregation rewrite, r4). Every exchange
+#     shuffles on a key — nothing broadcasts, nothing is driver-sized.
+#
+# All shapes are result-identical (test_q02_eager_agg_both_shapes_agree
+# pins all three at fixture scale).
 # ---------------------------------------------------------------------------
-# Above this size the custkey-shuffle saving dominates the extra stage's
-# fixed latency; below it the direct join is faster. 64 MB ≈ 15 M orders
-# rows — the crossover is far below any cluster-scale input.
+# Above this size the direct join's all-broadcast plan stops being free;
+# 64 MB ≈ 15 M orders rows — far below any cluster-scale input.
 _Q02_EAGER_AGG_MIN_ORDERS_BYTES = 64 << 20
+# The pruned 2-column customer map is ~1/10 of the full-table estimate;
+# 1 GiB of customer ≈ a ~100 MB broadcast build — the upper end of
+# routine Spark broadcast practice. Past it, fall back to all-shuffle.
+_Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = 1 << 30
 
 from dask_cuml_spark.plans.cost import plan_size_bytes as _plan_size_bytes  # noqa: E402,E501
 
 
 def q02_plan_branch(spark: SparkSession, sf_dir: str) -> str:
     """Which join shape q02's cost gate picks for this dataset —
-    'eager-agg' (pre-aggregate per custkey before the customer join) or
-    'direct'. Exposed so bench_scale can record the branch per scale
-    factor (verdict r4 task 6)."""
+    'direct', 'bcast-cmap', or 'eager-agg' (see the block comment).
+    Exposed so bench_scale can record the branch per scale factor
+    (verdict r4 task 6)."""
     o = load_table(spark, sf_dir, "orders")
-    if _plan_size_bytes(o) >= _Q02_EAGER_AGG_MIN_ORDERS_BYTES:
-        return "eager-agg"
-    return "direct"
+    if _plan_size_bytes(o) < _Q02_EAGER_AGG_MIN_ORDERS_BYTES:
+        return "direct"
+    c = load_table(spark, sf_dir, "customer")
+    if _plan_size_bytes(c) <= _Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES:
+        return "bcast-cmap"
+    return "eager-agg"
 @register(
     "q02_revenue_by_nation",
     oracle="""
@@ -115,13 +133,48 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    branch = q02_plan_branch(spark, sf_dir)
+    if branch == "bcast-cmap":
+        o2 = (
+            o.select("o_orderkey", "o_custkey")
+            .join(
+                F.broadcast(c.select("c_custkey", "c_nationkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "c_nationkey")
+        )
+        by_nation = (
+            l.select(
+                "l_orderkey",
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "rev"
+                ),
+            )
+            .join(
+                o2.hint("shuffle_hash"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("c_nationkey")
+            .agg(F.sum("rev").alias("rev"), F.count(F.lit(1)).alias("nl"))
+        )
+        return (
+            by_nation.join(
+                F.broadcast(n), F.col("c_nationkey") == n.n_nationkey
+            )
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+            .agg(
+                F.round(F.sum("rev"), 2).alias("revenue"),
+                F.sum("nl").alias("n_lineitems"),
+            )
+        )
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "rev"
         ),
         F.count(F.lit(1)).alias("nl"),
     )
-    if _plan_size_bytes(o) >= _Q02_EAGER_AGG_MIN_ORDERS_BYTES:
+    if branch == "eager-agg":
         cust_side = (
             o.select("o_orderkey", "o_custkey")
             .join(per_order, o.o_orderkey == per_order.l_orderkey)

@@ -439,6 +439,11 @@ def q48_kmeans_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest-checked (tests/test_operators.py).
 # ---------------------------------------------------------------------------
 _IVF_FIT_CACHE: dict = {}
+# 8 cells is the oracle-pinned fixture configuration (q47's full probe
+# = exact kNN needs nprobe == n_cells == 8). bench_scale patches this
+# ∝ scale factor for the q118 curve — production IVF holds CELL SIZE
+# constant, not cell count (FAISS guidance: n_cells ~ √n to n/256).
+_IVF_N_CELLS = 8
 
 
 def _fitted_ivf(spark: SparkSession, sf_dir: str):
@@ -453,11 +458,11 @@ def _fitted_ivf(spark: SparkSession, sf_dir: str):
     which could resurrect a model bound to a dead session (ADVICE r2)."""
     from dask_cuml_spark.operators.ivf import IVFIndex
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _IVF_N_CELLS)
     idx = _IVF_FIT_CACHE.get(key)
     if idx is None:
         e = load_table(spark, sf_dir, "embeddings")
-        idx = IVFIndex(n_cells=8, kmeans_iters=3).fit(e)
+        idx = IVFIndex(n_cells=_IVF_N_CELLS, kmeans_iters=3).fit(e)
         _IVF_FIT_CACHE[key] = idx
     return idx
 

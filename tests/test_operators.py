@@ -775,15 +775,21 @@ def test_estimator_facades_fit_predict_and_kneighbors(spark):
 
 
 def test_q02_eager_agg_both_shapes_agree(spark, monkeypatch):
-    """q02's cost-based eager-aggregation rewrite must be a pure physical
-    choice: forcing either branch yields identical results."""
+    """q02's cost-gated join shape must be a pure physical choice:
+    forcing any of the three branches yields identical results."""
     import dask_cuml_spark.queries.relational as rel
 
     monkeypatch.setattr(rel, "_Q02_EAGER_AGG_MIN_ORDERS_BYTES", 1 << 60)
+    assert rel.q02_plan_branch(spark, SF) == "direct"
     direct = {tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()}
     monkeypatch.setattr(rel, "_Q02_EAGER_AGG_MIN_ORDERS_BYTES", 0)
+    monkeypatch.setattr(rel, "_Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES", 0)
+    assert rel.q02_plan_branch(spark, SF) == "eager-agg"
     eager = {tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()}
-    assert direct == eager and len(direct) > 0
+    monkeypatch.setattr(rel, "_Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES", 1 << 60)
+    assert rel.q02_plan_branch(spark, SF) == "bcast-cmap"
+    bcast = {tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()}
+    assert direct == eager == bcast and len(direct) > 0
 
 
 # ---------------------------------------------------------------------------
