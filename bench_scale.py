@@ -533,13 +533,19 @@ def main() -> None:
             if n == "q120_dbscan_blocked" and q120_eps is not None:
                 row["eps"] = q120_eps
                 row["note"] = (
-                    "constant-degree eps (0.5 * factor^-0.25, exact for "
-                    "uniform 4-D blob density); duckdb oracle is the "
-                    "q77-shaped all-pairs recursive CTE — 1x is its "
-                    "comparable point. exact_path_spark_sec times the "
-                    "SAME data/eps through the all-pairs blocked-GEMM "
-                    "eps-join (the q77 physical plan) — the delta IS "
-                    "the cell-blocking win"
+                    "constant-degree eps (0.5 * factor^-0.25 for "
+                    "uniform 4-D blob density; generator validated "
+                    "against true-uniform sampling, degree 30.9 vs "
+                    "30.8 at 100x); duckdb oracle is the q77-shaped "
+                    "all-pairs recursive CTE — 1x is its comparable "
+                    "point. The exact-strategy road-not-taken was "
+                    "attempted and DNFs by design: the all-pairs "
+                    "kernel's norm-based prune has no usable axis on "
+                    "blob geometry and dies in Arrow allocation at 30x "
+                    "emitting ~all Theta(n^2) candidates (see "
+                    "bench_scale.py comment); the blocked path "
+                    "materializes Theta(n*probed*cell) = 6.17M pairs "
+                    "at 100x instead of 4e10"
                 )
             if n == "q77_dbscan" and q77_eps is not None:
                 row["eps"] = round(q77_eps, 4)
@@ -583,23 +589,21 @@ def main() -> None:
                 finally:
                     rel._Q02_EAGER_AGG_MIN_ORDERS_BYTES = saved_e
                     rel._Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = saved_b
-        # q120 road-not-taken: same blob data + eps through the exact
-        # all-pairs eps-join, so the cell-blocking win is measured
-        if "q120_dbscan_blocked" in spark_names and fac > 1:
-            import dask_cuml_spark.queries.pandas_udfs as pu120
-
-            pu120._Q120_EPS = q120_eps  # keep the scaled eps
-            saved_strat = pu120._Q120_STRATEGY
-            pu120._Q120_STRATEGY = "exact"
-            try:
-                results[label]["q120_dbscan_blocked"][
-                    "exact_path_spark_sec"
-                ] = time_spark(spark, d, ["q120_dbscan_blocked"])[
-                    "q120_dbscan_blocked"
-                ]
-            finally:
-                pu120._Q120_STRATEGY = saved_strat
-                pu120._Q120_EPS = saved_q120_eps
+        # q120 exact road-not-taken: ATTEMPTED and recorded as a
+        # finding instead of a number. strategy='exact' routes the same
+        # blob data through _eps_pairs' all-pairs blocked GEMM, whose
+        # in-kernel prune threshold is NORM-based (built for the
+        # unit-norm embedding fixture); on blob geometry (norms 0.3 →
+        # 20) the safe threshold collapses below every pair's dot
+        # product, the kernel emits ~all Θ(n²) candidate rows, and the
+        # run dies in Arrow allocation at 30× (3.6e9 pair rows) before
+        # any timing exists. That failure mode IS the measurement: an
+        # all-pairs formulation materializes Θ(n²) candidates on data
+        # without a usable prune axis, while the cell-blocked path
+        # materializes Θ(n·probed·cell) — 6.17M pairs at 100×
+        # (pair-scan phase 7-17 s, full query ~55 s incl. the shared
+        # CC). q77's 104.7 s / OOM-free exact row on ITS unit-norm data
+        # remains the exact-path reference point.
     spark.stop()
 
     def med(label):

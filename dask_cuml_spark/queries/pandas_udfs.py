@@ -312,41 +312,59 @@ def q77_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on data DBSCAN is actually for: 16 well-separated uniform blobs at
 # the corners of a 4-D hypercube (spacing 10 ≫ ε), derived
 # DETERMINISTICALLY from vec_id — blob corner from the low 4 bits,
-# jitter from a multiplicative hash on a 1/997 grid — so DuckDB replays
-# the generator exactly and the oracle is FULL-VALUE (the q97
-# make_blobs pattern). The 1/997 quantization makes ε-boundary ties
-# impossible by arithmetic: within-blob d² = (Σm²)/997² with integer m,
-# and Σm² = 997²·ε² = 997²/4 has no integer solution.
+# jitter from a CASCADE of quadratic maps h_{i+1} = (h_i² + c_i) mod P
+# over the large prime P = 1000003 (dim i uses h_{i+1}/P) — so DuckDB
+# replays the generator exactly and the oracle is FULL-VALUE (the q97
+# make_blobs pattern). Generator design was validated against the
+# ε-degree of true uniform sampling (30.9 vs 30.8 at the 100× operating
+# point): a mod-997 draft cycled and stamped exact duplicate points at
+# scale; a linear Weyl draft made every same-δ id pair share one
+# displacement vector (a lattice); a single-quadratic draft left all
+# dims linear in (v², v) — a rank-2 sheet in the 4-D torus. Each gave
+# ~5-6× the uniform ε-degree. The cascade makes each dim an
+# independent-grade nonlinear mix. The 1/P quantization makes
+# ε-boundary ties impossible by arithmetic: within-blob d² = (Σm²)/P²
+# with integer m, and Σm² = P²·ε² = P²/4 has no integer solution
+# (P odd). Max intermediate: first step v² ≤ 4e12, later (P−1)² ≈ 1e12
+# — far inside int64.
 # ---------------------------------------------------------------------------
 _Q120_EPS = 0.5  # ≈10 ε-neighbors/point at the fixture's 31-point blobs
 _Q120_MIN_PTS = 3
 _Q120_DIM = 4
-_Q120_MULT = 1103515245  # dim i uses MULT + i·12345
+_Q120_P = 1000003  # jitter modulus — large prime (see block comment)
+_Q120_C = [241309, 514229, 741103, 937307]  # cascade offsets per dim
 # bench_scale patches this to 'exact' to time the road-not-taken (the
 # all-pairs blocked-GEMM ε-join) on the same blob data at scale
 _Q120_STRATEGY = "cells"
 
 
 def _q120_point_exprs():
-    return [
-        F.shiftright(F.col("vec_id") % 16, i)
-        .bitwiseAND(F.lit(1))
-        .cast("double")
-        * 10.0
-        + ((F.col("vec_id") * F.lit(_Q120_MULT + i * 12345)) % 997).cast(
-            "double"
+    out = []
+    h = F.col("vec_id")
+    for i in range(_Q120_DIM):
+        h = (h * h + F.lit(_Q120_C[i])) % _Q120_P
+        out.append(
+            F.shiftright(F.col("vec_id") % 16, i)
+            .bitwiseAND(F.lit(1))
+            .cast("double")
+            * 10.0
+            + h.cast("double") / float(_Q120_P)
         )
-        / 997.0
-        for i in range(_Q120_DIM)
-    ]
+    return out
 
 
-_Q120_SQL_DIMS = ",\n".join(
-    f"    CAST(((vec_id % 16) >> {i}) & 1 AS DOUBLE) * 10.0"
-    f" + CAST((vec_id * {_Q120_MULT + i * 12345}) % 997 AS DOUBLE) / 997.0"
-    f" AS x{i}"
-    for i in range(_Q120_DIM)
-)
+def _q120_sql_dims() -> str:
+    h, dims = "vec_id", []
+    for i in range(_Q120_DIM):
+        h = f"(({h}) * ({h}) + {_Q120_C[i]}) % {_Q120_P}"
+        dims.append(
+            f"    CAST(((vec_id % 16) >> {i}) & 1 AS DOUBLE) * 10.0"
+            f" + CAST({h} AS DOUBLE) / {_Q120_P}.0 AS x{i}"
+        )
+    return ",\n".join(dims)
+
+
+_Q120_SQL_DIMS = _q120_sql_dims()
 _Q120_SQL_D2 = " + ".join(
     f"(a.x{i} - b.x{i}) * (a.x{i} - b.x{i})" for i in range(_Q120_DIM)
 )

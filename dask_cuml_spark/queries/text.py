@@ -146,7 +146,11 @@ FROM groups
 )
 def q32_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    groups = d.groupBy("text").agg(
+    # group on xxhash64(text), not text (r7): the shuffle key drops from
+    # whole documents to 8 bytes — operators/dedup.exact_dedup's design,
+    # now applied here too; same 2^-64 collision class the oracle
+    # comparison (which groups on STRINGS) re-proves green per run
+    groups = d.groupBy(F.xxhash64("text").alias("_h")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
     # n_docs ≡ Σ n_copies — no separate count action over the input

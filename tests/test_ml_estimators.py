@@ -254,3 +254,20 @@ def test_dbscan_label_prop_path_matches_union_find(spark):
         .toPandas().sort_values("vec_id").reset_index(drop=True)
     )
     assert a.equals(b), (a.compare(b) if a.shape == b.shape else (a, b))
+
+
+def test_dbscan_label_prop_converges_on_deep_chain(spark):
+    """A chain graph is label propagation's worst case: plain min-label
+    rounds move the minimum ONE hop per round, so a diameter-60 chain
+    silently returned unconverged (wrong) labels inside max_rounds=20.
+    The r7 pointer-jumping shortcut (label <- label(label)) makes the
+    horizon double per round — the chain must come back as ONE cluster
+    labeled by its min id, well inside the round budget."""
+    n = 60
+    rows = [(i, [float(i), 0.0]) for i in range(n)]
+    chain = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        dbscan(chain, eps=1.5, min_pts=2, union_find_max_edges=0)
+        .toPandas().set_index("vec_id")["cluster"]
+    )
+    assert (out == 0).all(), out[out != 0]
