@@ -79,9 +79,12 @@ _PRIORITY = [
     "q88_group_quantiles",
     "q89_unpivot_melt",
     "q92_interval_join",
-    # -- (2) code changed in round 7 (re-enters the hard gate)
+    # -- (2) code new or changed in round 7 (re-enters the hard gate)
+    "q121_boilerplate_ngrams",
+    "q122_token_budget_mixture",
     "q120_dbscan_blocked",
     "q02_revenue_by_nation",
+    "q32_exact_dedup",
     "q116_stream_upsert_sink",
     "q118_knn_graph",
     "q114_ngram_language_id",
@@ -103,9 +106,6 @@ _PRIORITY = [
     "q09_drop_duplicates",
     "q10_set_ops",
     "q11_rollup",
-    "q12_quantiles_histogram",
-    "q30_top_terms",
-    "q32_exact_dedup",
     # -- positions 51+: r5/r6-green code-unchanged
     "q01_pricing_summary",
     "q05_string_ops",

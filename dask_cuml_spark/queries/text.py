@@ -1201,3 +1201,171 @@ def q119_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — cross-document boilerplate detection (north-star D2-adjacent;
+# public method: Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better" motivates removing text whose n-gram spans
+# recur across documents — headers, footers, license blocks, templated
+# chrome). Within-doc repetition is q110 (Gopher dup_trigram_frac);
+# THIS is the cross-doc axis: a document is boilerplate-heavy when a
+# large fraction of its distinct word-5-grams also appear in other
+# documents. Scale plan: grams are DISTINCT per doc and hashed to
+# 8-byte keys (q32/q119 collision class, re-proven by the string-truth
+# oracle every driver run); the df aggregate shuffles hashes only, and
+# the join back is AGAINST THE df≥τ SURVIVORS — boilerplate grams are
+# the rare tail (1,096 of 23,995 at sf0.01), so at 100 TB the common-
+# gram table is broadcast-sized while everything else stays map-side.
+# ---------------------------------------------------------------------------
+_Q121_N = 5  # word n-gram width
+_Q121_DF = 2  # a gram in ≥ this many docs is "common" (boilerplate)
+_Q121_FLAG = 0.5  # flag docs whose common-gram fraction ≥ this
+
+
+@register(
+    "q121_boilerplate_ngrams",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(
+           range(1, GREATEST(len(toks) - {_Q121_N - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{_Q121_N - 1}], ' '))) AS gram
+  FROM tok
+), df AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= {_Q121_DF}
+), per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         COALESCE(SUM(CASE WHEN df.gram IS NOT NULL THEN 1 ELSE 0 END), 0)
+           AS n_common
+  FROM g LEFT JOIN df ON g.gram = df.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE) / n_grams, 6) AS boilerplate_frac,
+       CAST(CAST(n_common AS DOUBLE) / n_grams >= {_Q121_FLAG} AS INTEGER)
+         AS flagged
+FROM per_doc
+""",
+)
+def q121_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n = F.array_size(toks)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - _Q121_N, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _Q121_N)),
+        )
+    )
+    hashed = d.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("_h"))
+    common = (
+        hashed.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _Q121_DF)
+        .select("_h")
+    )
+    per_doc = (
+        hashed.join(
+            F.broadcast(common.withColumn("_hit", F.lit(1))), "_h", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+        )
+    )
+    frac = F.round(F.col("n_common").cast("double") / F.col("n_grams"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_common",
+        frac.alias("boilerplate_frac"),
+        (frac >= _Q121_FLAG).cast("int").alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — token-budget mixture selection (north-star "large-scale
+# training-data pipeline"): the data-mixing step — each (lang, source)
+# stratum gets a token quota, filled by quality rank until the budget
+# is spent (how corpus mixtures are actually assembled: weights are set
+# per source, then the best documents are taken up to the weight's
+# token budget). Quality proxy here is the type-token ratio (distinct
+# words / words — deterministic, engine-portable integer division to
+# double), tie-broken by doc_id; a doc is kept while the budget is not
+# yet exhausted when it STARTS (cum − own ≤ budget), so every stratum
+# slightly overshoots rather than undershoots — the convention that
+# never starves a tiny stratum. Scale: one window per (lang, source)
+# partition — partitioned running sum, no global sort, no collect; the
+# output is one row per stratum.
+# ---------------------------------------------------------------------------
+_Q122_BUDGET = 3000  # whitespace tokens per (lang, source) stratum
+
+
+@register(
+    "q122_token_budget_mixture",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, source, doc_id,
+         len(string_split(text, ' ')) AS words,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+), r AS (
+  SELECT *,
+         SUM(words) OVER (
+           PARTITION BY lang, source
+           ORDER BY ttr DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT lang, source,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN cum - words <= {_Q122_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN cum - words <= {_Q122_BUDGET} THEN words
+                     ELSE 0 END) AS BIGINT) AS tokens_selected,
+       ROUND(MIN(CASE WHEN cum - words <= {_Q122_BUDGET} THEN ttr END), 6)
+         AS worst_kept_ttr
+FROM r
+GROUP BY lang, source
+""",
+)
+def q122_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    words = F.array_size(toks)
+    t = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        words.alias("words"),
+        (
+            F.array_size(F.array_distinct(toks)).cast("double")
+            / words
+        ).alias("ttr"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy(F.col("ttr").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.withColumn("cum", F.sum("words").over(w))
+    kept = F.col("cum") - F.col("words") <= _Q122_BUDGET
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(kept.cast("long")).alias("n_selected"),
+        F.sum(F.when(kept, F.col("words")).otherwise(0)).alias(
+            "tokens_selected"
+        ),
+        F.round(F.min(F.when(kept, F.col("ttr"))), 6).alias(
+            "worst_kept_ttr"
+        ),
+    )

@@ -55,14 +55,21 @@ from dask_cuml_spark.operators.merge import merge_upsert
 from dask_cuml_spark.streaming import _state_partitions, auto_state_partitions
 
 _POINTER = "COMMITTED"
+# default bucket count for fixture-sized tables; real deployments size
+# this so one bucket ≈ one file-compaction unit (table_bytes /
+# target_file_bytes) — written bytes per batch are O(touched buckets),
+# so the bucket count IS the write-amplification knob. The count is
+# pinned in the manifest at init_table time: every later batch reads it
+# from there, so a table is self-describing and re-bucketing is an
+# explicit migration, never an accident.
 _N_BUCKETS = 16
 
 
-def _bucket(key: str):
+def _bucket(key: str, n_buckets: int):
     """Bucket id for a key value — stable across versions, so a key's
     rows live in exactly one bucket dir and a merge touches only the
     buckets its batch keys hash into."""
-    return F.pmod(F.xxhash64(F.col(key)), F.lit(_N_BUCKETS)).cast("int")
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
 
 def _commit(root: str, version: str) -> None:
@@ -77,45 +84,60 @@ def _committed(root: str) -> str:
         return f.read().strip()
 
 
-def _write_manifest(root: str, version: str, manifest: dict) -> None:
+def _write_manifest(
+    root: str, version: str, buckets: dict, n_buckets: int
+) -> None:
     tmp = os.path.join(root, version + ".manifest.tmp")
     with open(tmp, "w") as f:
-        json.dump({str(k): v for k, v in manifest.items()}, f)
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "buckets": {str(k): v for k, v in buckets.items()},
+            },
+            f,
+        )
     os.replace(tmp, os.path.join(root, version + ".manifest"))
 
 
-def _read_manifest(root: str, version: str) -> dict:
+def _read_manifest(root: str, version: str) -> tuple[dict, int]:
     with open(os.path.join(root, version + ".manifest")) as f:
-        return {int(k): v for k, v in json.load(f).items()}
+        m = json.load(f)
+    return {int(k): v for k, v in m["buckets"].items()}, m["n_buckets"]
 
 
 def read_committed(spark: SparkSession, root: str) -> DataFrame:
     """The committed table: union of every bucket dir in the committed
     manifest (dirs from different versions — that's the point)."""
-    manifest = _read_manifest(root, _committed(root))
+    buckets, _n = _read_manifest(root, _committed(root))
     return spark.read.parquet(
-        *[os.path.join(root, rel) for rel in manifest.values()]
+        *[os.path.join(root, rel) for rel in buckets.values()]
     )
 
 
 def init_table(
-    spark: SparkSession, root: str, df: DataFrame, key: str
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    key: str,
+    n_buckets: int = _N_BUCKETS,
 ) -> None:
-    """Seed version v0: bucket df on the key, one dir per bucket."""
+    """Seed version v0: bucket df on the key, one dir per bucket. The
+    bucket count is pinned in the manifest — later batches read it from
+    there."""
     (
-        df.withColumn("_b", _bucket(key))
+        df.withColumn("_b", _bucket(key, n_buckets))
         .write.mode("overwrite")
         .partitionBy("_b")
         .parquet(os.path.join(root, "v0"))
     )
     # partitionBy materializes dirs only for non-empty buckets; the
     # manifest tracks exactly those (absent bucket ≡ zero rows)
-    manifest = {
+    buckets = {
         b: f"v0/_b={b}"
-        for b in range(_N_BUCKETS)
+        for b in range(n_buckets)
         if os.path.isdir(os.path.join(root, f"v0/_b={b}"))
     }
-    _write_manifest(root, "v0", manifest)
+    _write_manifest(root, "v0", buckets, n_buckets)
     _commit(root, "v0")
 
 
@@ -140,15 +162,17 @@ def merge_batch(
         # pointer commit and checkpoint commit): the work is done; doing
         # it again would read v{n} while overwriting v{n}
         return
-    manifest = _read_manifest(root, _committed(root))
-    batch_df = batch_df.withColumn("_b", _bucket(key)).localCheckpoint()
+    buckets, n_buckets = _read_manifest(root, _committed(root))
+    batch_df = batch_df.withColumn(
+        "_b", _bucket(key, n_buckets)
+    ).localCheckpoint()
     touched = sorted(
         r["_b"] for r in batch_df.select("_b").distinct().collect()
     )
     if touched:
         batch_flat = batch_df.drop("_b")
         existing = [
-            os.path.join(root, manifest[b]) for b in touched if b in manifest
+            os.path.join(root, buckets[b]) for b in touched if b in buckets
         ]
         cur = (
             spark.read.parquet(*existing)
@@ -158,15 +182,15 @@ def merge_batch(
         )
         merged = merge_upsert(
             cur, batch_flat, key, update_cols
-        ).withColumn("_b", _bucket(key))
+        ).withColumn("_b", _bucket(key, n_buckets))
         (
             merged.write.mode("overwrite")
             .partitionBy("_b")
             .parquet(os.path.join(root, version))
         )
         for b in touched:
-            manifest[b] = f"{version}/_b={b}"
-    _write_manifest(root, version, manifest)
+            buckets[b] = f"{version}/_b={b}"
+    _write_manifest(root, version, buckets, n_buckets)
     _commit(root, version)
 
 

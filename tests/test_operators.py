@@ -1183,8 +1183,8 @@ def test_merge_batch_bucket_locality_and_replay_noop(spark, tmp_path):
         F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
     )
     init_table(spark, root, base, "k")
-    m0 = _read_manifest(root, "v0")
-    assert set(m0) == set(range(_N_BUCKETS))
+    m0, nb = _read_manifest(root, "v0")
+    assert nb == _N_BUCKETS and set(m0) == set(range(_N_BUCKETS))
 
     # batch touches 3 keys: 2 updates + 1 insert
     batch = spark.createDataFrame(
@@ -1192,7 +1192,8 @@ def test_merge_batch_bucket_locality_and_replay_noop(spark, tmp_path):
     )
     merge_batch(spark, root, batch, 0, "k", ["v"])
     assert _committed(root) == "v1"
-    m1 = _read_manifest(root, "v1")
+    m1, nb1 = _read_manifest(root, "v1")
+    assert nb1 == _N_BUCKETS  # bucket count rides the manifest
     rewritten = {b for b in m1 if m1[b] != m0[b]}
     assert 1 <= len(rewritten) <= 3  # ≤ one bucket per batch key
     for b in set(m1) - rewritten:  # untouched buckets: copied forward
