@@ -88,6 +88,8 @@ TABLES_FOR = {
     "q31_tfidf_top_term": {"documents"},
     "q118_knn_graph": {"embeddings"},
     "q120_dbscan_blocked": {"embeddings"},
+    "q121_boilerplate_ngrams": {"documents"},
+    "q122_token_budget_mixture": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -1213,10 +1213,12 @@ def q119_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # large fraction of its distinct word-5-grams also appear in other
 # documents. Scale plan: grams are DISTINCT per doc and hashed to
 # 8-byte keys (q32/q119 collision class, re-proven by the string-truth
-# oracle every driver run); the df aggregate shuffles hashes only, and
-# the join back is AGAINST THE df≥τ SURVIVORS — boilerplate grams are
-# the rare tail (1,096 of 23,995 at sf0.01), so at 100 TB the common-
-# gram table is broadcast-sized while everything else stays map-side.
+# oracle every driver run); ONE exploded pass, a window df over the
+# hash (the q31 one-DAG shape — no second gram construction, no
+# broadcast barrier), one doc_id aggregate. Both wide stages shuffle
+# (doc_id, hash) pairs only — 16 bytes/gram at any corpus size.
+# Measured at 100×: 10.0 s vs DuckDB 3.8 s (2.66×) after the
+# string-concat draft's 25 s (per-gram concat_ws, built twice).
 # ---------------------------------------------------------------------------
 _Q121_N = 5  # word n-gram width
 _Q121_DF = 2  # a gram in ≥ this many docs is "common" (boilerplate)
@@ -1251,35 +1253,34 @@ FROM per_doc
 """,
 )
 def q121_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread the per-row gram construction across cores (the q110
+    # lesson: a one-row-group parquet serializes the heavy array pass
+    # onto one task — measured 3.3 s single-task at sf0.1 without this)
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens()
     n = F.array_size(toks)
+    # hash the TOKEN-ARRAY slice directly (xxhash64 hashes complex
+    # types) — no per-gram string building: the concat_ws draft spent
+    # ~20 s at 100× constructing 7.2M gram strings TWICE (once per
+    # consumer). One construction pass + a window df (the q31 one-DAG
+    # shape: no second scan, no broadcast barrier) + one doc_id
+    # aggregate. The oracle stays on STRINGS, so the hash-of-slice
+    # shortcut is re-proven against string truth every driver run.
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(n - _Q121_N, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _Q121_N)),
+            lambda i: F.xxhash64(F.slice(toks, i + 1, _Q121_N)),
         )
     )
-    hashed = d.select(
-        "doc_id", F.explode(grams).alias("g")
-    ).select("doc_id", F.xxhash64("g").alias("_h"))
-    common = (
-        hashed.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= _Q121_DF)
-        .select("_h")
+    hashed = d.select("doc_id", F.explode(grams).alias("_h"))
+    with_df = hashed.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("_h"))
     )
-    per_doc = (
-        hashed.join(
-            F.broadcast(common.withColumn("_hit", F.lit(1))), "_h", "left"
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias(
-                "n_common"
-            ),
-        )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("df") >= _Q121_DF).cast("long")).alias("n_common"),
     )
     frac = F.round(F.col("n_common").cast("double") / F.col("n_grams"), 6)
     return per_doc.select(
