@@ -110,9 +110,27 @@ def _eps_pairs_cell_blocked(
 
     from dask_cuml_spark.operators.kmeans import KMeans, nearest_centers
 
+    n_rows = df.count()
     if n_cells is None:
-        n_cells = int(max(4, min(4096, df.count() // 256)))
-    km = KMeans(k=n_cells, max_iter=3).fit(df, vec_col=vec_col, id_col=id_col)
+        n_cells = int(max(4, min(4096, n_rows // 256)))
+    # FAISS-style sampled quantizer fit: train k-means on ~64 points
+    # per cell (deterministic hash sample), not the full table — the
+    # quantizer only SHAPES the blocking; completeness (triangle
+    # inequality vs per-cell radii computed over ALL points below) and
+    # within-cell exactness hold for ANY centroid set, so sampling
+    # cannot change the pair set. With n_cells ∝ n the full-table fit
+    # is Θ(n·k) = Θ(n²/cell) — measured 14.6 s of q120's 100× wall —
+    # and the sample caps the fit at Θ(64·k²)-ish.
+    target = 64 * n_cells
+    fit_df = df
+    if n_rows > 2 * target:
+        rate = n_rows // target
+        fit_df = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0
+        )
+    km = KMeans(k=n_cells, max_iter=3).fit(
+        fit_df, vec_col=vec_col, id_col=id_col
+    )
     centers = km.cluster_centers_
     sc = df.sparkSession.sparkContext
     cells = (
