@@ -56,6 +56,17 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IVFIndex":
+        # Quantizer trains on the FULL table. A FAISS-style sampled fit
+        # (~64 points/cell) was A/B-tested at 100×: the fit cost is
+        # amortized out of steady-state search anyway (an index is
+        # built once, queried many times — _fitted_ivf memoizes), and
+        # the coarser sampled centroids bought nothing while making the
+        # timed SEARCH ~20% slower same-hour (18.8 vs 15.6 s q118
+        # graph build; cell balance degrades) — so full-fit is the
+        # right trade here. The dbscan cell-blocked ε-join keeps the
+        # sampled fit instead: there the fit is paid on every call and
+        # pair-set exactness is centroid-independent
+        # (dbscan._eps_pairs_cell_blocked).
         km = KMeans(k=self.n_cells, max_iter=self.kmeans_iters).fit(
             candidates, vec_col=vec_col, id_col=id_col
         )
