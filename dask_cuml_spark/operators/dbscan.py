@@ -81,7 +81,7 @@ def _eps_pairs_cell_blocked(
     id_col: str,
     vec_col: str,
     n_cells: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Cell-blocked ε-join — the declared 100 TB path for DBSCAN's pair
     scan (PLANS.md scale-path table; r6 verdict task 6).
 
@@ -157,7 +157,9 @@ def _eps_pairs_cell_blocked(
             d = np.sqrt(((X - C[cid]) ** 2).sum(axis=1))
             yield pd.DataFrame({"cell_id": cid, "_d": d})
 
-    radii = np.zeros(n_cells)
+    # sized by the ACTUAL center count — KMeans can return fewer than
+    # n_cells centers on tiny/degenerate inputs (advisor r7)
+    radii = np.zeros(len(centers))
     for r in (
         cells.select("cell_id", "_mv")
         .mapInPandas(d_own_kernel, "cell_id int, _d double")
@@ -172,7 +174,12 @@ def _eps_pairs_cell_blocked(
     def probe_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C, R = bc_cr.value
         c_norms = (C * C).sum(axis=1)
-        thr = eps + R  # per-cell reachability radius
+        # per-cell reachability radius, with a tiny absolute slack: the
+        # triangle bound is evaluated on the norm-expansion d² (float
+        # cancellation ~1e-13 abs), so a float-tight boundary could in
+        # principle drop a probe; over-probing is always safe because
+        # pair_kernel re-checks exact d² ≤ ε² (advisor r7)
+        thr = eps + R + 1e-9
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -219,11 +226,15 @@ def _eps_pairs_cell_blocked(
         )
         return pd.DataFrame({"id_a": qa[rows], "id_b": cb[cols]})
 
-    return (
+    pairs = (
         probes.groupBy("cell_id")
         .cogroup(cells.groupBy("cell_id"))
         .applyInPandas(pair_kernel, f"id_a {qid_t}, id_b {qid_t}")
     )
+    # cells is cached (feeds both the radii aggregate and the cogroup);
+    # the caller unpersists it alongside pairs (advisor r7: leaking it
+    # accumulated cached blocks across long-lived driver sessions)
+    return pairs, cells
 
 
 def dbscan(
@@ -250,10 +261,12 @@ def dbscan(
     strategy='cells' bounds the scan with radius-bounded IVF cell
     probes (_eps_pairs_cell_blocked — bit-identical pair set, wins only
     on data WITH density structure, see its docstring)."""
+    cells_cache = None
     if strategy == "cells":
-        pairs = _eps_pairs_cell_blocked(
+        pairs, cells_cache = _eps_pairs_cell_blocked(
             df, eps, id_col, vec_col, n_cells=n_cells
-        ).cache()
+        )
+        pairs = pairs.cache()
     else:
         pairs = _eps_pairs(df, eps, id_col, vec_col, dtype=dtype).cache()
     try:
@@ -392,3 +405,5 @@ def dbscan(
         )
     finally:
         pairs.unpersist()
+        if cells_cache is not None:
+            cells_cache.unpersist()

@@ -84,14 +84,20 @@ def _committed(root: str) -> str:
         return f.read().strip()
 
 
+def _version_num(version: str) -> int:
+    """Numeric part of a 'v{n}' version name."""
+    return int(version[1:])
+
+
 def _write_manifest(
-    root: str, version: str, buckets: dict, n_buckets: int
+    root: str, version: str, buckets: dict, n_buckets: int, schema_json: str
 ) -> None:
     tmp = os.path.join(root, version + ".manifest.tmp")
     with open(tmp, "w") as f:
         json.dump(
             {
                 "n_buckets": n_buckets,
+                "schema": schema_json,
                 "buckets": {str(k): v for k, v in buckets.items()},
             },
             f,
@@ -99,16 +105,30 @@ def _write_manifest(
     os.replace(tmp, os.path.join(root, version + ".manifest"))
 
 
-def _read_manifest(root: str, version: str) -> tuple[dict, int]:
+def _read_manifest(root: str, version: str) -> tuple[dict, int, str]:
     with open(os.path.join(root, version + ".manifest")) as f:
         m = json.load(f)
-    return {int(k): v for k, v in m["buckets"].items()}, m["n_buckets"]
+    return (
+        {int(k): v for k, v in m["buckets"].items()},
+        m["n_buckets"],
+        m["schema"],
+    )
 
 
 def read_committed(spark: SparkSession, root: str) -> DataFrame:
     """The committed table: union of every bucket dir in the committed
     manifest (dirs from different versions — that's the point)."""
-    buckets, _n = _read_manifest(root, _committed(root))
+    buckets, _n, schema_json = _read_manifest(root, _committed(root))
+    if not buckets:
+        # zero-bucket manifest (empty seed, no batches yet): the table
+        # is empty but SELF-DESCRIBING — the schema travels in the
+        # manifest so this returns a typed empty frame instead of an
+        # opaque no-paths parquet error (advisor r7)
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
+        )
     return spark.read.parquet(
         *[os.path.join(root, rel) for rel in buckets.values()]
     )
@@ -137,7 +157,9 @@ def init_table(
         for b in range(n_buckets)
         if os.path.isdir(os.path.join(root, f"v0/_b={b}"))
     }
-    _write_manifest(root, "v0", buckets, n_buckets)
+    _write_manifest(
+        root, "v0", buckets, n_buckets, json.dumps(df.schema.jsonValue())
+    )
     _commit(root, "v0")
 
 
@@ -157,12 +179,15 @@ def merge_batch(
     regardless of how many buckets are touched.
     """
     version = f"v{batch_id + 1}"
-    if _committed(root) == version:
+    if _version_num(_committed(root)) >= _version_num(version):
         # replay of an already-committed batch (failure landed between
         # pointer commit and checkpoint commit): the work is done; doing
-        # it again would read v{n} while overwriting v{n}
+        # it again would read v{n} while overwriting v{n}. The guard is
+        # MONOTONE (>=, not ==): a batch replaying after a LATER version
+        # committed must never re-merge against the newer manifest and
+        # point the table backwards (advisor r7)
         return
-    buckets, n_buckets = _read_manifest(root, _committed(root))
+    buckets, n_buckets, schema_json = _read_manifest(root, _committed(root))
     batch_df = batch_df.withColumn(
         "_b", _bucket(key, n_buckets)
     ).localCheckpoint()
@@ -190,7 +215,7 @@ def merge_batch(
         )
         for b in touched:
             buckets[b] = f"{version}/_b={b}"
-    _write_manifest(root, version, buckets, n_buckets)
+    _write_manifest(root, version, buckets, n_buckets, schema_json)
     _commit(root, version)
 
 

@@ -256,6 +256,25 @@ def test_dbscan_label_prop_path_matches_union_find(spark):
     assert a.equals(b), (a.compare(b) if a.shape == b.shape else (a, b))
 
 
+def test_dbscan_cells_degenerate_tiny_input(spark):
+    """strategy='cells' with n_cells LARGER than the point count: KMeans
+    returns fewer centers than requested, and the probe kernel must size
+    its radius vector by the actual center count (advisor r7 — radii
+    sized by n_cells crashed on a broadcast shape mismatch). Labels must
+    equal the exact all-pairs path."""
+    rows = [(i, [float(i % 3), float(i // 3)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = (
+        dbscan(df, eps=1.2, min_pts=2)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    cells = (
+        dbscan(df, eps=1.2, min_pts=2, strategy="cells", n_cells=16)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert exact.equals(cells), (exact, cells)
+
+
 def test_dbscan_label_prop_converges_on_deep_chain(spark):
     """A chain graph is label propagation's worst case: plain min-label
     rounds move the minimum ONE hop per round, so a diameter-60 chain

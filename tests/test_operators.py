@@ -1183,7 +1183,7 @@ def test_merge_batch_bucket_locality_and_replay_noop(spark, tmp_path):
         F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
     )
     init_table(spark, root, base, "k")
-    m0, nb = _read_manifest(root, "v0")
+    m0, nb, _ = _read_manifest(root, "v0")
     assert nb == _N_BUCKETS and set(m0) == set(range(_N_BUCKETS))
 
     # batch touches 3 keys: 2 updates + 1 insert
@@ -1192,7 +1192,7 @@ def test_merge_batch_bucket_locality_and_replay_noop(spark, tmp_path):
     )
     merge_batch(spark, root, batch, 0, "k", ["v"])
     assert _committed(root) == "v1"
-    m1, nb1 = _read_manifest(root, "v1")
+    m1, nb1, _ = _read_manifest(root, "v1")
     assert nb1 == _N_BUCKETS  # bucket count rides the manifest
     rewritten = {b for b in m1 if m1[b] != m0[b]}
     assert 1 <= len(rewritten) <= 3  # ≤ one bucket per batch key
@@ -1218,3 +1218,48 @@ def test_merge_batch_bucket_locality_and_replay_noop(spark, tmp_path):
     merge_batch(spark, root, batch, 1, "k", ["v"])  # post-commit replay
     assert _committed(root) == "v2"
     assert {r.k: r.v for r in read_committed(spark, root).collect()} == expect
+
+    # OUT-OF-ORDER replay (advisor r7): an old batch firing after a
+    # LATER version committed must be a monotone no-op — never re-merge
+    # against the newer manifest and point the table backwards
+    merge_batch(
+        spark,
+        root,
+        spark.createDataFrame([(5, 123456)], "k long, v long"),
+        0,
+        "k",
+        ["v"],
+    )
+    assert _committed(root) == "v2"  # pointer did NOT move backwards
+    assert {r.k: r.v for r in read_committed(spark, root).collect()} == expect
+
+
+def test_merge_sink_empty_seed_reads_typed_empty(spark, tmp_path):
+    """A zero-bucket table (empty seed, no batches) must read back as a
+    typed EMPTY DataFrame via the manifest-carried schema, not crash on
+    a no-paths parquet read (advisor r7)."""
+    import os
+
+    from dask_cuml_spark.streaming.upsert_sink import (
+        init_table,
+        merge_batch,
+        read_committed,
+    )
+
+    root = str(tmp_path / "empty_tbl")
+    os.makedirs(root)
+    seed = spark.createDataFrame([], "k long, v long")
+    init_table(spark, root, seed, "k")
+    empty = read_committed(spark, root)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+    # first batch into the empty table is a pure insert
+    merge_batch(
+        spark,
+        root,
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+        0,
+        "k",
+        ["v"],
+    )
+    assert {r.k: r.v for r in read_committed(spark, root).collect()} == {1: 10}
