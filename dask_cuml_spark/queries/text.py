@@ -1219,6 +1219,10 @@ def q119_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc_id, hash) pairs only — 16 bytes/gram at any corpus size.
 # Measured at 100×: 10.0 s vs DuckDB 3.8 s (2.66×) after the
 # string-concat draft's 25 s (per-gram concat_ws, built twice).
+# Round-8 shape A/B (PLANS.md): pre-agg df≥2 survivor broadcast join
+# loses 1.72× (gram construction runs twice); persist(hashed) ties but
+# materializes the exploded frame. This window shape is the measured
+# optimum; residual vs DuckDB is the one mandatory wide exchange.
 # ---------------------------------------------------------------------------
 _Q121_N = 5  # word n-gram width
 _Q121_DF = 2  # a gram in ≥ this many docs is "common" (boilerplate)
