@@ -334,56 +334,173 @@ def dbscan(
             ).withColumn("label", F.col("id"))
             labels = edge_labels.unionByName(singletons)
         else:
-            labels = cores.withColumn("label", F.col("id"))
-            for _ in range(max_rounds):
-                neighbor_min = (
-                    core_edges.join(
-                        labels.select(
-                            F.col("id").alias("id_b"), F.col("label").alias("nl")
-                        ),
-                        "id_b",
+            # Partition-local union-find PRE-CONTRACTION (r8, verdict
+            # item 3: the pointer-jump loop was 31 s of q120's 38 s at
+            # 100× because every round joins the FULL edge set). Each
+            # partition runs union-find over just its own edges and
+            # emits (id → local root = min id of the local component);
+            # the contracted graph's vertices are the local roots, and
+            # its edges are (min root, other root) for every id that
+            # landed in two partitions with different roots — exactly
+            # the connectivity that crosses partition boundaries.
+            # Contraction preserves components, and because union keeps
+            # the MIN id as root and every root is itself a member, the
+            # min label of a contracted component equals the min member
+            # id of the original component: final labels are
+            # bit-identical regardless of how edges were partitioned.
+            # This is the "local aggregation" step of large-graph CC
+            # (Kiveris et al. 2014 "Connected Components in MapReduce
+            # and Beyond"); the contracted remainder is solved by the
+            # same gated driver union-find if it fits (the rank-0
+            # analogue, same union_find_max_edges bound) or by the
+            # pointer-jumping loop over the (much smaller) contracted
+            # edge set.
+            import pandas as pd
+
+            id_t = dict(core_edges.dtypes)["id_a"]
+
+            def uf_kernel(it):
+                parent: dict = {}
+
+                def find(x):
+                    while parent.setdefault(x, x) != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for pdf in it:
+                    for a, b in zip(pdf["id_a"], pdf["id_b"]):
+                        ra, rb = find(a), find(b)
+                        if ra != rb:
+                            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                            parent[hi] = lo
+                if parent:
+                    ids = list(parent)
+                    yield pd.DataFrame(
+                        {"id": ids, "root": [find(x) for x in ids]}
                     )
-                    .groupBy("id_a")
-                    .agg(F.min("nl").alias("min_nl"))
+
+            # (id, root) per partition — an id split across partitions
+            # yields one row per partition it appears in
+            local_map = core_edges.mapInPandas(
+                uf_kernel, f"id {id_t}, root {id_t}"
+            )
+            id_roots = (
+                local_map.groupBy("id")
+                .agg(
+                    F.min("root").alias("mroot"),
+                    F.collect_set("root").alias("_roots"),
                 )
-                stepped = labels.join(
-                    neighbor_min, labels.id == neighbor_min.id_a, "left"
-                ).select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("min_nl", F.col("label"))
-                    ).alias("label"),
+                .localCheckpoint()
+            )
+            cedges = (
+                id_roots.select(
+                    F.col("mroot").alias("id_a"),
+                    F.explode("_roots").alias("id_b"),
                 )
-                # pointer-jumping shortcut (r7): label ← label(label).
-                # Labels only ever decrease and label(u) ≤ u, so the
-                # composition is monotone and safe; it doubles the
-                # propagation horizon per round — O(log diameter)
-                # rounds total instead of O(diameter), which is the
-                # difference between ~5 and ~25 rounds of an
-                # edges-sized join on q120's 100× blob graphs
-                # (ε-graph diameter ≈ box-size/ε ≈ 13 hops there).
-                ptr = stepped.select(
-                    F.col("id").alias("_pid"), F.col("label").alias("_plab")
+                .filter(F.col("id_a") != F.col("id_b"))
+                .distinct()
+            )
+            cedges = cedges.unionByName(
+                cedges.select(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
                 )
-                new_labels = (
-                    stepped.join(
-                        ptr, stepped.label == ptr._pid, "left"
+            ).localCheckpoint()
+            all_roots = local_map.select("root").distinct()
+            n_c = cedges.count() // 2  # symmetrized above
+            if n_c <= union_find_max_edges:
+                parent: dict = {}
+
+                def find(x):
+                    while parent.setdefault(x, x) != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for r in cedges.filter(
+                    F.col("id_a") < F.col("id_b")
+                ).collect():
+                    ra, rb = find(r["id_a"]), find(r["id_b"])
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+                cc_rows = [(i, find(i)) for i in list(parent)]
+                if cc_rows:
+                    linked = df.sparkSession.createDataFrame(
+                        cc_rows, ["root", "label"]
                     )
-                    .select(
+                else:
+                    linked = all_roots.withColumn(
+                        "label", F.col("root")
+                    ).limit(0)
+                root_labels = linked.unionByName(
+                    all_roots.join(
+                        linked.select("root"), "root", "left_anti"
+                    ).withColumn("label", F.col("root"))
+                )
+            else:
+                root_labels = all_roots.select(
+                    F.col("root").alias("id")
+                ).withColumn("label", F.col("id"))
+                for _ in range(max_rounds):
+                    neighbor_min = (
+                        cedges.join(
+                            root_labels.select(
+                                F.col("id").alias("id_b"),
+                                F.col("label").alias("nl"),
+                            ),
+                            "id_b",
+                        )
+                        .groupBy("id_a")
+                        .agg(F.min("nl").alias("min_nl"))
+                    )
+                    stepped = root_labels.join(
+                        neighbor_min,
+                        root_labels.id == neighbor_min.id_a,
+                        "left",
+                    ).select(
                         "id",
-                        F.coalesce("_plab", "label").alias("label"),
+                        F.least(
+                            F.col("label"),
+                            F.coalesce("min_nl", F.col("label")),
+                        ).alias("label"),
                     )
-                    .localCheckpoint()
+                    # pointer-jumping shortcut (r7): label ← label(label).
+                    # Labels only ever decrease and label(u) ≤ u, so the
+                    # composition is monotone and safe; it doubles the
+                    # propagation horizon per round — O(log diameter)
+                    # rounds total instead of O(diameter).
+                    ptr = stepped.select(
+                        F.col("id").alias("_pid"),
+                        F.col("label").alias("_plab"),
+                    )
+                    new_labels = (
+                        stepped.join(ptr, stepped.label == ptr._pid, "left")
+                        .select(
+                            "id",
+                            F.coalesce("_plab", "label").alias("label"),
+                        )
+                        .localCheckpoint()
+                    )
+                    changed = (
+                        new_labels.alias("n")
+                        .join(root_labels.alias("o"), "id")
+                        .filter(F.col("n.label") != F.col("o.label"))
+                        .count()
+                    )
+                    root_labels = new_labels
+                    if changed == 0:
+                        break
+                root_labels = root_labels.select(
+                    F.col("id").alias("root"), "label"
                 )
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), "id")
-                    .filter(F.col("n.label") != F.col("o.label"))
-                    .count()
-                )
-                labels = new_labels
-                if changed == 0:
-                    break
+            edge_labels = id_roots.join(
+                root_labels, id_roots.mroot == root_labels.root
+            ).select("id", "label")
+            singletons = cores.join(
+                id_roots.select("id"), "id", "left_anti"
+            ).withColumn("label", F.col("id"))
+            labels = edge_labels.unionByName(singletons)
 
         border = (
             pairs.join(
