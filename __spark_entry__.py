@@ -32,81 +32,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-7 window, in order
-# (WINDOW_r07.md has the per-query evidence trail):
-#   1. the 25 queries whose latest driver row is r4 — the r6 verdict's
-#      task 1 (hard obligation: driver evidence must not age past r4);
+# re-enters the hard gate (advisor r2). Round-8 window, in order
+# (WINDOW_r08.md has the per-query evidence trail):
+#   1. the 27 queries whose latest driver row is r5 — the r7 verdict's
+#      task 1 (hard obligation: driver evidence must not age past r5);
 #      all judge-green every session via tests/test_oracle_parity.py;
-#   2. the queries whose CODE changed in round 7: q120 (NEW —
-#      cell-blocked DBSCAN over SQL-replayable blob points, full-value
-#      oracle), q02 (three-branch cost gate: new bcast-cmap +
-#      shuffled-hash-join middle branch — the measured 100× win),
-#      q116 (bucketed manifest merge sink — per-batch writes O(batch)
-#      not O(table) + committed-replay no-op guard), q118 (recall
-#      denominator fixed to the sample size; IVF probe selection on the
-#      gated GEMM primitive), q114 (langid >63-label pivot fallback
-#      guard), q77 (dbscan gained strategy/n_cells params; default
-#      path unchanged), and the matrix_lit/kmeans consumers
-#      q41/q42/q47/q48/q76/q99/q108/q115 (non-finite validation +
-#      nearest_centers primitive; fixture plans unchanged) — changed
-#      code always re-enters the hard gate;
-#   3. oldest r5-evidence queries, lowest number first, filling to 50.
-# Entries past position 50 are r5/r6-green and code-unchanged.
+#   2. the queries whose CODE changed in round 8: q02 (new 'bucketed'
+#      co-located-layout branch — catalog-gated, absent in the driver's
+#      fresh session so the oracle path is untouched, but changed code
+#      re-enters the gate), q77/q120 (dbscan: advisor r7 hardening +
+#      partition-local union-find CC pre-contraction — labels must stay
+#      bit-identical), q116 (sink: monotone replay guard + schema-in-
+#      manifest), and the IVFIndex consumers q47/q115/q118 (n_cells=
+#      'sqrt' option; int-config path unchanged);
+#   3. oldest r6-evidence queries, lowest number first, filling to 50.
+# Entries past position 50 are r6/r7-green and code-unchanged.
 _PRIORITY = [
-    # -- (1) last driver row is r4 (r6 verdict task 1)
-    "q25_hourly_windows",
-    "q45_cosine_near_dup",
-    "q56_confusion_matrix",
-    "q57_metrics",
-    "q58_gram_matrix",
-    "q60_asof_join",
-    "q61_cube",
-    "q62_partitioned_write",
-    "q63_multiformat_roundtrip",
-    "q64_map_functions",
-    "q66_language_id",
-    "q67_token_count",
-    "q68_knn_regressor",
-    "q72_map_partitions",
-    "q73_grouped_normalize",
-    "q74_grouped_agg_udf",
-    "q75_pivot",
-    "q80_range_window",
-    "q81_one_hot",
-    "q84_merge_upsert",
-    "q85_grouping_sets",
-    "q86_profile_table",
-    "q88_group_quantiles",
-    "q89_unpivot_melt",
-    "q92_interval_join",
-    # -- (2) code new or changed in round 7 (re-enters the hard gate)
-    "q121_boilerplate_ngrams",
-    "q122_token_budget_mixture",
-    "q120_dbscan_blocked",
+    # -- (1) last driver row is r5 (r7 verdict task 1)
+    "q12_quantiles_histogram",
+    "q30_top_terms",
+    "q33_lang_source_slice",
+    "q34_text_quality",
+    "q36_naive_bayes_fit",
+    "q37_label_encode",
+    "q38_fingerprint",
+    "q39_count_vectorizer",
+    "q40_knn_bruteforce",
+    "q43_cosine_topk",
+    "q44_multimodal_join",
+    "q46_knn_classify",
+    "q50_feature_stats",
+    "q51_ols_fit",
+    "q59_ols_predict",
+    "q70_stream_sessionization",
+    "q71_stream_hourly_counts",
+    "q79_stream_stateful_totals",
+    "q90_regexp_ops",
+    "q91_python_udtf",
+    "q93_stream_stream_join",
+    "q95_random_forest",
+    "q97_make_blobs",
+    "q103_simhash_near_dup",
+    "q110_gopher_rules",
+    "q111_clustered_layout",
+    "q113_bpe_token_accounting",
+    # -- (2) code changed in round 8 (re-enters the hard gate)
     "q02_revenue_by_nation",
-    "q32_exact_dedup",
-    "q116_stream_upsert_sink",
-    "q118_knn_graph",
-    "q114_ngram_language_id",
     "q77_dbscan",
-    "q41_centroid_assignment",
-    "q42_lloyd_iteration",
+    "q120_dbscan_blocked",
+    "q116_stream_upsert_sink",
     "q47_ivf_search_full_probe",
-    "q48_kmeans_transform",
-    "q76_kmeans_fit",
-    "q99_kmeans_parallel_fit",
-    "q108_semantic_dedup",
     "q115_ivf_partial_probe",
-    # -- (3) oldest r5-evidence, lowest number first, filling to 50
-    "q03_top_orders_per_customer",
-    "q04_segment_stats",
-    "q06_orders_by_month",
-    "q07_fillna_left_join",
-    "q08_value_counts",
-    "q09_drop_duplicates",
-    "q10_set_ops",
-    "q11_rollup",
-    # -- positions 51+: r5/r6-green code-unchanged
+    "q118_knn_graph",
+    # -- (3) oldest r6-evidence, lowest number first, filling to 50
     "q01_pricing_summary",
     "q05_string_ops",
     "q13_semi_anti_join",
@@ -123,6 +101,8 @@ _PRIORITY = [
     "q31_tfidf_top_term",
     "q35_jaccard_near_dup",
     "q52_ridge_fit",
+    # -- positions 51+: r6/r7-green code-unchanged (remaining r6 set
+    # first — first in line for r9 — then the r7-green block)
     "q53_standard_scaler",
     "q54_minmax_scaler",
     "q55_corr_cov_matrix",

@@ -465,7 +465,11 @@ def main() -> None:
             ), "run scaled q118 via --only (n_cells patch is shared)"
             import dask_cuml_spark.queries.vector as vec
 
-            q118_cells = 8 * fac
+            # default posture: n_cells ∝ n (cell size held constant);
+            # --q118-sqrt switches to the k ∝ √n production scaling
+            # (IVFIndex n_cells='sqrt', r7 verdict task 7 — the Θ(n·k)
+            # quantizer term drops from Θ(n²/cell) to Θ(n^1.5))
+            q118_cells = "sqrt" if "--q118-sqrt" in sys.argv else 8 * fac
             saved_cells = vec._IVF_N_CELLS
             vec._IVF_N_CELLS = q118_cells
         try:
@@ -481,6 +485,8 @@ def main() -> None:
                 from pyspark.sql import functions as F
 
                 idx = vec._fitted_ivf(spark, d)
+                # resolved cell count ('sqrt' resolves at fit time)
+                q118_cells_resolved = idx.n_cells
                 csz = idx.cells_.groupBy("cell_id").agg(
                     F.count(F.lit(1)).alias("csz")
                 )
@@ -530,7 +536,9 @@ def main() -> None:
             if n in RATIO_CAVEATS:
                 row["note"] = RATIO_CAVEATS[n]
             if n == "q118_knn_graph" and n in spark_names:
-                row["n_cells"] = q118_cells or 8
+                row["n_cells"] = (
+                    q118_cells_resolved if q118_cells is not None else 8
+                )
                 row["candidate_edges"] = q118_cand
             if n == "q120_dbscan_blocked" and q120_eps is not None:
                 row["eps"] = q120_eps
@@ -556,7 +564,12 @@ def main() -> None:
                     "oracle DNF above 1x: its all-pairs recursive CTE "
                     "is Theta(n^2 d) — 16.7 s at 1x, >= 28 min at 10x"
                 )
-            results[label][n] = row
+            # the sqrt-cells q118 run records under its own key so the
+            # n_cells ∝ n curve and the k ∝ √n operating point coexist
+            if n == "q118_knn_graph" and q118_cells == "sqrt":
+                results[label]["q118_knn_graph_sqrt_cells"] = row
+            else:
+                results[label][n] = row
         # q02 branch evidence (verdict r4 task 6): record which join
         # shape the cost gate picked, and when the eager-agg branch
         # fires, also time the road-not-taken so the win is measured,

@@ -42,7 +42,13 @@ def _assign_use_gemm(df: DataFrame, k: int) -> bool:
 
 @dataclass
 class IVFIndex:
-    n_cells: int = 16
+    # int, or 'sqrt': resolve to ~√n at fit time — the production
+    # quantizer scaling for large corpora (PLANS.md q118 curve: with
+    # n_cells ∝ n the Θ(n·k) flat quantizer goes quadratic; k ∝ √n
+    # keeps fit+assign Θ(n^1.5) while the pair scan stays bounded at
+    # Θ(n·nprobe·n/k) = Θ(n^1.5·nprobe) — the FAISS-guidance operating
+    # band n_cells ~ √n..n/256)
+    n_cells: int | str = 16
     kmeans_iters: int = 5
     centers_: np.ndarray | None = field(default=None, init=False)
     cells_: DataFrame | None = field(default=None, init=False)
@@ -67,6 +73,11 @@ class IVFIndex:
         # sampled fit instead: there the fit is paid on every call and
         # pair-set exactness is centroid-independent
         # (dbscan._eps_pairs_cell_blocked).
+        if self.n_cells == "sqrt":
+            # resolved once at fit; count() is one cheap job against
+            # the candidate scan and the value is recorded on the
+            # index (self.n_cells becomes the resolved int)
+            self.n_cells = max(4, int(round(candidates.count() ** 0.5)))
         km = KMeans(k=self.n_cells, max_iter=self.kmeans_iters).fit(
             candidates, vec_col=vec_col, id_col=id_col
         )

@@ -314,6 +314,30 @@ def test_ivf_index_recall_and_full_probe_exactness(spark):
     assert set(zip(again.query_id, again.neighbor_id)) == part_set
 
 
+def test_ivf_sqrt_cells_resolves_and_stays_exact(spark):
+    """r8 (verdict task 7): n_cells='sqrt' resolves to ~√n at fit time —
+    the production quantizer scaling (fit Θ(n^1.5), not Θ(n·k) with
+    k ∝ n) — and the index keeps the full-probe == brute-force
+    exactness guarantee at the resolved cell count."""
+    from dask_cuml_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, SF, "embeddings")  # 500 rows → 22 cells
+    idx = IVFIndex(n_cells="sqrt", kmeans_iters=2).fit(emb)
+    assert idx.n_cells == round(500**0.5) == 22
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    exact = brute_force_knn(q, c, k=5)
+    exact_set = set(
+        zip(*[exact.toPandas()[col] for col in ("query_id", "neighbor_id")])
+    )
+    full = idx.search(q, k=5, nprobe=idx.n_cells).toPandas()
+    assert set(zip(full.query_id, full.neighbor_id)) == exact_set
+
+
 def test_adjusted_rand_score_known_values(spark):
     from dask_cuml_spark.operators.metrics import adjusted_rand_score
 
@@ -790,6 +814,37 @@ def test_q02_eager_agg_both_shapes_agree(spark, monkeypatch):
     assert rel.q02_plan_branch(spark, SF) == "bcast-cmap"
     bcast = {tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()}
     assert direct == eager == bcast and len(direct) > 0
+
+
+def test_q02_bucketed_layout_branch(spark):
+    """r8: with the co-located bucketed layout registered for an sf_dir,
+    q02 picks the 'bucketed' branch, returns identical values, and the
+    wide lineitem⋈orders join runs with NO exchange on either input
+    (the only hashpartitioning exchanges sit above the 25-group agg)."""
+    import dask_cuml_spark.queries.relational as rel
+
+    plain = {tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()}
+    rel.q02_bucketed_layout(spark, SF, n_buckets=4)
+    try:
+        assert rel.q02_plan_branch(spark, SF) == "bucketed"
+        d = rel.q02_revenue_by_nation(spark, SF)
+        got = {tuple(r) for r in d.collect()}
+        assert got == plain and len(got) > 0
+        final = (
+            d._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in final, final[:2000]
+        # the wide join itself must not shuffle its inputs: at most the
+        # two post-agg exchanges (c_nationkey rollup + nation/region
+        # rollup) may appear — the plain bcast-cmap plan has a third,
+        # the 60 M-row lineitem⋈orders input shuffle this layout kills
+        assert final.count("Exchange hashpartitioning") <= 2, final[:2500]
+    finally:
+        bo, bl = rel._q02_bucket_tables(SF)
+        spark.sql(f"DROP TABLE IF EXISTS {bo}")
+        spark.sql(f"DROP TABLE IF EXISTS {bl}")
+    assert rel.q02_plan_branch(spark, SF) != "bucketed"
 
 
 # ---------------------------------------------------------------------------
