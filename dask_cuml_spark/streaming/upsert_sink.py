@@ -185,7 +185,14 @@ def merge_batch(
         # it again would read v{n} while overwriting v{n}. The guard is
         # MONOTONE (>=, not ==): a batch replaying after a LATER version
         # committed must never re-merge against the newer manifest and
-        # point the table backwards (advisor r7)
+        # point the table backwards (advisor r7). The skipped batch must
+        # still be CONSUMED: under foreachBatch, Spark 4.x validates
+        # that every state-store partition of the upstream stateful agg
+        # committed (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise —
+        # found by bench_upsert_sink_stream's fresh-checkpoint replay);
+        # the built-in noop source drains all partitions without
+        # writing anything
+        batch_df.write.format("noop").mode("overwrite").save()
         return
     buckets, n_buckets, schema_json = _read_manifest(root, _committed(root))
     batch_df = batch_df.withColumn(

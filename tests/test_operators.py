@@ -1137,6 +1137,77 @@ def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
     assert [r.value for r in lines.collect()] == ["not an image"]
 
 
+def test_stream_upsert_sink_replay_past_committed_noop(spark):
+    """r8 regression (found by bench_upsert_sink_stream's 100× replay):
+    re-streaming an already-applied source into the SAME table from a
+    FRESH checkpoint makes every merge_batch hit the monotone replay
+    guard. The skipped batch must still be CONSUMED — Spark 4.x
+    validates that every state-store partition of the upstream stateful
+    agg committed, and an early return without touching batch_df kills
+    the query with STATE_STORE_COMMIT_VALIDATION_FAILED. The guard
+    drains via the noop writer; this pins: query completes, every batch
+    no-ops, pointer and table rows are unchanged."""
+    import shutil
+    import tempfile
+
+    from dask_cuml_spark.streaming.upsert_sink import (
+        _committed,
+        init_table,
+        merge_batch,
+        read_committed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    root = tempfile.mkdtemp(prefix="dcs_upsert_replay_")
+    try:
+        seed = (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+        )
+        init_table(spark, root, seed, "user_id")
+        # fast-forward the pointer past any batch id this stream can
+        # produce, so EVERY foreachBatch call takes the replay path
+        fake = spark.createDataFrame([], seed.schema)
+        merge_batch(spark, root, fake, 41, "user_id",
+                    ["n_events", "total_value"])
+        ptr = _committed(root)
+        rows = {tuple(r) for r in read_committed(spark, root).collect()}
+
+        def sink(batch_df, batch_id):
+            merge_batch(spark, root, batch_df, batch_id,
+                        "user_id", ["n_events", "total_value"])
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        totals = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                totals.writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()  # crashed pre-fix
+        assert _committed(root) == ptr
+        got = {tuple(r) for r in read_committed(spark, root).collect()}
+        assert got == rows and len(got) > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_stream_upsert_sink_replay_idempotent(spark):
     """The exactly-once merge sink's guarantee is idempotent replays: a
     batch re-executed after a failure (write landed, checkpoint commit
