@@ -43,8 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      re-enters the gate), q77/q120 (dbscan: advisor r7 hardening +
 #      partition-local union-find CC pre-contraction — labels must stay
 #      bit-identical), q116 (sink: monotone replay guard + schema-in-
-#      manifest), and the IVFIndex consumers q47/q115/q118 (n_cells=
-#      'sqrt' option; int-config path unchanged);
+#      manifest), the IVFIndex consumers q47/q115/q118 (n_cells=
+#      'sqrt' option; int-config path unchanged), and q121 (catalog-
+#      gated gram-layout branch — absent in fresh sessions, measured
+#      0.77x vs DuckDB at 100x with the layout);
 #   3. oldest r6-evidence queries, lowest number first, filling to 50.
 # Entries past position 50 are r6/r7-green and code-unchanged.
 _PRIORITY = [
@@ -84,6 +86,7 @@ _PRIORITY = [
     "q47_ivf_search_full_probe",
     "q115_ivf_partial_probe",
     "q118_knn_graph",
+    "q121_boilerplate_ngrams",
     # -- (3) oldest r6-evidence, lowest number first, filling to 50
     "q01_pricing_summary",
     "q05_string_ops",
@@ -100,9 +103,9 @@ _PRIORITY = [
     "q24_event_value_stats",
     "q31_tfidf_top_term",
     "q35_jaccard_near_dup",
-    "q52_ridge_fit",
     # -- positions 51+: r6/r7-green code-unchanged (remaining r6 set
     # first — first in line for r9 — then the r7-green block)
+    "q52_ridge_fit",
     "q53_standard_scaler",
     "q54_minmax_scaler",
     "q55_corr_cov_matrix",

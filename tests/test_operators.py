@@ -816,6 +816,35 @@ def test_q02_eager_agg_both_shapes_agree(spark, monkeypatch):
     assert direct == eager == bcast and len(direct) > 0
 
 
+def test_q121_gram_layout_branch(spark):
+    """r8: with the inverted-index gram layout registered for an
+    sf_dir, q121 reads it instead of re-constructing grams, returns
+    identical values, and the wide (doc_id, _h) window exchange is
+    GONE — the only remaining exchange is the unavoidable doc_id
+    aggregate."""
+    import dask_cuml_spark.queries.text as T
+
+    plain = {
+        tuple(r) for r in T.q121_boilerplate_ngrams(spark, SF).collect()
+    }
+    T.q121_gram_layout(spark, SF, n_buckets=4)
+    try:
+        d = T.q121_boilerplate_ngrams(spark, SF)
+        got = {tuple(r) for r in d.collect()}
+        assert got == plain and len(got) > 0
+        fin = (
+            d._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in fin, fin[:2000]
+        assert fin.count("Exchange hashpartitioning") == 1, fin[:2500]
+        assert "Exchange hashpartitioning(doc_id" in fin
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {T._q121_gram_table(SF)}")
+    # layout dropped → back to the construction branch
+    assert not spark.catalog.tableExists(T._q121_gram_table(SF))
+
+
 def test_q02_bucketed_layout_branch(spark):
     """r8: with the co-located bucketed layout registered for an sf_dir,
     q02 picks the 'bucketed' branch, returns identical values, and the
