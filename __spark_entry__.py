@@ -44,9 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #      partition-local union-find CC pre-contraction — labels must stay
 #      bit-identical), q116 (sink: monotone replay guard + schema-in-
 #      manifest), the IVFIndex consumers q47/q115/q118 (n_cells=
-#      'sqrt' option; int-config path unchanged), and q121 (catalog-
+#      'sqrt' option; int-config path unchanged), q121 (catalog-
 #      gated gram-layout branch — absent in fresh sessions, measured
-#      0.77x vs DuckDB at 100x with the layout);
+#      0.77x vs DuckDB at 100x with the layout), and the two NEW
+#      round-8 queries q123 (vocab-coverage sizing) and q124
+#      (embedding-outlier curation) — zero driver evidence yet, so
+#      they outrank the r6 refreshes;
 #   3. oldest r6-evidence queries, lowest number first, filling to 50.
 # Entries past position 50 are r6/r7-green and code-unchanged.
 _PRIORITY = [
@@ -87,6 +90,8 @@ _PRIORITY = [
     "q115_ivf_partial_probe",
     "q118_knn_graph",
     "q121_boilerplate_ngrams",
+    "q123_vocab_coverage",
+    "q124_embedding_outliers",
     # -- (3) oldest r6-evidence, lowest number first, filling to 50
     "q01_pricing_summary",
     "q05_string_ops",
@@ -101,10 +106,10 @@ _PRIORITY = [
     "q22_json_extract",
     "q23_retention",
     "q24_event_value_stats",
-    "q31_tfidf_top_term",
-    "q35_jaccard_near_dup",
     # -- positions 51+: r6/r7-green code-unchanged (remaining r6 set
     # first — first in line for r9 — then the r7-green block)
+    "q31_tfidf_top_term",
+    "q35_jaccard_near_dup",
     "q52_ridge_fit",
     "q53_standard_scaler",
     "q54_minmax_scaler",

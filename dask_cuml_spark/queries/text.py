@@ -1428,3 +1428,80 @@ def q122_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_kept_ttr"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — tokenizer vocabulary-coverage sizing (north-star "training-data
+# pipeline"): for each language, the smallest frequency-ranked
+# vocabulary that covers ≥95 % of token OCCURRENCES — the measurement
+# that sizes a tokenizer's vocab (and decides per-language allocation
+# in a multilingual one) before training it. Distinct from q30 (top-k
+# terms) and q113 (BPE token accounting): this is the cumulative-
+# coverage threshold over the full term-frequency distribution.
+# Scale plan: the heavy reduction is groupBy(lang, term) — map-side
+# partial agg bounds the shuffle by per-partition vocabulary, not token
+# count; the window then runs over DISTINCT TERMS per language (the
+# vocabulary, naturally bounded — millions at 100 TB, not the corpus's
+# trillions of tokens), so the per-lang partition skew is over vocab
+# rows only. Coverage math is integer-exact (cum*100 vs total*95 on
+# BIGINT) — no float threshold to disagree with the oracle about; ties
+# in term frequency are broken by the term itself, so the rank order
+# is total on both engines.
+# ---------------------------------------------------------------------------
+_Q123_COVER_PCT = 95
+
+
+@register(
+    "q123_vocab_coverage",
+    oracle=f"""
+WITH tf AS (
+  SELECT lang, t.term AS term, COUNT(*) AS cnt
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  GROUP BY lang, t.term
+), r AS (
+  SELECT lang, cnt,
+         SUM(cnt) OVER (PARTITION BY lang
+                        ORDER BY cnt DESC, term
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS total
+  FROM tf
+)
+SELECT lang,
+       CAST(MAX(total) AS BIGINT) AS total_tokens,
+       COUNT(*) AS n_terms,
+       CAST(SUM(CASE WHEN (cum - cnt) * 100 < total * {_Q123_COVER_PCT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS vocab_95
+FROM r
+GROUP BY lang
+""",
+)
+def q123_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("cnt").desc(), "term")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    r = tf.select(
+        "lang",
+        "cnt",
+        F.sum("cnt").over(w_rank).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+    # a term is inside the 95%-coverage vocabulary while coverage has
+    # not been reached when it STARTS (the q122 never-starve
+    # convention); (cum-cnt)*100 < total*95 on longs is exact
+    needed = (F.col("cum") - F.col("cnt")) * 100 < F.col(
+        "total"
+    ) * _Q123_COVER_PCT
+    return r.groupBy("lang").agg(
+        F.max("total").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(needed.cast("long")).alias("vocab_95"),
+    )

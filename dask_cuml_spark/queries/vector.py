@@ -744,3 +744,71 @@ def q108_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_id").alias("cluster_id"),
         F.col("_drop").isNull().cast("int").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — embedding-outlier curation (north-star "training-data
+# pipeline", D3-adjacent): flag vectors whose distance from the corpus
+# centroid exceeds the exact 99th percentile — the standard "drop the
+# far tail before clustering/dedup" quality gate (mirrors the outlier
+# pre-filter ahead of SemDeDup-style pipelines; q108 is the
+# within-cluster dedup step, THIS is the global curation step before
+# it). Two-pass exact design, the q12 convention: pass 1 reduces the
+# table to one 64-double centroid row (partial+final agg of per-dim
+# avgs — the kmeans allreduce shape, no explode, no shuffle of the
+# vectors), pass 2 computes distances against the bit-exact centroid
+# literal (matrix_lit repr round-trip) and one exact percentile row.
+# Both driver fetches are model-state-sized (1 row each — the gated
+# .collect() class). At 100 TB swap percentile for approx_percentile
+# (the documented q12 substitute) and the plan is a pure two-scan
+# pipeline; distances stay engine-portable (functions.vector double
+# fold == the DuckDB list-lambda, verified bitwise) and the 6-dp round
+# absorbs the engines' aggregation-order jitter in the centroid.
+# ---------------------------------------------------------------------------
+_Q124_PCT = 0.99
+
+
+@register(
+    "q124_embedding_outliers",
+    oracle=f"""
+WITH dims AS (
+  SELECT i, AVG(CAST(e AS DOUBLE)) AS m
+  FROM (SELECT UNNEST(embedding) AS e,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY i
+), c AS (
+  SELECT LIST(m ORDER BY i) AS cen FROM dims
+), d AS (
+  SELECT vec_id,
+         SQRT({_SQL_L2SQ.format(a="embedding", b="cen")}) AS dist
+  FROM embeddings, c
+), t AS (
+  SELECT QUANTILE_CONT(dist, {_Q124_PCT}) AS thr FROM d
+)
+SELECT vec_id, ROUND(dist, 6) AS center_dist,
+       CAST(dist > thr AS INT) AS is_outlier
+FROM d, t
+""",
+)
+def q124_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.functions.vector import l2, matrix_lit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # pass 1: one centroid row (64 partial-aggregated means — the
+    # allreduce analogue; model-state-sized driver fetch)
+    dim = len(e.select("embedding").first()[0])
+    cen_row = e.agg(
+        *[F.avg(F.col("embedding")[i]).alias(f"c{i}") for i in range(dim)]
+    ).first()
+    cen = F.element_at(matrix_lit([[float(v) for v in cen_row]]), 1)
+    dists = e.select("vec_id", l2("embedding", cen).alias("dist"))
+    # pass 2: exact interpolated percentile (one row; ==
+    # DuckDB QUANTILE_CONT) — approx_percentile is the 100 TB
+    # substitute, same as q12's documented trade
+    thr = dists.agg(F.percentile("dist", _Q124_PCT)).first()[0]
+    return dists.select(
+        "vec_id",
+        F.round("dist", 6).alias("center_dist"),
+        (F.col("dist") > F.lit(thr)).cast("int").alias("is_outlier"),
+    )
