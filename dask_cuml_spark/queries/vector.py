@@ -803,12 +803,13 @@ def q124_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     cen = F.element_at(matrix_lit([[float(v) for v in cen_row]]), 1)
     dists = e.select("vec_id", l2("embedding", cen).alias("dist"))
-    # pass 2: exact interpolated percentile (one row; ==
-    # DuckDB QUANTILE_CONT) — approx_percentile is the 100 TB
+    # pass 2: exact interpolated percentile (== DuckDB QUANTILE_CONT)
+    # joined back IN-PLAN as a broadcast single-row fold — no driver
+    # round-trip for the threshold; approx_percentile is the 100 TB
     # substitute, same as q12's documented trade
-    thr = dists.agg(F.percentile("dist", _Q124_PCT)).first()[0]
-    return dists.select(
+    thr = dists.agg(F.percentile("dist", _Q124_PCT).alias("thr"))
+    return dists.crossJoin(F.broadcast(thr)).select(
         "vec_id",
         F.round("dist", 6).alias("center_dist"),
-        (F.col("dist") > F.lit(thr)).cast("int").alias("is_outlier"),
+        (F.col("dist") > F.col("thr")).cast("int").alias("is_outlier"),
     )
