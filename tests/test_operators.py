@@ -816,6 +816,51 @@ def test_q02_eager_agg_both_shapes_agree(spark, monkeypatch):
     assert direct == eager == bcast and len(direct) > 0
 
 
+def test_q123_vocab_coverage_invariants(spark):
+    """Structural truths of coverage sizing: the 95%-vocab is never
+    larger than the vocabulary, never empty when tokens exist, and the
+    vocab_95 terms do reach >=95% coverage while vocab_95 - 1 terms do
+    NOT (tight threshold, integer-exact)."""
+    from dask_cuml_spark.queries.text import (
+        q123_vocab_coverage,
+        tokens,
+    )
+
+    rows = {r.lang: r for r in q123_vocab_coverage(spark, SF).collect()}
+    assert rows
+    d = load_table(spark, SF, "documents")
+    tf = (
+        d.select("lang", F.explode(tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pdf = tf.toPandas()
+    for lang, r in rows.items():
+        assert 0 < r.vocab_95 <= r.n_terms
+        g = pdf[pdf.lang == lang].sort_values(
+            ["cnt", "term"], ascending=[False, True]
+        )
+        cum = g.cnt.cumsum()
+        top = int(cum.iloc[r.vocab_95 - 1])
+        assert top * 100 >= r.total_tokens * 95
+        if r.vocab_95 > 1:
+            assert int(cum.iloc[r.vocab_95 - 2]) * 100 < r.total_tokens * 95
+
+
+def test_q124_embedding_outliers_invariants(spark):
+    """Structural truths of the p99 gate: every vector gets a row,
+    flagged count == #dists strictly above the exact interpolated p99
+    (≈1% of rows), and every flagged dist exceeds every unflagged."""
+    from dask_cuml_spark.queries.vector import q124_embedding_outliers
+
+    pdf = q124_embedding_outliers(spark, SF).toPandas()
+    n = load_table(spark, SF, "embeddings").count()
+    assert len(pdf) == n
+    out = pdf[pdf.is_outlier == 1]
+    assert 0 < len(out) <= max(1, int(n * 0.011) + 1)
+    assert out.center_dist.min() > pdf[pdf.is_outlier == 0].center_dist.max()
+
+
 def test_q121_gram_layout_branch(spark):
     """r8: with the inverted-index gram layout registered for an
     sf_dir, q121 reads it instead of re-constructing grams, returns
