@@ -797,7 +797,12 @@ def q124_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # pass 1: one centroid row (64 partial-aggregated means — the
     # allreduce analogue; model-state-sized driver fetch)
-    dim = len(e.select("embedding").first()[0])
+    head = e.select("embedding").first()
+    if head is None:  # degenerate input: no vectors → no outliers
+        return spark.createDataFrame(
+            [], "vec_id long, center_dist double, is_outlier int"
+        )
+    dim = len(head[0])
     cen_row = e.agg(
         *[F.avg(F.col("embedding")[i]).alias(f"c{i}") for i in range(dim)]
     ).first()
