@@ -1260,7 +1260,9 @@ def _q121_gram_table(sf_dir: str) -> str:
     import re
 
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-    return f"dcs_q121_grams_{tag}"
+    # the gram width is part of the identity: a layout built under a
+    # different _Q121_N must never be silently served
+    return f"dcs_q121_grams{_Q121_N}_{tag}"
 
 
 def q121_gram_layout(
