@@ -87,6 +87,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     bucketed scans). 100× A/B: 1.66 s vs 3.64 s bcast-cmap (DuckDB
 #     contemporaneous 0.84 s → ratio 4.2× → 2.0×); layout write 45 s,
 #     paid once per table like any warehouse co-location.
+#   'bucketed-eager' (r8): layout present AND customer above the
+#     broadcast cap — the eager-agg shape over the bucketed scans. The
+#     per-orderkey rollup and the orders join are both on the bucket
+#     key, so they too run Exchange-free; only the custkey exchange
+#     remains. This is the 100 TB composition: co-located facts +
+#     all-shuffle dimension join.
 #   'eager-agg' (customer too big to broadcast — the 100 TB regime):
 #     roll lineitem up per orderkey, then per custkey below the
 #     customer join, cutting that exchange from |orders| to |customer|
@@ -151,32 +157,45 @@ def q02_bucketed_layout(
 # The pruned 2-column customer map is ~1/10 of the full-table estimate;
 # 1 GiB of customer ≈ a ~100 MB broadcast build — the upper end of
 # routine Spark broadcast practice. Past it, fall back to all-shuffle.
-_Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = 1 << 30
+# MEASURED boundary, not a guess (r8): at 100× the pruned 2-col map of
+# a 31 MB-plan / 15 M-row customer builds and wins (1.66 s bucketed);
+# at 300× the 94 MB-plan / 45 M-row map FAILS the broadcast build
+# outright (notEnoughMemoryToBuildAndBroadcastTableError under the 8 g
+# driver) — the in-memory hashed relation is ~30 B/row, ~10× the
+# parquet-compressed plan estimate the gate sees. 48 MB keeps a 1.5×
+# margin over the proven-good point while staying far under the
+# measured failure; past it the eager-agg all-shuffle shape is the
+# answer (and composes with the bucketed layout, see below).
+_Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = 48 << 20
 
 from dask_cuml_spark.plans.cost import plan_size_bytes as _plan_size_bytes  # noqa: E402,E501
 
 
 def q02_plan_branch(spark: SparkSession, sf_dir: str) -> str:
     """Which join shape q02's cost gate picks for this dataset —
-    'direct', 'bcast-cmap', or 'eager-agg' (see the block comment).
+    'direct', 'bcast-cmap', 'eager-agg', or their bucketed-layout
+    composites 'bucketed' / 'bucketed-eager' (see the block comment).
     Exposed so bench_scale can record the branch per scale factor
     (verdict r4 task 6)."""
-    # the bucketed layout shares the bcast-cmap shape (it still
-    # broadcasts the customer map), so it inherits the same
-    # customer-size cap; past it the layout doesn't help this query's
-    # shape and eager-agg remains the all-shuffle answer
+    # the LAYOUT (bucketed scans) and the JOIN SHAPE are orthogonal
+    # decisions: the layout substitutes where orders/lineitem are read
+    # from; the shape is picked by the same size gates either way.
+    # 'bucketed' = bcast-cmap shape over bucketed scans (customer map
+    # fits the broadcast cap); 'bucketed-eager' = eager-agg shape over
+    # bucketed scans (customer too big to broadcast — the rollup and
+    # the wide join are both on orderkey, so they run Exchange-free
+    # off the layout too; only the custkey exchange remains).
     bo, bl = _q02_bucket_tables(sf_dir)
-    if spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl):
-        c = load_table(spark, sf_dir, "customer")
-        if _plan_size_bytes(c) <= _Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES:
-            return "bucketed"
+    has_layout = spark.catalog.tableExists(bo) and spark.catalog.tableExists(
+        bl
+    )
     o = load_table(spark, sf_dir, "orders")
-    if _plan_size_bytes(o) < _Q02_EAGER_AGG_MIN_ORDERS_BYTES:
+    if not has_layout and _plan_size_bytes(o) < _Q02_EAGER_AGG_MIN_ORDERS_BYTES:
         return "direct"
     c = load_table(spark, sf_dir, "customer")
     if _plan_size_bytes(c) <= _Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES:
-        return "bcast-cmap"
-    return "eager-agg"
+        return "bucketed" if has_layout else "bcast-cmap"
+    return "bucketed-eager" if has_layout else "eager-agg"
 @register(
     "q02_revenue_by_nation",
     oracle="""
@@ -200,14 +219,14 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     branch = q02_plan_branch(spark, sf_dir)
-    if branch == "bucketed":
-        # co-located layout exists: same bcast-cmap shape, but orders
-        # and lineitem come from the bucketed tables, so the one wide
-        # join runs Exchange-free on both inputs (measured plan: zero
-        # hashpartitioning exchanges below the 25-group agg)
+    if branch in ("bucketed", "bucketed-eager"):
+        # co-located layout exists: orders and lineitem come from the
+        # bucketed tables, so every orderkey join/rollup below runs
+        # Exchange-free on both inputs (measured plan: zero
+        # hashpartitioning exchanges below the custkey/25-group aggs)
         bo, bl = _q02_bucket_tables(sf_dir)
         o, l = spark.table(bo), spark.table(bl)
-        branch = "bcast-cmap"
+        branch = "bcast-cmap" if branch == "bucketed" else "eager-agg"
     if branch == "bcast-cmap":
         o2 = (
             o.select("o_orderkey", "o_custkey")

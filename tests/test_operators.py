@@ -890,11 +890,14 @@ def test_q121_gram_layout_branch(spark):
     assert not spark.catalog.tableExists(T._q121_gram_table(SF))
 
 
-def test_q02_bucketed_layout_branch(spark):
+def test_q02_bucketed_layout_branch(spark, monkeypatch):
     """r8: with the co-located bucketed layout registered for an sf_dir,
     q02 picks the 'bucketed' branch, returns identical values, and the
     wide lineitem⋈orders join runs with NO exchange on either input
-    (the only hashpartitioning exchanges sit above the 25-group agg)."""
+    (the only hashpartitioning exchanges sit above the 25-group agg).
+    With customer pushed over the broadcast cap the gate composes the
+    layout with the eager-agg shape ('bucketed-eager') instead — same
+    values, orderkey rollup/join still off the bucketed scans."""
     import dask_cuml_spark.queries.relational as rel
 
     plain = {tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()}
@@ -904,6 +907,15 @@ def test_q02_bucketed_layout_branch(spark):
         d = rel.q02_revenue_by_nation(spark, SF)
         got = {tuple(r) for r in d.collect()}
         assert got == plain and len(got) > 0
+        monkeypatch.setattr(rel, "_Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES", 0)
+        assert rel.q02_plan_branch(spark, SF) == "bucketed-eager"
+        be = {
+            tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()
+        }
+        assert be == plain
+        monkeypatch.setattr(
+            rel, "_Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES", 48 << 20
+        )
         final = (
             d._jdf.queryExecution().executedPlan().toString()
             .split("== Initial Plan ==")[0]
