@@ -93,10 +93,17 @@ def main() -> None:
     )
     w02 = rel.q02_bucketed_layout(spark, sf)
     print(f"q02 layout write: {w02:.1f} s", flush=True)
-    assert rel.q02_plan_branch(spark, sf) == "bucketed"
+    # the gate composes the layout with whichever join shape the
+    # customer-size cap picks: 'bucketed' (bcast-cmap over bucketed
+    # scans) below the cap, 'bucketed-eager' (eager-agg over bucketed
+    # scans) above it — at 300x the latter, and the session must be
+    # SF-sized (SPARK_DRIVER_MEMORY=24g SPARK_GRAFT_SHUFFLE_PARTITIONS=128
+    # reproduces the recorded 300x row)
+    branch02 = rel.q02_plan_branch(spark, sf)
+    assert branch02 in ("bucketed", "bucketed-eager"), branch02
     t_lay, rows_lay = timed3(
         lambda: QUERIES["q02_revenue_by_nation"](spark, sf).collect(),
-        "q02 bucketed",
+        f"q02 {branch02}",
     )
     assert rows_plain == rows_lay, "q02 VALUE MISMATCH"
     d02 = duck_timed(
@@ -104,11 +111,11 @@ def main() -> None:
         ["orders", "lineitem", "customer", "nation", "region"],
     )
     out["q02_revenue_by_nation_bucketed_layout"] = {
-        "branch": "bucketed",
+        "branch": branch02,
         "spark_sec": round(t_lay, 3),
         "duckdb_sec": round(d02, 3),
         "ratio": round(t_lay / d02, 2),
-        "plain_bcast_cmap_contemporaneous_sec": round(t_plain, 3),
+        "plain_shape_contemporaneous_sec": round(t_plain, 3),
         "layout_write_once_sec": round(w02, 1),
         "n_buckets": rel._Q02_BUCKETS,
     }

@@ -39,7 +39,15 @@ def get_spark(
     if shuffle_partitions is None:
         # Local: match core count so small-SF stages don't fragment.
         # Cluster deployments should override (e.g. 2-3x total cores).
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS decouples partition count from
+        # thread count for big-factor local runs: 180 M-row aggregates
+        # over 32 partitions hit AGGREGATE_OUT_OF_MEMORY (measured at
+        # the q02 300x point) — partitions must be sized to the data,
+        # not the cores, exactly as on a cluster.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+            or os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
