@@ -11,6 +11,11 @@ minhash_signatures / minhash_lsh_candidates / minhash_near_dup —
                    stays JVM-side via F.xxhash64.
 simhash          — 64-bit SimHash over token hashes (majority bit vote),
                    hamming-distance candidate pairs.
+semantic_dedup   — SemDeDup (embedding-space near-dup): KMeans-bounded
+                   within-cluster GEMM pair scan; n_clusters='auto'
+                   holds cluster size constant (k ∝ n) so pair work is
+                   linear — the production posture of q108's fixed-k
+                   oracle configuration.
 
 The signatures are engine-specific (xxhash64 seeds) but the OUTPUTS are
 not: q78/q105/q112 carry full-value DuckDB oracles that recompute the
@@ -483,3 +488,75 @@ def minhash_incremental(
         .distinct()
     )
     return jaccard_verify(cands, sh_all, id_col, "shingles", threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int | str = "auto",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 4,
+    rows_per_cluster: int = 5000,
+    return_model: bool = False,
+):
+    """SemDeDup (Abbas et al., arXiv:2303.09540) as a library operator:
+    cluster the embedding space, scan pairs ONLY within clusters, drop
+    the higher-id member of every pair with dot >= threshold.
+
+    Returns (id_col, cluster_id, kept) — one row per input vector,
+    kept=0 iff some lower-id same-cluster vector is within threshold
+    (the keep-lowest-id rule q108's SQL oracle pins at fixture scale).
+
+    q108 is the oracle-replayable fixture configuration of this
+    pipeline: k is FIXED at 16 deterministic centroids so DuckDB can
+    recompute the assignment, which makes per-cluster pair work
+    Theta(sum |cluster|^2) = Theta(n^2/k) — measured going quadratic at
+    300x (SCALEBENCH). THIS is the production posture the q108 note
+    documents: n_clusters='auto' sizes k with the data
+    (k = max(16, n // rows_per_cluster)), holding expected cluster size
+    constant so pair work is Theta(n * rows_per_cluster) = linear — a
+    parameter change, not a plan change, because the grouped GEMM
+    kernel is keyed by cluster_id either way. The Lloyd fit is
+    deterministic (init='first-k'); assignment runs through
+    kmeans.nearest_centers (GEMM-gated above the fold crossover) with
+    the exact (dist^2, cid) tie-break.
+
+    return_model=True also returns the fitted KMeans so callers (and
+    the parity test) can replay assignment/pairs/drops from the
+    identical centers.
+    """
+    from dask_cuml_spark.operators.gemm import (
+        grouped_pairwise_similarity_above,
+    )
+    from dask_cuml_spark.operators.kmeans import KMeans, nearest_centers
+
+    src = df.select(id_col, vec_col)
+    if n_clusters == "auto":
+        # one count() action; at scale this is a cached metadata-cheap
+        # scan of one column and the k it buys bounds ALL pair work
+        k = max(16, src.count() // rows_per_cluster)
+    else:
+        k = int(n_clusters)
+    km = KMeans(k=k, max_iter=max_iter).fit(src, vec_col, id_col)
+    assign = (
+        nearest_centers(src, vec_col, km.cluster_centers_)
+        .withColumn(
+            "cluster_id", F.element_at(F.col("_cells"), 1).cast("long")
+        )
+        .drop("_cells")
+    )
+    drops = (
+        grouped_pairwise_similarity_above(
+            assign, "cluster_id", threshold, id_col=id_col, vec_col=vec_col
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    out = assign.join(drops, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        F.col("_drop").isNull().cast("int").alias("kept"),
+    )
+    return (out, km) if return_model else out

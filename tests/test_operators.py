@@ -1475,3 +1475,42 @@ def test_merge_sink_empty_seed_reads_typed_empty(spark, tmp_path):
         ["v"],
     )
     assert {r.k: r.v for r in read_committed(spark, root).collect()} == {1: 10}
+
+
+def test_semantic_dedup_auto_k_numpy_replay(spark):
+    """The production SemDeDup posture (semantic_dedup, n_clusters=
+    'auto'): one row per vector, Lloyd's inertia monotone, and —
+    replaying assignment, the within-cluster pair scan, and the
+    keep-lowest-id drop rule in numpy from the operator's OWN fitted
+    centers — cluster ids and the kept set match exactly (same float64
+    inputs, same (dist^2, cid) tie-break, same sim >= tau rule)."""
+    import numpy as np
+
+    from dask_cuml_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, SF, "embeddings")
+    out, km = semantic_dedup(e, threshold=0.35, return_model=True)
+    pdf = out.toPandas()
+    src = e.select("vec_id", "embedding").toPandas()
+    src = src.sort_values("vec_id").reset_index(drop=True)
+    assert len(pdf) == len(src)
+    assert set(pdf.kept.unique()) <= {0, 1}
+    h = km.inertia_history_
+    assert all(h[i + 1] <= h[i] + 1e-9 for i in range(len(h) - 1))
+    X = np.array(src.embedding.tolist(), dtype=np.float64)
+    ids = src.vec_id.to_numpy(dtype=np.int64)
+    C = km.cluster_centers_
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)  # first minimal index == (dist^2, cid) order
+    by_id = pdf.set_index("vec_id")
+    assert (by_id.cluster_id.loc[ids].to_numpy() == cid).all()
+    dropped: set[int] = set()
+    for c in np.unique(cid):
+        m, M = ids[cid == c], X[cid == c]
+        S = M @ M.T
+        ii, jj = np.nonzero((S >= 0.35) & (m[:, None] < m[None, :]))
+        dropped.update(int(m[j]) for j in jj)
+    got = {int(i): int(k) for i, k in zip(pdf.vec_id, pdf.kept)}
+    assert got == {int(i): int(i not in dropped) for i in ids}
+    # 'auto' floors at the oracle configuration's k for small inputs
+    assert km.k == 16
