@@ -909,10 +909,18 @@ def test_q02_bucketed_layout_branch(spark, monkeypatch):
         assert got == plain and len(got) > 0
         monkeypatch.setattr(rel, "_Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES", 0)
         assert rel.q02_plan_branch(spark, SF) == "bucketed-eager"
-        be = {
-            tuple(r) for r in rel.q02_revenue_by_nation(spark, SF).collect()
-        }
+        dbe = rel.q02_revenue_by_nation(spark, SF)
+        be = {tuple(r) for r in dbe.collect()}
         assert be == plain
+        # the composite's point: the per-orderkey rollup AND the wide
+        # join run off the bucketed scans — no orderkey exchange at all
+        fbe = (
+            dbe._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in fbe, fbe[:2000]
+        assert "Exchange hashpartitioning(l_orderkey" not in fbe
+        assert "Exchange hashpartitioning(o_orderkey" not in fbe
         monkeypatch.setattr(
             rel, "_Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES", 48 << 20
         )
