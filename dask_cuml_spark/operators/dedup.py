@@ -539,6 +539,11 @@ def semantic_dedup(
     else:
         k = int(n_clusters)
     km = KMeans(k=k, max_iter=max_iter).fit(src, vec_col, id_col)
+    # assign feeds BOTH the pair scan and the final kept-join, so the
+    # assignment pass runs twice — deliberately NOT persisted:
+    # persist_for_reuse was A/B'd at 300x and LOSES (26.2 s vs 17.6 s;
+    # materializing 600k embedding rows costs more than re-running the
+    # one cheap BLAS assignment pass over the warm parquet scan)
     assign = (
         nearest_centers(src, vec_col, km.cluster_centers_)
         .withColumn(
