@@ -497,7 +497,7 @@ def main() -> None:
 
                 idx = vec._fitted_ivf(spark, d)
                 # resolved cell count ('sqrt' resolves at fit time)
-                q118_cells_resolved = idx.n_cells
+                q118_cells_resolved = idx.n_cells_
                 csz = idx.cells_.groupBy("cell_id").agg(
                     F.count(F.lit(1)).alias("csz")
                 )

@@ -50,6 +50,11 @@ class IVFIndex:
     # band n_cells ~ √n..n/256)
     n_cells: int | str = 16
     kmeans_iters: int = 5
+    # resolved cell count, recomputed on EVERY fit: n_cells stays the
+    # declared spec ('sqrt' or an int), so refitting the same instance
+    # on a different-sized dataset re-derives √n instead of silently
+    # reusing the first dataset's resolution (advisor r8)
+    n_cells_: int = field(default=0, init=False)
     centers_: np.ndarray | None = field(default=None, init=False)
     cells_: DataFrame | None = field(default=None, init=False)
     id_col_: str = field(default="vec_id", init=False)
@@ -74,11 +79,13 @@ class IVFIndex:
         # pair-set exactness is centroid-independent
         # (dbscan._eps_pairs_cell_blocked).
         if self.n_cells == "sqrt":
-            # resolved once at fit; count() is one cheap job against
-            # the candidate scan and the value is recorded on the
-            # index (self.n_cells becomes the resolved int)
-            self.n_cells = max(4, int(round(candidates.count() ** 0.5)))
-        km = KMeans(k=self.n_cells, max_iter=self.kmeans_iters).fit(
+            # resolved per fit; count() is one cheap job against the
+            # candidate scan and the value lands in n_cells_ (the spec
+            # in n_cells is never mutated — advisor r8)
+            self.n_cells_ = max(4, int(round(candidates.count() ** 0.5)))
+        else:
+            self.n_cells_ = int(self.n_cells)
+        km = KMeans(k=self.n_cells_, max_iter=self.kmeans_iters).fit(
             candidates, vec_col=vec_col, id_col=id_col
         )
         self.centers_ = km.cluster_centers_
@@ -87,7 +94,7 @@ class IVFIndex:
         # GEMM kernel once rows×n_cells work is large — with cells held
         # constant-size (n_cells ∝ n) the fold is Θ(n²·dim/cell) and
         # would dominate the whole index build (kmeans.nearest_centers)
-        if _assign_use_gemm(candidates, self.n_cells):
+        if _assign_use_gemm(candidates, self.n_cells_):
             self.cells_ = (
                 nearest_centers(
                     candidates, vec_col, self.centers_, 1, "_cells", "gemm"
@@ -129,7 +136,7 @@ class IVFIndex:
         Θ(n²·dim/cell) in the fold before the search proper starts)."""
         assert self.centers_ is not None, "call fit() first"
         strategy = (
-            "gemm" if _assign_use_gemm(queries, self.n_cells) else "expr"
+            "gemm" if _assign_use_gemm(queries, self.n_cells_) else "expr"
         )
         return (
             nearest_centers(
