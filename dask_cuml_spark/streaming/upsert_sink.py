@@ -90,7 +90,13 @@ def _version_num(version: str) -> int:
 
 
 def _write_manifest(
-    root: str, version: str, buckets: dict, n_buckets: int, schema_json: str
+    root: str,
+    version: str,
+    buckets: dict,
+    n_buckets: int,
+    schema_json: str,
+    stream_id: str | None = None,
+    last_batch_id: int | None = None,
 ) -> None:
     tmp = os.path.join(root, version + ".manifest.tmp")
     with open(tmp, "w") as f:
@@ -98,6 +104,13 @@ def _write_manifest(
             {
                 "n_buckets": n_buckets,
                 "schema": schema_json,
+                # replay identity (advisor r8): WHICH stream's batch-id
+                # sequence the version numbers track. A replay is only a
+                # replay within one checkpoint's batch-id scope — a new
+                # stream re-attached to this table must never have its
+                # batches mistaken for replays of the old one.
+                "stream_id": stream_id,
+                "last_batch_id": last_batch_id,
                 "buckets": {str(k): v for k, v in buckets.items()},
             },
             f,
@@ -105,14 +118,22 @@ def _write_manifest(
     os.replace(tmp, os.path.join(root, version + ".manifest"))
 
 
-def _read_manifest(root: str, version: str) -> tuple[dict, int, str]:
+def _read_manifest_meta(root: str, version: str) -> dict:
+    """Raw manifest dict with parsed bucket keys. Tolerates manifests
+    written before the schema/stream-identity fields existed —
+    ``schema``/``stream_id``/``last_batch_id`` come back None."""
     with open(os.path.join(root, version + ".manifest")) as f:
         m = json.load(f)
-    return (
-        {int(k): v for k, v in m["buckets"].items()},
-        m["n_buckets"],
-        m["schema"],
-    )
+    m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
+    m.setdefault("schema", None)
+    m.setdefault("stream_id", None)
+    m.setdefault("last_batch_id", None)
+    return m
+
+
+def _read_manifest(root: str, version: str) -> tuple[dict, int, str | None]:
+    m = _read_manifest_meta(root, version)
+    return m["buckets"], m["n_buckets"], m["schema"]
 
 
 def read_committed(spark: SparkSession, root: str) -> DataFrame:
@@ -124,11 +145,23 @@ def read_committed(spark: SparkSession, root: str) -> DataFrame:
         # is empty but SELF-DESCRIBING — the schema travels in the
         # manifest so this returns a typed empty frame instead of an
         # opaque no-paths parquet error (advisor r7)
+        if schema_json is None:
+            # pre-r8 manifest format (no schema field) AND no bucket
+            # dirs to infer from — nothing recoverable (advisor r8:
+            # fail with the migration story, not a KeyError)
+            raise ValueError(
+                f"merge-sink table at {root}: committed manifest has no "
+                "schema field (pre-schema format) and no bucket dirs to "
+                "infer one from; re-init the table or merge a batch to "
+                "re-materialize the schema"
+            )
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(schema_json))
         )
+    # schema_json may be None for pre-schema manifests — the parquet
+    # footers of the bucket dirs carry it (advisor r8 fallback)
     return spark.read.parquet(
         *[os.path.join(root, rel) for rel in buckets.values()]
     )
@@ -163,6 +196,16 @@ def init_table(
     _commit(root, "v0")
 
 
+def _drain(batch_df: DataFrame) -> None:
+    """Consume a skipped batch without writing anything: under
+    foreachBatch, Spark 4.x validates that every state-store partition
+    of the upstream stateful agg committed
+    (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise — found by
+    bench_upsert_sink_stream's fresh-checkpoint replay); the built-in
+    noop source drains all partitions."""
+    batch_df.write.format("noop").mode("overwrite").save()
+
+
 def merge_batch(
     spark: SparkSession,
     root: str,
@@ -170,31 +213,62 @@ def merge_batch(
     batch_id: int,
     key: str,
     update_cols: list[str],
+    stream_id: str | None = None,
 ) -> None:
     """Merge one micro-batch into the table — idempotent under replay.
 
     Reads only the committed bucket dirs the batch's keys hash into,
-    merges, writes new dirs for those buckets under v{batch_id+1}, and
-    copies untouched buckets' manifest entries forward. One Spark job
-    regardless of how many buckets are touched.
+    merges, writes new dirs for those buckets under the next version,
+    and copies untouched buckets' manifest entries forward. One Spark
+    job regardless of how many buckets are touched.
+
+    Replay detection (advisor r8): batch ids are only meaningful within
+    ONE stream's checkpoint scope, so with ``stream_id`` set (the
+    checkpoint location is the natural identity) the skip path fires
+    only when the committed manifest records the SAME stream and an
+    already-applied batch id — a NEW stream re-attached to an existing
+    table has its batches APPLIED (version numbers continue from the
+    committed version), never silently dropped. Without ``stream_id``
+    the pre-r9 monotone version guard applies (version = v{batch_id+1},
+    skip when the pointer is at/past it) — correct only when at most
+    one stream ever writes the table.
     """
-    version = f"v{batch_id + 1}"
-    if _version_num(_committed(root)) >= _version_num(version):
-        # replay of an already-committed batch (failure landed between
-        # pointer commit and checkpoint commit): the work is done; doing
-        # it again would read v{n} while overwriting v{n}. The guard is
-        # MONOTONE (>=, not ==): a batch replaying after a LATER version
-        # committed must never re-merge against the newer manifest and
-        # point the table backwards (advisor r7). The skipped batch must
-        # still be CONSUMED: under foreachBatch, Spark 4.x validates
-        # that every state-store partition of the upstream stateful agg
-        # committed (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise —
-        # found by bench_upsert_sink_stream's fresh-checkpoint replay);
-        # the built-in noop source drains all partitions without
-        # writing anything
-        batch_df.write.format("noop").mode("overwrite").save()
-        return
-    buckets, n_buckets, schema_json = _read_manifest(root, _committed(root))
+    committed = _committed(root)
+    if stream_id is not None:
+        meta = _read_manifest_meta(root, committed)
+        m_sid, m_last = meta["stream_id"], meta["last_batch_id"]
+        if m_sid == stream_id and m_last is not None and batch_id <= m_last:
+            # genuine replay: this stream already applied this batch
+            # (failure landed between pointer commit and checkpoint
+            # commit). Drain and return — re-merging would read the
+            # same dirs it overwrites.
+            _drain(batch_df)
+            return
+        if m_sid is None and _version_num(committed) > batch_id:
+            # legacy table (manifest predates stream identity) whose
+            # version outruns this stream's batch ids: cannot tell a
+            # replay from a new stream — refuse loudly instead of
+            # silently dropping either way (advisor r8)
+            raise ValueError(
+                f"merge-sink table at {root}: committed {committed} has "
+                f"no stream identity but outruns batch {batch_id} of "
+                f"stream {stream_id!r}; re-init the table or merge once "
+                "without stream_id to adopt it"
+            )
+        # new merges continue the version chain from the committed
+        # version, so a re-attached stream's v-numbers never collide
+        # with the previous stream's
+        version = f"v{max(_version_num(committed), batch_id) + 1}"
+    else:
+        version = f"v{batch_id + 1}"
+        if _version_num(committed) >= _version_num(version):
+            # replay of an already-committed batch. The guard is
+            # MONOTONE (>=, not ==): a batch replaying after a LATER
+            # version committed must never re-merge against the newer
+            # manifest and point the table backwards (advisor r7).
+            _drain(batch_df)
+            return
+    buckets, n_buckets, schema_json = _read_manifest(root, committed)
     batch_df = batch_df.withColumn(
         "_b", _bucket(key, n_buckets)
     ).localCheckpoint()
@@ -222,7 +296,14 @@ def merge_batch(
         )
         for b in touched:
             buckets[b] = f"{version}/_b={b}"
-    _write_manifest(root, version, buckets, n_buckets, schema_json)
+    if schema_json is None:
+        # pre-schema manifest: re-materialize the schema from this
+        # batch so the table becomes self-describing again (advisor r8)
+        schema_json = json.dumps(batch_df.drop("_b").schema.jsonValue())
+    _write_manifest(
+        root, version, buckets, n_buckets, schema_json,
+        stream_id=stream_id, last_batch_id=batch_id,
+    )
     _commit(root, version)
 
 
@@ -271,15 +352,18 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            merge_batch(
-                spark, root, batch_df, batch_id,
-                "user_id", ["n_events", "total_value"],
-            )
-
         with tempfile.TemporaryDirectory() as ckpt, _state_partitions(
             spark, auto_state_partitions(sf_dir)
         ):
+            # the checkpoint location IS the batch-id scope, so it is
+            # the stream identity the replay guard keys on (advisor r8)
+            def sink(batch_df: DataFrame, batch_id: int) -> None:
+                merge_batch(
+                    spark, root, batch_df, batch_id,
+                    "user_id", ["n_events", "total_value"],
+                    stream_id=ckpt,
+                )
+
             q = (
                 totals.writeStream.outputMode("update")
                 .foreachBatch(sink)
