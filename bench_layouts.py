@@ -1,24 +1,30 @@
 #!/usr/bin/env python
-"""Reproduce the round-8 co-located-layout A/Bs (SCALEBENCH rows
-`q02_revenue_by_nation_bucketed_layout` and
-`q121_boilerplate_ngrams_gram_layout`).
+"""Measure the catalog-gated storage layouts: plain shape vs layout
+shape per consumer, cold (first-query-after-provisioning) vs
+steady-state, with value parity asserted and a contemporaneous DuckDB
+oracle — the SCALEBENCH `*_layout` rows.
 
-Both layouts are the same warehouse decision — pay one bucketed write
-per table, amortized across every query that joins/groups on the bucket
-key — applied to the two residuals the plain shapes could not close:
+The layouts are the same warehouse decision — pay one bucketed write
+per table, amortized across every query that reads it — applied where
+the plain shapes could not close the gap:
 
-  q02   orders+lineitem bucketBy(orderkey): the one mandatory wide-join
-        input exchange (60 M rows at 100×) disappears; ShuffledHashJoin
-        runs straight off the bucketed scans.
-  q121  exploded (doc_id, xxhash64 5-gram) pairs bucketBy(_h): the
-        inverted-index layout — query-time gram construction AND the
-        wide window exchange both disappear.
+  q02    orders+lineitem bucketBy(orderkey): the one mandatory
+         wide-join input exchange (60 M rows at 100×) disappears;
+         ShuffledHashJoin runs straight off the bucketed scans.
+  grams  exploded (doc_id, xxhash64 5-gram) pairs bucketBy(_h): the
+         SHARED inverted index — r9 wires BOTH q121 (boilerplate) and
+         q119 (contamination) onto it, so ONE write amortizes across
+         two consumers here (and every future gram consumer).
+  q112   corpus LSH index (shingle sets + band buckets): per-run
+         signature work drops to Θ(|new batch|).
 
-Protocol per query: plain shape timed first (min-of-3, warm, table
-cache ON — same as the recorded SCALEBENCH rows), layout written
-(timed), layout shape timed, VALUE PARITY asserted between the two,
-contemporaneous DuckDB oracle timed on the same fixture. Results merge
-into SCALEBENCH.json under the *_layout keys.
+Protocol per consumer: plain shape timed (min-of-3, warm, table cache
+ON — same as the recorded SCALEBENCH rows), layout provisioned via
+layouts.ensure_layouts (timed — the one-time cost), FIRST layout-shape
+run timed separately (the cold row: what a user pays on query 1 after
+provisioning), then min-of-3 steady state, VALUE PARITY asserted
+against the plain rows, contemporaneous DuckDB oracle timed on the
+same fixture. Results merge into SCALEBENCH.json under *_layout keys.
 
 Usage: python bench_layouts.py [factor]   (default 100; the factor-x
 fixture must exist under /tmp/graft_scale{factor} — bench_scale.py
@@ -35,9 +41,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import dask_cuml_spark.queries  # noqa: F401 — populate registry
+import dask_cuml_spark.queries.pandas_udfs as P
 import dask_cuml_spark.queries.relational as rel
 import dask_cuml_spark.queries.text as T
 from dask_cuml_spark.io import enable_table_cache
+from dask_cuml_spark.layouts import ensure_layouts
 from dask_cuml_spark.registry import ORACLES, QUERIES
 from dask_cuml_spark.session import get_spark
 
@@ -51,6 +59,14 @@ def timed3(fn, label):
         best = min(best, time.perf_counter() - t0)
     print(f"{label}: {best:.3f} s", flush=True)
     return best, sorted(tuple(r) for r in rows)
+
+
+def timed_once(fn, label):
+    t0 = time.perf_counter()
+    rows = fn()
+    sec = time.perf_counter() - t0
+    print(f"{label}: {sec:.3f} s", flush=True)
+    return sec, sorted(tuple(r) for r in rows)
 
 
 def duck_timed(sf_dir, name, tables):
@@ -75,78 +91,97 @@ def duck_timed(sf_dir, name, tables):
     return best
 
 
+def drop_layout(spark, layout, sf):
+    tables = {
+        "q02": rel._q02_bucket_tables(sf),
+        "grams": (T._q121_gram_table(sf),),
+        "q112": P._q112_index_tables(sf),
+    }[layout]
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def bench_consumers(spark, sf, layout, consumers, out):
+    """One layout, N consumer queries: plain rows first, ONE provision,
+    then cold + steady rows per consumer (the amortization evidence —
+    write cost divides across consumers)."""
+    drop_layout(spark, layout, sf)
+    plain = {}
+    for name, tables, expect_branch in consumers:
+        plain[name] = timed3(
+            lambda n=name: QUERIES[n](spark, sf).collect(), f"{name} plain"
+        )
+    w = ensure_layouts(spark, sf, layouts=(layout,))[layout]
+    print(f"{layout} layout write: {w:.1f} s", flush=True)
+    for name, tables, expect_branch in consumers:
+        if expect_branch is not None:
+            branch = rel.q02_plan_branch(spark, sf)
+            assert branch in expect_branch, branch
+        else:
+            branch = f"{layout}-layout"
+        t_cold, rows_cold = timed_once(
+            lambda n=name: QUERIES[n](spark, sf).collect(), f"{name} cold"
+        )
+        t_lay, rows_lay = timed3(
+            lambda n=name: QUERIES[n](spark, sf).collect(), f"{name} {branch}"
+        )
+        t_plain, rows_plain = plain[name]
+        assert rows_plain == rows_lay == rows_cold, f"{name} VALUE MISMATCH"
+        d = duck_timed(sf, name, tables)
+        suffix = {"q02": "bucketed", "grams": "gram", "q112": "index"}[layout]
+        out[f"{name}_{suffix}_layout"] = {
+            "branch": branch,
+            "spark_sec": round(t_lay, 3),
+            "duckdb_sec": round(d, 3),
+            "ratio": round(t_lay / d, 2),
+            "plain_shape_contemporaneous_sec": round(t_plain, 3),
+            "cold_first_query_sec": round(t_cold, 3),
+            "layout_write_once_sec": round(w, 1),
+            "layout_consumers_here": len(consumers),
+        }
+    drop_layout(spark, layout, sf)
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     sf = f"/tmp/graft_scale{factor}"
     assert os.path.isdir(sf), f"{sf} missing — run bench_scale.py {factor}"
     spark = get_spark("bench-layouts")
     enable_table_cache(True)
     out = {}
 
-    # ---- q02: bucketed co-located layout
-    bo, bl = rel._q02_bucket_tables(sf)
-    spark.sql(f"DROP TABLE IF EXISTS {bo}")
-    spark.sql(f"DROP TABLE IF EXISTS {bl}")
-    t_plain, rows_plain = timed3(
-        lambda: QUERIES["q02_revenue_by_nation"](spark, sf).collect(),
-        "q02 plain",
-    )
-    w02 = rel.q02_bucketed_layout(spark, sf)
-    print(f"q02 layout write: {w02:.1f} s", flush=True)
-    # the gate composes the layout with whichever join shape the
-    # customer-size cap picks: 'bucketed' (bcast-cmap over bucketed
-    # scans) below the cap, 'bucketed-eager' (eager-agg over bucketed
-    # scans) above it — at 300x the latter, and the session must be
-    # SF-sized (SPARK_DRIVER_MEMORY=24g SPARK_GRAFT_SHUFFLE_PARTITIONS=128
-    # reproduces the recorded 300x row)
-    branch02 = rel.q02_plan_branch(spark, sf)
-    assert branch02 in ("bucketed", "bucketed-eager"), branch02
-    t_lay, rows_lay = timed3(
-        lambda: QUERIES["q02_revenue_by_nation"](spark, sf).collect(),
-        f"q02 {branch02}",
-    )
-    assert rows_plain == rows_lay, "q02 VALUE MISMATCH"
-    d02 = duck_timed(
-        sf, "q02_revenue_by_nation",
-        ["orders", "lineitem", "customer", "nation", "region"],
-    )
-    out["q02_revenue_by_nation_bucketed_layout"] = {
-        "branch": branch02,
-        "spark_sec": round(t_lay, 3),
-        "duckdb_sec": round(d02, 3),
-        "ratio": round(t_lay / d02, 2),
-        "plain_shape_contemporaneous_sec": round(t_plain, 3),
-        "layout_write_once_sec": round(w02, 1),
-        "n_buckets": rel._Q02_BUCKETS,
+    legs = {
+        # q02: bucketed co-located layout; branch comes from the
+        # customer-size gate ('bucketed' below the cap, 'bucketed-eager'
+        # above — at 300x the latter; SF-size the session:
+        # SPARK_DRIVER_MEMORY=24g SPARK_GRAFT_SHUFFLE_PARTITIONS=128)
+        "q02": (
+            "q02",
+            [(
+                "q02_revenue_by_nation",
+                ["orders", "lineitem", "customer", "nation", "region"],
+                ("bucketed", "bucketed-eager"),
+            )],
+        ),
+        # shared gram layout: ONE write, TWO consumers (r9 task 3)
+        "grams": (
+            "grams",
+            [
+                ("q121_boilerplate_ngrams", ["documents"], None),
+                ("q119_contamination_check", ["documents"], None),
+            ],
+        ),
+        # q112 stored corpus LSH index
+        "q112": (
+            "q112",
+            [("q112_incremental_dedup", ["documents"], None)],
+        ),
     }
-    spark.sql(f"DROP TABLE IF EXISTS {bo}")
-    spark.sql(f"DROP TABLE IF EXISTS {bl}")
-
-    # ---- q121: inverted-index gram layout
-    tbl = T._q121_gram_table(sf)
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    t_plain, rows_plain = timed3(
-        lambda: QUERIES["q121_boilerplate_ngrams"](spark, sf).collect(),
-        "q121 plain",
-    )
-    w121 = T.q121_gram_layout(spark, sf)
-    print(f"q121 layout write: {w121:.1f} s", flush=True)
-    t_lay, rows_lay = timed3(
-        lambda: QUERIES["q121_boilerplate_ngrams"](spark, sf).collect(),
-        "q121 gram-layout",
-    )
-    assert rows_plain == rows_lay, "q121 VALUE MISMATCH"
-    d121 = duck_timed(sf, "q121_boilerplate_ngrams", ["documents"])
-    out["q121_boilerplate_ngrams_gram_layout"] = {
-        "branch": "gram-layout",
-        "spark_sec": round(t_lay, 3),
-        "duckdb_sec": round(d121, 3),
-        "ratio": round(t_lay / d121, 2),
-        "plain_shape_contemporaneous_sec": round(t_plain, 3),
-        "layout_write_once_sec": round(w121, 1),
-        "n_buckets": T._Q121_BUCKETS,
-    }
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    for key, (layout, consumers) in legs.items():
+        if only and key not in only:
+            continue
+        bench_consumers(spark, sf, layout, consumers, out)
 
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SCALEBENCH.json"

@@ -426,6 +426,8 @@ def minhash_incremental(
     num_hashes: int = 36,
     bands: int = 12,
     threshold: float = 0.6,
+    corpus_bands: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: flag NEW documents that near-duplicate the
     existing corpus or an earlier (lower-id) new document — the shape a
@@ -443,35 +445,68 @@ def minhash_incremental(
 
     Returns (id_a, id_b, jaccard): id_b is the flagged NEW doc, id_a the
     earlier doc it duplicates (corpus or new), exact-verified.
+
+    ``corpus_bands`` / ``corpus_shingles`` (pass both or neither) are
+    the STORED index path (r9, the q112 layout): the corpus's
+    (id, band, band_hash) bucket frame and (id, shingles) sets come
+    from precomputed tables — per-run signature work is Θ(|new|) only,
+    the posture the docstring above promises. Value-identical to the
+    derive-in-query path: the stored frames are written by the same
+    shingle/sign/band functions, signatures are deterministic, and
+    shingle-set ARRAY order (collect_set) never matters downstream
+    (signing explodes, verify intersects).
     """
+    assert (corpus_bands is None) == (corpus_shingles is None), (
+        "pass corpus_bands and corpus_shingles together"
+    )
     rows_per_band = num_hashes // bands
     from dask_cuml_spark.plans.cost import persist_for_reuse
 
-    sh_c = hashed_shingles(
-        corpus.select(id_col, text_col), text_col, n
-    ).select(id_col, "shingles")
     sh_n = hashed_shingles(
         new.select(id_col, text_col), text_col, n
     ).select(id_col, "shingles")
-    sh_all = persist_for_reuse(sh_c.unionByName(sh_n))
-    # ONE signature pass (the explode+36-min aggregate is the heavy
-    # stage); the new-side bucket frame is the same banded frame
-    # restricted to new ids — signing the union twice cost 2.1 s vs
-    # 1.2 s at sf0.1. In production bands_all is the STORED index and
-    # only the new batch is signed per run.
-    bands_all = persist_for_reuse(
-        band_buckets(
+    if corpus_bands is not None:
+        # stored-index path: sign ONLY the new batch; the corpus index
+        # is a table scan (no re-shingle, no re-sign). sh_n feeds two
+        # consumers here (signing + verify) → reuse-persisted
+        sh_n = persist_for_reuse(sh_n)
+        bands_new = band_buckets(
             minhash_signatures(
-                sh_all, id_col, "shingles", num_hashes, pre_hashed=True
+                sh_n, id_col, "shingles", num_hashes, pre_hashed=True
             ),
             id_col,
             bands,
             rows_per_band,
         )
-    )
-    bands_new = bands_all.join(
-        new.select(id_col), id_col, "leftsemi"
-    )
+        bands_all = corpus_bands.select(
+            id_col, "band", "band_hash"
+        ).unionByName(bands_new)
+        sh_all = corpus_shingles.select(id_col, "shingles").unionByName(
+            sh_n
+        )
+    else:
+        sh_c = hashed_shingles(
+            corpus.select(id_col, text_col), text_col, n
+        ).select(id_col, "shingles")
+        sh_all = persist_for_reuse(sh_c.unionByName(sh_n))
+        # ONE signature pass (the explode+36-min aggregate is the heavy
+        # stage); the new-side bucket frame is the same banded frame
+        # restricted to new ids — signing the union twice cost 2.1 s vs
+        # 1.2 s at sf0.1. In production bands_all is the STORED index
+        # and only the new batch is signed per run (the branch above).
+        bands_all = persist_for_reuse(
+            band_buckets(
+                minhash_signatures(
+                    sh_all, id_col, "shingles", num_hashes, pre_hashed=True
+                ),
+                id_col,
+                bands,
+                rows_per_band,
+            )
+        )
+        bands_new = bands_all.join(
+            new.select(id_col), id_col, "leftsemi"
+        )
     a = bands_all.alias("a")
     b = bands_new.alias("b")
     cands = (

@@ -27,6 +27,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql.column import Column
 
 
+def layout_tag(sf_dir: str, *source_files: str) -> str:
+    """Collision-free catalog identity for a layout derived from
+    ``sf_dir``: a short sha1 over the ABSOLUTE fixture path plus each
+    source file's content fingerprint (file count, total bytes, newest
+    mtime_ns — works for single parquet files and Spark-written dirs).
+
+    Two properties the advisor-r8 finding requires: (a) distinct
+    fixture dirs can never collide onto one table name (the old
+    regex-sanitized path mapped /tmp/a.b and /tmp/a_b to the same tag);
+    (b) rewriting a source parquet changes the tag, so a layout built
+    from the OLD data simply stops matching — consumers fall back to
+    the plain branch instead of silently serving stale buckets. Stale
+    tables are garbage-collected by drop_stale_layouts."""
+    import hashlib
+    import os
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode())
+    for name in source_files:
+        p = os.path.join(sf_dir, name)
+        if os.path.isfile(p):
+            st = os.stat(p)
+            fp = (1, st.st_size, st.st_mtime_ns)
+        else:
+            n = total = mt = 0
+            for dirpath, _dirs, files in os.walk(p):
+                for fn in files:
+                    s = os.stat(os.path.join(dirpath, fn))
+                    n, total, mt = n + 1, total + s.st_size, max(
+                        mt, s.st_mtime_ns
+                    )
+            fp = (n, total, mt)
+        h.update(f"|{name}:{fp[0]}:{fp[1]}:{fp[2]}".encode())
+    return h.hexdigest()[:12]
+
+
+def drop_stale_layouts(spark, prefix: str, keep_tag: str) -> list[str]:
+    """Drop catalog tables named ``{prefix}_{tag}`` whose tag is not
+    ``keep_tag`` — layouts built from a source parquet that has since
+    been rewritten (their fingerprint tag no longer matches, so no
+    query will ever read them again)."""
+    dropped = []
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and not t.name.endswith(keep_tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            dropped.append(t.name)
+    return dropped
+
+
 def cluster_write(
     df: DataFrame,
     path: str,

@@ -611,6 +611,85 @@ def q83_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q112 stored corpus index (r9, the layout the q112 docstring always
+# promised): the corpus side's (doc_id, band, band_hash) bucket frame
+# and (doc_id, shingles) sets precomputed ONCE and saved as bucketed
+# tables — per-run signature work drops to Θ(|new batch|). Same
+# catalog-gated mechanism as q02/q121: fingerprinted table identity
+# (operators/layout.layout_tag — never collides across fixtures, never
+# serves stale data), fresh driver sessions never have it so the
+# oracle path is untouched. The index params (n, num_hashes, bands)
+# are part of the table name: an index built under different LSH
+# params must never be silently served.
+# ---------------------------------------------------------------------------
+_Q112_PARAMS = dict(n=3, num_hashes=36, bands=12, threshold=0.5)
+_Q112_BUCKETS = 16
+
+
+def _q112_index_tables(sf_dir: str) -> tuple[str, str]:
+    from dask_cuml_spark.operators.layout import layout_tag
+
+    tag = layout_tag(sf_dir, "documents.parquet")
+    p = _Q112_PARAMS
+    stem = f"q112_{p['n']}_{p['num_hashes']}_{p['bands']}"
+    return f"dcs_{stem}_bands_{tag}", f"dcs_{stem}_shingles_{tag}"
+
+
+def q112_index_layout(
+    spark: SparkSession, sf_dir: str, n_buckets: int = _Q112_BUCKETS
+) -> float:
+    """One-time corpus LSH index for q112: shingle sets bucketed by
+    doc_id, band buckets bucketed by band_hash (the probe join key).
+    Returns wall seconds spent writing — amortized across every daily
+    batch that probes the corpus."""
+    import time as _time
+
+    from dask_cuml_spark.operators.dedup import (
+        band_buckets,
+        hashed_shingles,
+        minhash_signatures,
+    )
+
+    t0 = _time.perf_counter()
+    bt, st = _q112_index_tables(sf_dir)
+    p = _Q112_PARAMS
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    sh = hashed_shingles(corpus, "text", p["n"]).select(
+        "doc_id", "shingles"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    (
+        sh.repartition(n_buckets, F.col("doc_id"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(st)
+    )
+    bands = band_buckets(
+        minhash_signatures(
+            spark.table(st), "doc_id", "shingles",
+            p["num_hashes"], pre_hashed=True,
+        ),
+        "doc_id",
+        p["bands"],
+        p["num_hashes"] // p["bands"],
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {bt}")
+    (
+        bands.repartition(n_buckets, F.col("band_hash"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .saveAsTable(bt)
+    )
+    return _time.perf_counter() - t0
+
+
+# ---------------------------------------------------------------------------
 # q112 — incremental near-dup (D2, the daily-ingest shape): documents with
 # even ids play the existing corpus, odd ids the new batch; flag each new
 # doc that near-duplicates ANY earlier (lower-id) doc. The candidate join
@@ -655,9 +734,18 @@ def q112_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
-    out = minhash_incremental(
-        corpus, new, n=3, num_hashes=36, bands=12, threshold=0.5
-    )
+    # stored corpus index when provisioned (q112_index_layout /
+    # layouts.ensure_layouts): only the new batch is shingled+signed
+    # per run — value-identical, catalog-gated, absent in fresh
+    # sessions so the oracle path is unchanged
+    bt, st = _q112_index_tables(sf_dir)
+    stored = {}
+    if spark.catalog.tableExists(bt) and spark.catalog.tableExists(st):
+        stored = dict(
+            corpus_bands=spark.table(bt),
+            corpus_shingles=spark.table(st),
+        )
+    out = minhash_incremental(corpus, new, **_Q112_PARAMS, **stored)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

@@ -121,9 +121,14 @@ _Q02_BUCKETS = 32
 
 
 def _q02_bucket_tables(sf_dir: str) -> tuple[str, str]:
-    import re
+    # fingerprinted identity (advisor r8): the tag hashes the absolute
+    # fixture path AND the source parquets' (count, bytes, mtime)
+    # fingerprints, so distinct fixtures never collide onto one table
+    # and a layout built from since-rewritten parquet silently stops
+    # matching — q02 falls back to the plain branch, never stale data
+    from dask_cuml_spark.operators.layout import layout_tag
 
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    tag = layout_tag(sf_dir, "orders.parquet", "lineitem.parquet")
     return f"dcs_q02_orders_{tag}", f"dcs_q02_lineitem_{tag}"
 
 

@@ -1148,56 +1148,59 @@ def q114_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q119 — benchmark-contamination detection (the GPT-3/PaLM decontamination
 # pattern, public method: flag training documents sharing word n-grams
 # with an evaluation set). The eval set here is the deterministic
-# doc_id % 97 slice (stand-in for a benchmark corpus); n=4 because the
-# fixture's documents are short random-word texts (10-99 words) where
-# the real-world n=8..13 yields zero overlap — the PLAN is length-
-# agnostic. Candidate grams are xxhash64 longs (operators/dedup.
-# hashed_shingles — 8-byte join keys at any scale; equality-of-hash ≡
-# equality-of-string at the repo's accepted 2^-64 collision class, and
-# the DuckDB oracle recomputes the overlap on the STRINGS, so the hash
-# shortcut is re-proven against string truth on every driver run). At
-# 100 TB the eval side is benchmark-sized → broadcast; the training side
-# streams through one explode + one partial-agg'd join, no n² anywhere.
+# doc_id % 97 slice (stand-in for a benchmark corpus); the gram width
+# is the SHARED _Q121_N = 5 (r9: q119 and q121 now read the same
+# inverted-index gram representation — one construction, one layout;
+# the fixture's documents are short random-word texts, so any small n
+# exercises the plan, and the real-world n=8..13 swap is a parameter).
+# Candidate grams are xxhash64 longs of the token-array slices
+# (_q121_hashed_grams — 8-byte join keys at any scale; equality-of-hash
+# ≡ equality-of-string at the repo's accepted 2^-64 collision class,
+# and the DuckDB oracle recomputes the overlap on the STRINGS, so the
+# hash shortcut is re-proven against string truth on every driver run).
+# When the q121 gram layout exists (catalog-gated, q121_gram_layout),
+# the exploded pass is a bucketed table scan — construction vanishes
+# and the only exchange left is the doc_id aggregate (the eval side
+# broadcasts). At 100 TB the eval side is benchmark-sized → broadcast;
+# the training side streams through one scan + one partial-agg'd join,
+# no n² anywhere.
 # ---------------------------------------------------------------------------
 @register(
     "q119_contamination_check",
     oracle="""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), grams AS (
-  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
-  FROM w, UNNEST(generate_series(1, len(w)-3)) AS t(i)
-  WHERE len(w) >= 4
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(
+           range(1, GREATEST(len(toks) - 4, 1) + 1),
+           i -> array_to_string(toks[i:i+4], ' '))) AS gram
+  FROM tok
 ), eval_grams AS (
-  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
 )
-SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_shared
-FROM grams g JOIN eval_grams e ON g.g = e.g
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM g JOIN eval_grams e ON g.gram = e.gram
 WHERE g.doc_id % 97 <> 0
 GROUP BY g.doc_id
 ORDER BY g.doc_id
 """,
 )
 def q119_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dask_cuml_spark.operators.dedup import hashed_shingles
-
-    d = load_table(spark, sf_dir, "documents")
-    # ≥4-word filter mirrors the oracle AND sidesteps hashed_shingles'
-    # short-doc whole-text rule (docs below n words contribute one
-    # whole-text shingle there; the oracle's generate_series emits none)
-    d4 = d.filter(
-        F.array_size(F.split(F.col("text"), " ")) >= 4
-    ).select("doc_id", "text")
-    grams = hashed_shingles(d4, "text", n=4).select(
-        "doc_id", F.explode("shingles").alias("g")
-    )
-    eval_g = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    # the SAME gram frame q121 consumes: distinct-per-doc hashed
+    # 5-gram pairs, from the bucketed layout when provisioned
+    tbl = _q121_gram_table(sf_dir)
+    if spark.catalog.tableExists(tbl):
+        grams = spark.table(tbl)
+    else:
+        grams = _q121_hashed_grams(spark, sf_dir)
+    eval_g = grams.filter(F.col("doc_id") % 97 == 0).select("_h").distinct()
     return (
         grams.filter(F.col("doc_id") % 97 != 0)
-        .join(eval_g, "g")
+        .join(eval_g, "_h")
         .groupBy("doc_id")
-        # shingle SETS are distinct per doc (collect_set), so a plain
-        # count is COUNT(DISTINCT shared grams)
+        # grams are DISTINCT per doc (array_distinct before the
+        # explode), so a plain count is COUNT(DISTINCT shared grams)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("doc_id")
     )
@@ -1257,11 +1260,15 @@ def _q121_hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q121_gram_table(sf_dir: str) -> str:
-    import re
+    # fingerprinted identity (advisor r8, same scheme as
+    # _q02_bucket_tables): absolute-path + source-fingerprint hash, so
+    # fixtures never collide and a layout over rewritten documents
+    # stops matching instead of serving stale grams. The gram width is
+    # also part of the identity: a layout built under a different
+    # _Q121_N must never be silently served.
+    from dask_cuml_spark.operators.layout import layout_tag
 
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-    # the gram width is part of the identity: a layout built under a
-    # different _Q121_N must never be silently served
+    tag = layout_tag(sf_dir, "documents.parquet")
     return f"dcs_q121_grams{_Q121_N}_{tag}"
 
 

@@ -323,7 +323,8 @@ def test_ivf_sqrt_cells_resolves_and_stays_exact(spark):
 
     emb = load_table(spark, SF, "embeddings")  # 500 rows → 22 cells
     idx = IVFIndex(n_cells="sqrt", kmeans_iters=2).fit(emb)
-    assert idx.n_cells == round(500**0.5) == 22
+    assert idx.n_cells == "sqrt"  # the SPEC is never mutated (advisor r8)
+    assert idx.n_cells_ == round(500**0.5) == 22
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -334,8 +335,12 @@ def test_ivf_sqrt_cells_resolves_and_stays_exact(spark):
     exact_set = set(
         zip(*[exact.toPandas()[col] for col in ("query_id", "neighbor_id")])
     )
-    full = idx.search(q, k=5, nprobe=idx.n_cells).toPandas()
+    full = idx.search(q, k=5, nprobe=idx.n_cells_).toPandas()
     assert set(zip(full.query_id, full.neighbor_id)) == exact_set
+    # advisor r8: REFITTING the same instance on a different-sized
+    # dataset must re-derive √n, not reuse the first resolution
+    idx.fit(emb.filter(F.col("vec_id") < 100))
+    assert idx.n_cells_ == round(100**0.5) == 10
 
 
 def test_adjusted_rand_score_known_values(spark):
@@ -941,6 +946,91 @@ def test_q02_bucketed_layout_branch(spark, monkeypatch):
     assert rel.q02_plan_branch(spark, SF) != "bucketed"
 
 
+def test_q119_gram_layout_branch(spark):
+    """r9 (verdict task 3): q119 reads the SAME inverted-index gram
+    layout q121 reads — with it registered, the contamination check is
+    a bucketed scan + broadcast semi-overlap + one doc_id aggregate,
+    value-identical to the construction branch."""
+    import dask_cuml_spark.queries.text as T
+
+    plain = {
+        tuple(r) for r in T.q119_contamination_check(spark, SF).collect()
+    }
+    T.q121_gram_layout(spark, SF, n_buckets=4)
+    try:
+        d = T.q119_contamination_check(spark, SF)
+        got = {tuple(r) for r in d.collect()}
+        assert got == plain and len(got) > 0
+        fin = (
+            d._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in fin, fin[:2000]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {T._q121_gram_table(SF)}")
+
+
+def test_q112_stored_index_branch(spark):
+    """r9 (verdict task 3): with the corpus LSH index provisioned
+    (q112_index_layout), q112 signs ONLY the new batch and probes the
+    stored band/shingle tables — value-identical to the
+    derive-in-query branch (signatures are deterministic; shingle-set
+    array order never matters downstream)."""
+    import dask_cuml_spark.queries.pandas_udfs as P
+
+    plain = {
+        tuple(r) for r in P.q112_incremental_dedup(spark, SF).collect()
+    }
+    P.q112_index_layout(spark, SF, n_buckets=4)
+    bt, st = P._q112_index_tables(SF)
+    try:
+        got = {
+            tuple(r) for r in P.q112_incremental_dedup(spark, SF).collect()
+        }
+        assert got == plain and len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bt}")
+        spark.sql(f"DROP TABLE IF EXISTS {st}")
+
+
+def test_ensure_layouts_idempotent_and_stale_gc(spark, tmp_path):
+    """r9 (verdict task 5): ensure_layouts provisions each layout once
+    (second call reports 0.0 s — already present under the current
+    source fingerprint), and a layout whose source parquet was
+    REWRITTEN stops matching (fingerprint tag changes) — the stale
+    table is dropped and the layout rebuilt, never silently served."""
+    import os
+    import shutil
+
+    import dask_cuml_spark.queries.text as T
+    from dask_cuml_spark.layouts import ensure_layouts
+
+    # private fixture copy: the GC leg rewrites documents.parquet
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("documents",):
+        shutil.copy(f"{SF}/{t}.parquet", f"{sf}/{t}.parquet")
+
+    first = ensure_layouts(spark, sf, layouts=("grams",))
+    assert first["grams"] > 0.0
+    tbl1 = T._q121_gram_table(sf)
+    assert spark.catalog.tableExists(tbl1)
+    again = ensure_layouts(spark, sf, layouts=("grams",))
+    assert again["grams"] == 0.0  # idempotent: no rewrite
+
+    # rewrite the source → tag changes → old layout is stale
+    shutil.copy(f"{SF}/documents.parquet", f"{sf}/documents.parquet")
+    os.utime(f"{sf}/documents.parquet")
+    tbl2 = T._q121_gram_table(sf)
+    assert tbl2 != tbl1  # fingerprint moved
+    assert not spark.catalog.tableExists(tbl2)  # consumers: plain branch
+    rebuilt = ensure_layouts(spark, sf, layouts=("grams",))
+    assert rebuilt["grams"] > 0.0
+    assert spark.catalog.tableExists(tbl2)
+    assert not spark.catalog.tableExists(tbl1)  # stale GC'd
+    spark.sql(f"DROP TABLE IF EXISTS {tbl2}")
+
+
 # ---------------------------------------------------------------------------
 # langid operators (round 5): sampled-profile determinism + classify
 # contract (operators/langid.py).
@@ -1452,6 +1542,125 @@ def test_merge_batch_bucket_locality_and_replay_noop(spark, tmp_path):
     )
     assert _committed(root) == "v2"  # pointer did NOT move backwards
     assert {r.k: r.v for r in read_committed(spark, root).collect()} == expect
+
+
+def test_merge_batch_stream_identity_reattach_applies(spark, tmp_path):
+    """Advisor r8 (medium): with stream_id set, the replay skip fires
+    only for the SAME stream's already-applied batch ids. A NEW stream
+    re-attached to an existing table (fresh checkpoint → batch ids
+    restart at 0 while the committed version is far ahead) must have
+    its batches APPLIED — version numbers continue from the committed
+    version — never silently drained."""
+    import os
+
+    from dask_cuml_spark.streaming.upsert_sink import (
+        _committed,
+        init_table,
+        merge_batch,
+        read_committed,
+        version_bytes,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    init_table(
+        spark,
+        root,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        "k",
+    )
+    # stream A applies batches 0 and 1
+    a0 = spark.createDataFrame([(1, 11)], "k long, v long")
+    a1 = spark.createDataFrame([(3, 30)], "k long, v long")
+    merge_batch(spark, root, a0, 0, "k", ["v"], stream_id="ckptA")
+    merge_batch(spark, root, a1, 1, "k", ["v"], stream_id="ckptA")
+    assert _committed(root) == "v2"
+    expect = {1: 11, 2: 20, 3: 30}
+    assert {r.k: r.v for r in read_committed(spark, root).collect()} == expect
+
+    # same-stream replay of batch 1: no-op (pointer and bytes unchanged)
+    before = version_bytes(root, "v2")
+    merge_batch(spark, root, a1, 1, "k", ["v"], stream_id="ckptA")
+    assert _committed(root) == "v2"
+    assert version_bytes(root, "v2") == before
+
+    # NEW stream B re-attaches with batch ids restarting at 0: its data
+    # must land (this was the silent-drop hazard), versioned past v2
+    b0 = spark.createDataFrame([(2, 22), (4, 40)], "k long, v long")
+    merge_batch(spark, root, b0, 0, "k", ["v"], stream_id="ckptB")
+    assert _committed(root) == "v3"
+    expect = {1: 11, 2: 22, 3: 30, 4: 40}
+    assert {r.k: r.v for r in read_committed(spark, root).collect()} == expect
+
+    # and stream B's OWN replays no-op
+    merge_batch(spark, root, b0, 0, "k", ["v"], stream_id="ckptB")
+    assert _committed(root) == "v3"
+    assert {r.k: r.v for r in read_committed(spark, root).collect()} == expect
+
+
+def test_merge_batch_pre_schema_manifest_compat(spark, tmp_path):
+    """Advisor r8 (low): manifests written before the schema /
+    stream-identity fields existed must still read (schema inferred
+    from the bucket parquet footers) and merge (schema re-materialized
+    into the next manifest); an identity-bearing merge whose batch id
+    the legacy version chain outruns must fail LOUDLY — the table
+    cannot distinguish a replay from a new stream."""
+    import json
+    import os
+
+    import pytest
+
+    from dask_cuml_spark.streaming.upsert_sink import (
+        _committed,
+        _read_manifest_meta,
+        init_table,
+        merge_batch,
+        read_committed,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    init_table(
+        spark,
+        root,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        "k",
+    )
+    merge_batch(
+        spark,
+        root,
+        spark.createDataFrame([(3, 30)], "k long, v long"),
+        0,
+        "k",
+        ["v"],
+    )
+    # strip the post-r8 fields from the committed manifest in place —
+    # exactly what a pre-schema table on disk looks like
+    mpath = os.path.join(root, _committed(root) + ".manifest")
+    with open(mpath) as f:
+        m = json.load(f)
+    for key in ("schema", "stream_id", "last_batch_id"):
+        m.pop(key, None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    # read path: schema comes from the bucket parquet footers
+    got = {r.k: r.v for r in read_committed(spark, root).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+
+    # identity-bearing merge with an outrun batch id: ambiguous on a
+    # legacy table → loud failure, not a silent drain (committed v1
+    # outruns batch 0)
+    b = spark.createDataFrame([(4, 40)], "k long, v long")
+    with pytest.raises(ValueError, match="no stream identity"):
+        merge_batch(spark, root, b, 0, "k", ["v"], stream_id="ckptNew")
+
+    # legacy-style merge still works and re-materializes the schema
+    merge_batch(spark, root, b, 1, "k", ["v"])
+    meta = _read_manifest_meta(root, _committed(root))
+    assert meta["schema"] is not None
+    got = {r.k: r.v for r in read_committed(spark, root).collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: 40}
 
 
 def test_merge_sink_empty_seed_reads_typed_empty(spark, tmp_path):
