@@ -32,82 +32,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-8 window, in order
-# (WINDOW_r08.md has the per-query evidence trail):
-#   1. the 27 queries whose latest driver row is r5 — the r7 verdict's
-#      task 1 (hard obligation: driver evidence must not age past r5);
-#      all judge-green every session via tests/test_oracle_parity.py;
-#   2. the queries whose CODE changed in round 8: q02 (new 'bucketed'
-#      co-located-layout branch — catalog-gated, absent in the driver's
-#      fresh session so the oracle path is untouched, but changed code
-#      re-enters the gate), q77/q120 (dbscan: advisor r7 hardening +
-#      partition-local union-find CC pre-contraction — labels must stay
-#      bit-identical), q116 (sink: monotone replay guard + schema-in-
-#      manifest), the IVFIndex consumers q47/q115/q118 (n_cells=
-#      'sqrt' option; int-config path unchanged), q121 (catalog-
-#      gated gram-layout branch — absent in fresh sessions, measured
-#      0.77x vs DuckDB at 100x with the layout), and the two NEW
-#      round-8 queries q123 (vocab-coverage sizing) and q124
-#      (embedding-outlier curation) — zero driver evidence yet, so
-#      they outrank the r6 refreshes;
-#   3. oldest r6-evidence queries, lowest number first, filling to 50.
-# Entries past position 50 are r6/r7-green and code-unchanged.
+# re-enters the hard gate (advisor r2). Round-9 window, in order
+# (WINDOW_r09.md has the per-query evidence trail):
+#   1. the NEW round-9 query q125 (semantic-dedup auto-k production
+#      posture, invariant oracle — zero driver evidence yet) and the
+#      queries whose CODE changed in round 9: q112/q119 (now read the
+#      shared stored layouts when provisioned — q119 additionally moved
+#      to the shared 5-gram width; catalog-gated, absent in the
+#      driver's fresh session so the oracle path runs plain), q02/q121
+#      (fingerprinted layout-table identity, advisor r8), q116 (sink:
+#      stream-identity replay guard + pre-schema manifest fallback,
+#      advisor r8), the IVFIndex consumers q47/q115/q118 (resolved
+#      n_cells_ field, advisor r8), q124 (outlier flag computed on the
+#      6-dp-rounded distance both engines round, advisor r8);
+#   2. the 25 queries whose latest driver row is r6 — the r8 verdict's
+#      task 1 (q112/q119 are in that set and already enter via (1));
+#   3. oldest r7-evidence queries, lowest number first, filling to 50.
+# Entries past position 50 are r7/r8-green and code-unchanged.
 _PRIORITY = [
-    # -- (1) last driver row is r5 (r7 verdict task 1)
-    "q12_quantiles_histogram",
-    "q30_top_terms",
-    "q33_lang_source_slice",
-    "q34_text_quality",
-    "q36_naive_bayes_fit",
-    "q37_label_encode",
-    "q38_fingerprint",
-    "q39_count_vectorizer",
-    "q40_knn_bruteforce",
-    "q43_cosine_topk",
-    "q44_multimodal_join",
-    "q46_knn_classify",
-    "q50_feature_stats",
-    "q51_ols_fit",
-    "q59_ols_predict",
-    "q70_stream_sessionization",
-    "q71_stream_hourly_counts",
-    "q79_stream_stateful_totals",
-    "q90_regexp_ops",
-    "q91_python_udtf",
-    "q93_stream_stream_join",
-    "q95_random_forest",
-    "q97_make_blobs",
-    "q103_simhash_near_dup",
-    "q110_gopher_rules",
-    "q111_clustered_layout",
-    "q113_bpe_token_accounting",
-    # -- (2) code changed in round 8 (re-enters the hard gate)
+    # -- (1) new in round 9 + code changed in round 9
+    "q125_semantic_dedup_auto",
+    "q112_incremental_dedup",
+    "q119_contamination_check",
     "q02_revenue_by_nation",
-    "q77_dbscan",
-    "q120_dbscan_blocked",
+    "q121_boilerplate_ngrams",
     "q116_stream_upsert_sink",
     "q47_ivf_search_full_probe",
     "q115_ivf_partial_probe",
     "q118_knn_graph",
-    "q121_boilerplate_ngrams",
-    "q123_vocab_coverage",
     "q124_embedding_outliers",
-    # -- (3) oldest r6-evidence, lowest number first, filling to 50
-    "q01_pricing_summary",
-    "q05_string_ops",
-    "q13_semi_anti_join",
-    "q14_range_join_bands",
-    "q15_global_topk",
-    "q16_project_cast_case",
-    "q17_rolling_avg",
-    "q18_lag_lead",
-    "q20_sessionization",
-    "q21_funnel",
-    "q22_json_extract",
-    "q23_retention",
-    "q24_event_value_stats",
-    # -- positions 51+: r6/r7-green code-unchanged (remaining r6 set
-    # first — first in line for r9 — then the r7-green block)
+    # -- (2) last driver row is r6 (r8 verdict task 1)
     "q31_tfidf_top_term",
     "q35_jaccard_near_dup",
     "q52_ridge_fit",
@@ -130,9 +84,52 @@ _PRIORITY = [
     "q106_salted_skew_join",
     "q107_approx_aggregates",
     "q109_stratified_sample",
-    "q112_incremental_dedup",
     "q117_stream_static_enrichment",
-    "q119_contamination_check",
+    # -- (3) oldest r7-evidence, lowest number first, filling to 50
+    "q03_top_orders_per_customer",
+    "q04_segment_stats",
+    "q06_orders_by_month",
+    "q07_fillna_left_join",
+    "q08_value_counts",
+    "q09_drop_duplicates",
+    "q10_set_ops",
+    "q11_rollup",
+    "q25_hourly_windows",
+    "q32_exact_dedup",
+    "q41_centroid_assignment",
+    "q42_lloyd_iteration",
+    "q45_cosine_near_dup",
+    "q48_kmeans_transform",
+    "q56_confusion_matrix",
+    "q57_metrics",
+    "q58_gram_matrix",
+    # -- positions 51+: r7/r8-green code-unchanged (remaining r7 set
+    # first — first in line for r10 — then the r8-green block)
+    "q60_asof_join",
+    "q61_cube",
+    "q62_partitioned_write",
+    "q63_multiformat_roundtrip",
+    "q64_map_functions",
+    "q66_language_id",
+    "q67_token_count",
+    "q68_knn_regressor",
+    "q72_map_partitions",
+    "q73_grouped_normalize",
+    "q74_grouped_agg_udf",
+    "q75_pivot",
+    "q76_kmeans_fit",
+    "q80_range_window",
+    "q81_one_hot",
+    "q84_merge_upsert",
+    "q85_grouping_sets",
+    "q86_profile_table",
+    "q88_group_quantiles",
+    "q89_unpivot_melt",
+    "q92_interval_join",
+    "q99_kmeans_parallel_fit",
+    "q108_semantic_dedup",
+    "q114_ngram_language_id",
+    "q122_token_budget_mixture",
 ]
 
 
