@@ -147,6 +147,20 @@ def main() -> None:
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     sf = f"/tmp/graft_scale{factor}"
     assert os.path.isdir(sf), f"{sf} missing — run bench_scale.py {factor}"
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ and factor >= 300:
+        # big factors size partitions to the data via the rule, not a
+        # hand knob (r9: the 300× row's 128 was found by trial; the
+        # rule reproduces it from the fixture's byte size)
+        from dask_cuml_spark.plans.cost import suggest_shuffle_partitions
+
+        facts = [
+            f"{sf}/{t}.parquet"
+            for t in ("orders", "lineitem", "customer")
+            if os.path.exists(f"{sf}/{t}.parquet")
+        ]
+        parts = suggest_shuffle_partitions(*facts)
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(parts)
+        print(f"shuffle partitions (rule): {parts}", flush=True)
     spark = get_spark("bench-layouts")
     enable_table_cache(True)
     out = {}
