@@ -420,6 +420,19 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ and factor >= 300:
+        # size partitions to the data via the rule, not a hand knob
+        # (r9; the 300× q02 AGGREGATE_OUT_OF_MEMORY lesson)
+        from dask_cuml_spark.plans.cost import suggest_shuffle_partitions
+
+        paths = [
+            f"{dst}/{t}.parquet"
+            for t in (facts or FACT_SHIFTS)
+            if os.path.exists(f"{dst}/{t}.parquet")
+        ]
+        parts = suggest_shuffle_partitions(*paths)
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(parts)
+        print(f"shuffle partitions (rule): {parts}", file=sys.stderr)
     spark = get_spark("dask_cuml_spark-scalebench")
     from dask_cuml_spark.io import enable_table_cache
 
