@@ -62,10 +62,13 @@ def ensure_layouts(
         q121_gram_layout,
     )
 
+    # table-name thunks, not values: layout_tag stats the source
+    # parquet, so naming the grams tables on a fixture that has no
+    # documents.parquet must only happen if 'grams' was requested
     spec = {
-        "q02": (_q02_bucket_tables(sf_dir), q02_bucketed_layout),
-        "grams": ((_q121_gram_table(sf_dir),), q121_gram_layout),
-        "q112": (_q112_index_tables(sf_dir), q112_index_layout),
+        "q02": (lambda: _q02_bucket_tables(sf_dir), q02_bucketed_layout),
+        "grams": (lambda: (_q121_gram_table(sf_dir),), q121_gram_layout),
+        "q112": (lambda: _q112_index_tables(sf_dir), q112_index_layout),
     }
     # stale-GC prefixes: everything up to the trailing fingerprint tag
     prefixes = {
@@ -75,7 +78,8 @@ def ensure_layouts(
     }
     out: dict[str, float] = {}
     for name in layouts:
-        tables, writer = spec[name]
+        tables_fn, writer = spec[name]
+        tables = tables_fn()
         tag = tables[0].rsplit("_", 1)[1]
         if drop_stale:
             for p in prefixes[name]:
