@@ -62,6 +62,26 @@ def layout_tag(sf_dir: str, *source_files: str) -> str:
     return h.hexdigest()[:12]
 
 
+def drop_table_and_location(spark, table: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of the managed-table LOCATION.
+
+    With the default in-memory catalog, a layout write that crashed
+    mid-`saveAsTable` (r9: the 1000× q02 leg died on a full disk)
+    leaves the warehouse directory behind while no catalog entry
+    exists — the retry then fails with LOCATION_ALREADY_EXISTS. Every
+    layout writer drops through this helper so a retry always starts
+    clean."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = wh.removeprefix("file:")
+    loc = os.path.join(wh, table.lower())
+    if wh and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def drop_stale_layouts(spark, prefix: str, keep_tag: str) -> list[str]:
     """Drop catalog tables named ``{prefix}_{tag}`` whose tag is not
     ``keep_tag`` — layouts built from a source parquet that has since

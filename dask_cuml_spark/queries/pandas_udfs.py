@@ -649,6 +649,7 @@ def q112_index_layout(
         hashed_shingles,
         minhash_signatures,
     )
+    from dask_cuml_spark.operators.layout import drop_table_and_location
 
     t0 = _time.perf_counter()
     bt, st = _q112_index_tables(sf_dir)
@@ -661,7 +662,7 @@ def q112_index_layout(
     sh = hashed_shingles(corpus, "text", p["n"]).select(
         "doc_id", "shingles"
     )
-    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    drop_table_and_location(spark, st)
     (
         sh.repartition(n_buckets, F.col("doc_id"))
         .write.mode("overwrite")
@@ -678,7 +679,7 @@ def q112_index_layout(
         p["bands"],
         p["num_hashes"] // p["bands"],
     )
-    spark.sql(f"DROP TABLE IF EXISTS {bt}")
+    drop_table_and_location(spark, bt)
     (
         bands.repartition(n_buckets, F.col("band_hash"))
         .write.mode("overwrite")

@@ -143,13 +143,15 @@ def q02_bucketed_layout(
     pays once per table, not per query."""
     import time as _time
 
+    from dask_cuml_spark.operators.layout import drop_table_and_location
+
     t0 = _time.perf_counter()
     bo, bl = _q02_bucket_tables(sf_dir)
     for name, tbl, key in (
         ("orders", bo, "o_orderkey"),
         ("lineitem", bl, "l_orderkey"),
     ):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        drop_table_and_location(spark, tbl)
         (
             load_table(spark, sf_dir, name)
             .repartition(n_buckets, F.col(key))

@@ -1284,8 +1284,10 @@ def q121_gram_layout(
     import time as _time
 
     t0 = _time.perf_counter()
+    from dask_cuml_spark.operators.layout import drop_table_and_location
+
     tbl = _q121_gram_table(sf_dir)
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    drop_table_and_location(spark, tbl)
     (
         _q121_hashed_grams(spark, sf_dir)
         .repartition(n_buckets, F.col("_h"))
