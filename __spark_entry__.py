@@ -34,8 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # this dict. Rounds rotate the window so every query periodically
 # re-enters the hard gate (advisor r2). Round-9 window, in order
 # (WINDOW_r09.md has the per-query evidence trail):
-#   1. the NEW round-9 query q125 (semantic-dedup auto-k production
-#      posture, invariant oracle — zero driver evidence yet) and the
+#   1. the NEW round-9 queries q125 (semantic-dedup auto-k production
+#      posture, invariant oracle — zero driver evidence yet), q126
+#      (concat-and-chunk sequence packing, two-level prefix sum) and
+#      q127 (PII redaction — regex scrub with injected spans), and the
 #      queries whose CODE changed in round 9: q112/q119 (now read the
 #      shared stored layouts when provisioned — q119 additionally moved
 #      to the shared 5-gram width; catalog-gated, absent in the
@@ -52,6 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # -- (1) new in round 9 + code changed in round 9
     "q125_semantic_dedup_auto",
+    "q126_sequence_packing",
+    "q127_pii_redaction",
     "q112_incremental_dedup",
     "q119_contamination_check",
     "q02_revenue_by_nation",

@@ -1516,3 +1516,226 @@ def q123_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.sum(needed.cast("long")).alias("vocab_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — sequence packing, concat-and-chunk (north-star "training-data
+# pipeline"): the GPT-style pretraining packer — documents are laid out
+# end-to-end in doc_id order into one global token stream, which is cut
+# into fixed-size blocks (_Q126_BLOCK tokens = the context window); the
+# query computes each document's placement: global start offset, the
+# first/last block it lands in, how many blocks it spans, and its
+# offset inside the first block. This is the exact metadata a packed-
+# dataset writer needs to emit (block_id, offset) index files without
+# materializing the token stream.
+#
+# The core is a GLOBAL prefix sum over doc_id order — the one shape a
+# naive window (ORDER BY with no PARTITION BY) turns into a single-
+# partition bottleneck. Scale plan: two-level prefix sum. Documents
+# bucket by floor(doc_id / _Q126_BUCKET); the within-bucket running sum
+# is a partitioned window (parallel across buckets), the cross-bucket
+# carry is a running sum over the BUCKET TOTALS frame (n/_Q126_BUCKET
+# rows — at test scale a handful, at 100 TB sized so the carry frame
+# stays ~1e5 rows; it is O(#buckets), never O(docs)) broadcast-joined
+# back. Same decomposition a distributed scan primitive uses; every
+# quantity is a BIGINT, so there is no float drift for the oracle to
+# disagree about. The oracle states the same placement with the naive
+# global window, which DuckDB can afford at fixture scale.
+# ---------------------------------------------------------------------------
+_Q126_BLOCK = 512  # tokens per packed training block (context window)
+_Q126_BUCKET = 128  # docs per prefix-sum bucket (test-scale: >1 bucket)
+
+
+@register(
+    "q126_sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS seq_start
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(seq_start AS BIGINT) AS seq_start,
+       CAST(seq_start // {_Q126_BLOCK} AS BIGINT) AS first_block,
+       CAST((seq_start + n_tokens - 1) // {_Q126_BLOCK} AS BIGINT)
+         AS last_block,
+       CAST((seq_start + n_tokens - 1) // {_Q126_BLOCK}
+            - seq_start // {_Q126_BLOCK} + 1 AS BIGINT) AS n_blocks,
+       CAST(seq_start % {_Q126_BLOCK} AS BIGINT) AS block_offset
+FROM p
+""",
+)
+def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        F.array_size(tokens()).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / _Q126_BUCKET).cast("long").alias("_bk"),
+    )
+    # level 1: running sum WITHIN each bucket (parallel across buckets)
+    w_in = (
+        Window.partitionBy("_bk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per_doc.withColumn(
+        "_local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    # level 2: cross-bucket carry over the tiny bucket-totals frame —
+    # O(#buckets) rows, the only unpartitioned window in the plan
+    w_carry = Window.orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        per_doc.groupBy("_bk")
+        .agg(F.sum("n_tokens").alias("_bt"))
+        .select(
+            "_bk",
+            F.coalesce(F.sum("_bt").over(w_carry), F.lit(0)).alias(
+                "_carry"
+            ),
+        )
+    )
+    p = local.join(F.broadcast(carry), "_bk").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_carry") + F.col("_local")).alias("seq_start"),
+    )
+    # `div` is exact integer floor division on BIGINTs (all offsets are
+    # non-negative) — no double rounding at 100-TB stream offsets
+    return p.select(
+        "doc_id",
+        "n_tokens",
+        "seq_start",
+        F.expr(f"seq_start div {_Q126_BLOCK}").alias("first_block"),
+        F.expr(
+            f"(seq_start + n_tokens - 1) div {_Q126_BLOCK}"
+        ).alias("last_block"),
+        F.pmod("seq_start", F.lit(_Q126_BLOCK)).cast("long").alias(
+            "block_offset"
+        ),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "seq_start",
+        "first_block",
+        "last_block",
+        (F.col("last_block") - F.col("first_block") + 1).alias("n_blocks"),
+        "block_offset",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q127 — PII detection + redaction (north-star "training-data pipeline"):
+# the scrubbing stage every public-web corpus runs before training —
+# find emails / phone numbers / IPv4 addresses, count them per document,
+# and replace them with redaction tokens. The synthetic documents carry
+# no PII, so the query plants deterministic spans derived from doc_id
+# (2 of every 3 docs get an email + phone + IP appended; the third is
+# left clean so the zero-hit path is exercised) — BOTH engines build
+# the same pii_text, so the parity proven is the redaction semantics:
+# leftmost non-overlapping global regexp_replace and per-pattern match
+# counts, identical between Java regex (Spark) and RE2 (DuckDB) for
+# these escape-free character-class patterns.
+#
+# Scale plan: pure narrow per-row expressions — one scan, zero
+# shuffles, output one row per doc. At 100 TB this runs at scan speed
+# with only (doc_id, text) read; the md5 of the redacted text stands in
+# for shipping the text back (the real pipeline writes the redacted
+# column out; the digest is the value-parity witness).
+# ---------------------------------------------------------------------------
+_Q127_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_Q127_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+_Q127_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+# deterministic PII injection (same expression in both dialects):
+#   user<id>@mail.example.com | 555-<id*7 % 1000>-<id*13 % 10000> |
+#   10.<id%256>.<id*3 % 256>.<id*5 % 256>
+_Q127_SQL_PII = (
+    "CASE WHEN doc_id % 3 = 0 THEN text ELSE text"
+    " || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com call 555-'"
+    " || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id * 5 % 256 AS VARCHAR) END"
+)
+
+
+@register(
+    "q127_pii_redaction",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_Q127_SQL_PII} AS pii_text FROM documents
+), r AS (
+  SELECT doc_id, pii_text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(pii_text, '{_Q127_EMAIL}', '[EMAIL]', 'g'),
+             '{_Q127_PHONE}', '[PHONE]', 'g'),
+           '{_Q127_IPV4}', '[IP]', 'g') AS redacted
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{_Q127_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{_Q127_PHONE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(pii_text, '{_Q127_IPV4}')) AS BIGINT)
+         AS n_ips,
+       CAST(length(redacted) AS BIGINT) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM r
+""",
+)
+def q127_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pii = F.when(
+        F.col("doc_id") % 3 == 0, F.col("text")
+    ).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call 555-"),
+            F.lpad((F.col("doc_id") * 7 % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") * 13 % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") * 3 % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") * 5 % 256).cast("string"),
+        )
+    )
+    t = d.select("doc_id", pii.alias("pii_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii_text"), _Q127_EMAIL, "[EMAIL]"),
+            _Q127_PHONE,
+            "[PHONE]",
+        ),
+        _Q127_IPV4,
+        "[IP]",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count("pii_text", F.lit(_Q127_EMAIL))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count("pii_text", F.lit(_Q127_PHONE))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_count("pii_text", F.lit(_Q127_IPV4))
+        .cast("long")
+        .alias("n_ips"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")

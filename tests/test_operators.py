@@ -1731,3 +1731,75 @@ def test_semantic_dedup_auto_k_numpy_replay(spark):
     assert got == {int(i): int(i not in dropped) for i in ids}
     # 'auto' floors at the oracle configuration's k for small inputs
     assert km.k == 16
+
+
+def test_q126_sequence_packing_invariants(spark):
+    """Structural truths of concat-and-chunk packing: the stream is
+    CONTIGUOUS in doc_id order (each doc starts where the previous one
+    ended — this is what proves the two-level prefix sum carries
+    across bucket boundaries), block ids are consistent with the
+    512-token block size, and offsets stay inside a block."""
+    from dask_cuml_spark.queries.text import (
+        _Q126_BLOCK,
+        _Q126_BUCKET,
+        q126_sequence_packing,
+    )
+
+    pdf = q126_sequence_packing(spark, SF).toPandas().sort_values("doc_id")
+    n = load_table(spark, SF, "documents").count()
+    assert len(pdf) == n
+    # the fixture spans multiple prefix-sum buckets, so the carry path
+    # is actually exercised (not vacuously green on one bucket)
+    assert pdf.doc_id.max() // _Q126_BUCKET >= 1
+    starts = pdf.seq_start.to_numpy()
+    toks = pdf.n_tokens.to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+    assert (pdf.first_block == pdf.seq_start // _Q126_BLOCK).all()
+    last = pdf.seq_start + pdf.n_tokens - 1
+    assert (pdf.last_block == last // _Q126_BLOCK).all()
+    assert (pdf.n_blocks == pdf.last_block - pdf.first_block + 1).all()
+    assert (pdf.block_offset == pdf.seq_start % _Q126_BLOCK).all()
+    assert ((pdf.block_offset >= 0) & (pdf.block_offset < _Q126_BLOCK)).all()
+
+
+def test_q127_pii_redaction_invariants(spark):
+    """Redaction actually scrubs: re-running every pattern over the
+    redacted text finds ZERO matches; injected docs count exactly one
+    email/phone/IP; clean docs (doc_id % 3 == 0) are untouched."""
+    import re
+
+    from dask_cuml_spark.io import load_table as _lt
+    from dask_cuml_spark.queries.text import (
+        _Q127_EMAIL,
+        _Q127_IPV4,
+        _Q127_PHONE,
+        q127_pii_redaction,
+    )
+
+    pdf = q127_pii_redaction(spark, SF).toPandas()
+    docs = _lt(spark, SF, "documents").select("doc_id", "text").toPandas()
+    assert len(pdf) == len(docs)
+    m = pdf.merge(docs, on="doc_id")
+    clean = m[m.doc_id % 3 == 0]
+    dirty = m[m.doc_id % 3 != 0]
+    assert (clean[["n_emails", "n_phones", "n_ips"]] == 0).all().all()
+    assert (clean.redacted_len == clean.text.str.len()).all()
+    assert (dirty[["n_emails", "n_phones", "n_ips"]] == 1).all().all()
+    # recompute one dirty doc's redaction in pure Python and confirm
+    # the md5 witness + that no pattern survives redaction
+    import hashlib
+
+    row = dirty.iloc[0]
+    i = int(row.doc_id)
+    pii = (
+        f"{row.text} contact user{i}@mail.example.com call "
+        f"555-{i * 7 % 1000:03d}-{i * 13 % 10000:04d} "
+        f"from 10.{i % 256}.{i * 3 % 256}.{i * 5 % 256}"
+    )
+    red = re.sub(_Q127_EMAIL, "[EMAIL]", pii)
+    red = re.sub(_Q127_PHONE, "[PHONE]", red)
+    red = re.sub(_Q127_IPV4, "[IP]", red)
+    for pat in (_Q127_EMAIL, _Q127_PHONE, _Q127_IPV4):
+        assert not re.search(pat, red)
+    assert hashlib.md5(red.encode()).hexdigest() == row.redacted_md5
