@@ -1575,7 +1575,10 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = d.select(
         "doc_id",
         F.array_size(tokens()).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / _Q126_BUCKET).cast("long").alias("_bk"),
+        # exact integer floor division (`div`), like the block math: a
+        # double divide + truncating cast would mis-bucket doc_id > 2^53
+        # and truncate (not floor) hypothetical negative ids into bucket 0
+        F.expr(f"doc_id div {_Q126_BUCKET}").alias("_bk"),
     )
     # level 1: running sum WITHIN each bucket (parallel across buckets)
     w_in = (
@@ -1725,6 +1728,11 @@ def q127_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q127_IPV4,
         "[IP]",
     )
+    # NOTE: counts are taken on the UN-redacted pii_text while redaction
+    # applies sequentially (email -> phone -> IP), so under overlapping
+    # matches (e.g. a digit run inside an already-replaced email) a count
+    # may exceed the number of replacements that pattern performed. The
+    # oracle states the identical pre-redaction semantics.
     return t.select(
         "doc_id",
         F.regexp_count("pii_text", F.lit(_Q127_EMAIL))

@@ -1769,7 +1769,6 @@ def test_q127_pii_redaction_invariants(spark):
     email/phone/IP; clean docs (doc_id % 3 == 0) are untouched."""
     import re
 
-    from dask_cuml_spark.io import load_table as _lt
     from dask_cuml_spark.queries.text import (
         _Q127_EMAIL,
         _Q127_IPV4,
@@ -1778,7 +1777,7 @@ def test_q127_pii_redaction_invariants(spark):
     )
 
     pdf = q127_pii_redaction(spark, SF).toPandas()
-    docs = _lt(spark, SF, "documents").select("doc_id", "text").toPandas()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
     assert len(pdf) == len(docs)
     m = pdf.merge(docs, on="doc_id")
     clean = m[m.doc_id % 3 == 0]
