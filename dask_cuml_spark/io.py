@@ -71,6 +71,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _load_table_uncached(spark, sf_dir, name)
 
 
+def source_size_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table's source parquet (file or directory).
+
+    The stable input for size-based plan gates: Catalyst's
+    ``sizeInBytes`` for the same scan swings with session cache state
+    (a cached table substitutes its uncompressed InMemoryRelation into
+    every matching plan), while file bytes measure the data itself.
+    At 100 TB this is one namenode/object-store stat, not a scan."""
+    path = table_path(sf_dir, name)
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
 def with_event_time(df: DataFrame) -> DataFrame:
     """Attach the canonical event-time columns to an events frame.
 

@@ -165,8 +165,8 @@ def q02_bucketed_layout(
 # 1 GiB of customer ≈ a ~100 MB broadcast build — the upper end of
 # routine Spark broadcast practice. Past it, fall back to all-shuffle.
 # MEASURED boundary, not a guess (r8): at 100× the pruned 2-col map of
-# a 31 MB-plan / 15 M-row customer builds and wins (1.66 s bucketed);
-# at 300× the 94 MB-plan / 45 M-row map FAILS the broadcast build
+# a 29 MB-plan / 1.5 M-row customer builds and wins (1.66 s bucketed);
+# at 300× the ~90 MB-plan / 4.5 M-row map FAILS the broadcast build
 # outright (notEnoughMemoryToBuildAndBroadcastTableError under the 8 g
 # driver) — the in-memory hashed relation is ~30 B/row, ~10× the
 # parquet-compressed plan estimate the gate sees. 48 MB keeps a 1.5×
@@ -175,7 +175,6 @@ def q02_bucketed_layout(
 # answer (and composes with the bucketed layout, see below).
 _Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = 48 << 20
 
-from dask_cuml_spark.plans.cost import plan_size_bytes as _plan_size_bytes  # noqa: E402,E501
 
 
 def q02_plan_branch(spark: SparkSession, sf_dir: str) -> str:
@@ -192,15 +191,33 @@ def q02_plan_branch(spark: SparkSession, sf_dir: str) -> str:
     # bucketed scans (customer too big to broadcast — the rollup and
     # the wide join are both on orderkey, so they run Exchange-free
     # off the layout too; only the custkey exchange remains).
+    # size gates read the source parquet FILE size, never plan stats:
+    # once a session caches a table, Catalyst substitutes the cached
+    # InMemoryRelation into ANY plan over the same source (CacheManager
+    # matches by logical plan, so even a fresh spark.read.parquet picks
+    # it up), and in-memory stats are uncompressed — customer at 100x
+    # reads 78 MB cached vs 29 MB on disk. A stats-fed gate therefore
+    # flips branches depending on whether the suite happened to cache
+    # the table first (the r9 regression: q02 at 100x fell to
+    # bucketed-eager under the bench protocol's cache and lost 0.8 s).
+    # The caps below were calibrated against parquet sizes — file bytes
+    # ARE that unit, and they're invariant to session cache state.
+    from dask_cuml_spark.io import source_size_bytes
+
     bo, bl = _q02_bucket_tables(sf_dir)
     has_layout = spark.catalog.tableExists(bo) and spark.catalog.tableExists(
         bl
     )
-    o = load_table(spark, sf_dir, "orders")
-    if not has_layout and _plan_size_bytes(o) < _Q02_EAGER_AGG_MIN_ORDERS_BYTES:
+    if (
+        not has_layout
+        and source_size_bytes(sf_dir, "orders")
+        < _Q02_EAGER_AGG_MIN_ORDERS_BYTES
+    ):
         return "direct"
-    c = load_table(spark, sf_dir, "customer")
-    if _plan_size_bytes(c) <= _Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES:
+    if (
+        source_size_bytes(sf_dir, "customer")
+        <= _Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES
+    ):
         return "bucketed" if has_layout else "bcast-cmap"
     return "bucketed-eager" if has_layout else "eager-agg"
 @register(
