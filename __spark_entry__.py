@@ -32,83 +32,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-9 window, in order
-# (WINDOW_r09.md has the per-query evidence trail):
-#   1. the NEW round-9 queries q125 (semantic-dedup auto-k production
-#      posture, invariant oracle — zero driver evidence yet), q126
-#      (concat-and-chunk sequence packing, two-level prefix sum) and
-#      q127 (PII redaction — regex scrub with injected spans), and the
-#      queries whose CODE changed in round 9: q112/q119 (now read the
-#      shared stored layouts when provisioned — q119 additionally moved
-#      to the shared 5-gram width; catalog-gated, absent in the
-#      driver's fresh session so the oracle path runs plain), q02/q121
-#      (fingerprinted layout-table identity, advisor r8), q116 (sink:
-#      stream-identity replay guard + pre-schema manifest fallback,
-#      advisor r8), the IVFIndex consumers q47/q115/q118 (resolved
-#      n_cells_ field, advisor r8), q124 (outlier flag computed on the
-#      6-dp-rounded distance both engines round, advisor r8);
-#   2. the 25 queries whose latest driver row is r6 — the r8 verdict's
-#      task 1 (q112/q119 are in that set and already enter via (1));
-#   3. oldest r7-evidence queries, lowest number first, filling to 50.
-# Entries past position 50 are r7/r8-green and code-unchanged.
+# re-enters the hard gate (advisor r2). Round-10 window, in order
+# (WINDOW_r10.md has the per-query evidence trail):
+#   1. the NEW round-10 queries q128 (multimodal PNG decode under the
+#      hard gate — injected closed-form payloads, integer witnesses)
+#      and q129 (fasttext-style quality-model scoring — broadcast
+#      weight join over hashed tokens), and the queries whose CODE
+#      changed in round 10: q02 (cache-proof file-size branch gate),
+#      q126 (exact integer floor division for bucket ids, advisor r9),
+#      q127 (comment-only, re-gated as its module changed);
+#   2. q57, q58 — displaced from the r9 window by the late q126/q127
+#      addition (the r9 verdict's task 5 names them first);
+#   3. the 25 remaining r7-evidence queries, lowest number first;
+#   4. oldest r8-evidence queries, lowest number first, filling to 50.
+# Entries past position 50 are r8/r9-green and code-unchanged.
 _PRIORITY = [
-    # -- (1) new in round 9 + code changed in round 9
-    "q125_semantic_dedup_auto",
+    # -- (1) new in round 10 + code changed in round 10
+    "q128_image_decode_stats",
+    "q129_quality_model_score",
+    "q02_revenue_by_nation",
     "q126_sequence_packing",
     "q127_pii_redaction",
-    "q112_incremental_dedup",
-    "q119_contamination_check",
-    "q02_revenue_by_nation",
-    "q121_boilerplate_ngrams",
-    "q116_stream_upsert_sink",
-    "q47_ivf_search_full_probe",
-    "q115_ivf_partial_probe",
-    "q118_knn_graph",
-    "q124_embedding_outliers",
-    # -- (2) last driver row is r6 (r8 verdict task 1)
-    "q31_tfidf_top_term",
-    "q35_jaccard_near_dup",
-    "q52_ridge_fit",
-    "q53_standard_scaler",
-    "q54_minmax_scaler",
-    "q55_corr_cov_matrix",
-    "q65_ranking_windows",
-    "q78_minhash_near_dup",
-    "q82_lsh_knn",
-    "q83_logreg_predict",
-    "q87_naive_bayes_predict",
-    "q94_elasticnet_vs_ols",
-    "q96_train_test_split",
-    "q98_stream_dedup",
-    "q100_merge_schema",
-    "q101_make_classification",
-    "q102_adjusted_rand",
-    "q104_json_parse_at_ingest",
-    "q105_curation_pipeline",
-    "q106_salted_skew_join",
-    "q107_approx_aggregates",
-    "q109_stratified_sample",
-    "q117_stream_static_enrichment",
-    # -- (3) oldest r7-evidence, lowest number first, filling to 50
-    "q03_top_orders_per_customer",
-    "q04_segment_stats",
-    "q06_orders_by_month",
-    "q07_fillna_left_join",
-    "q08_value_counts",
-    "q09_drop_duplicates",
-    "q10_set_ops",
-    "q11_rollup",
-    "q25_hourly_windows",
-    "q32_exact_dedup",
-    "q41_centroid_assignment",
-    "q42_lloyd_iteration",
-    "q45_cosine_near_dup",
-    "q48_kmeans_transform",
-    "q56_confusion_matrix",
+    # -- (2) displaced from the r9 window (r9 verdict task 5)
     "q57_metrics",
     "q58_gram_matrix",
-    # -- positions 51+: r7/r8-green code-unchanged (remaining r7 set
-    # first — first in line for r10 — then the r8-green block)
+    # -- (3) the remaining r7-evidence set, lowest number first
     "q60_asof_join",
     "q61_cube",
     "q62_partitioned_write",
@@ -134,6 +82,52 @@ _PRIORITY = [
     "q108_semantic_dedup",
     "q114_ngram_language_id",
     "q122_token_budget_mixture",
+    # -- (4) oldest r8-evidence, lowest number first, filling to 50
+    "q01_pricing_summary",
+    "q05_string_ops",
+    "q12_quantiles_histogram",
+    "q13_semi_anti_join",
+    "q14_range_join_bands",
+    "q15_global_topk",
+    "q16_project_cast_case",
+    "q17_rolling_avg",
+    "q18_lag_lead",
+    "q20_sessionization",
+    "q21_funnel",
+    "q22_json_extract",
+    "q23_retention",
+    "q24_event_value_stats",
+    "q30_top_terms",
+    "q33_lang_source_slice",
+    "q34_text_quality",
+    "q36_naive_bayes_fit",
+    # -- positions 51+: r8/r9-green code-unchanged (remaining r8 set
+    # first — first in line for r11 — then the r9-green block)
+    "q37_label_encode",
+    "q38_fingerprint",
+    "q39_count_vectorizer",
+    "q40_knn_bruteforce",
+    "q43_cosine_topk",
+    "q44_multimodal_join",
+    "q46_knn_classify",
+    "q50_feature_stats",
+    "q51_ols_fit",
+    "q59_ols_predict",
+    "q70_stream_sessionization",
+    "q71_stream_hourly_counts",
+    "q77_dbscan",
+    "q79_stream_stateful_totals",
+    "q90_regexp_ops",
+    "q91_python_udtf",
+    "q93_stream_stream_join",
+    "q95_random_forest",
+    "q97_make_blobs",
+    "q103_simhash_near_dup",
+    "q110_gopher_rules",
+    "q111_clustered_layout",
+    "q113_bpe_token_accounting",
+    "q120_dbscan_blocked",
+    "q123_vocab_coverage",
 ]
 
 

@@ -285,26 +285,95 @@ def frame_sample(
     return df.select(id_col, binary_col).mapInPandas(batches, schema)
 
 
-def _png_encode_gray(arr: np.ndarray) -> bytes:
-    """Dependency-free 8-bit grayscale PNG encoder (zlib + struct),
-    filter 0 on every scanline — the inverse of _png_decode's gray
-    path, so resize_images round-trips without PIL in the container."""
+def _png_encode(arr: np.ndarray) -> bytes:
+    """Dependency-free 8-bit PNG encoder (zlib + struct), filter 0 on
+    every scanline — the inverse of _png_decode. (h, w) arrays encode
+    as grayscale (color type 0), (h, w, 3) as RGB (color type 2), so
+    both of the decoder's luma paths are round-trippable without PIL
+    in the container."""
     import struct
     import zlib
 
-    h, w = arr.shape
+    if arr.ndim == 2:
+        h, w, color = arr.shape[0], arr.shape[1], 0
+        raw = b"".join(
+            b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
+        )
+    else:
+        h, w, _c = arr.shape
+        color = 2
+        raw = b"".join(
+            b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
+        )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+def _png_encode_gray(arr: np.ndarray) -> bytes:
+    """Back-compat alias: 8-bit grayscale encode (resize_images path)."""
+    return _png_encode(arr)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("luma_sum", LongType()),
+        StructField("luma_hist", ArrayType(LongType())),
+    ]
+)
+
+
+def extract_image_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    decode_mode: str = "auto",
+    n_bins: int = 8,
+) -> DataFrame:
+    """Decode + INTEGER-witness stats via Arrow-batched mapInPandas:
+    (doc_id, width, height, luma_sum, luma_hist[n_bins] counts).
+
+    The exact-integer sibling of extract_image_features: every output
+    is a count or an exact sum of uint8 lumas, so the result is
+    bit-deterministic across engines/partitionings — the property the
+    q128 driver oracle needs (a float mean/histogram-ratio would drag
+    fp-rounding conventions into a decode-correctness check). Same
+    narrow-map plan: binary in, small ints out, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _decode = resolve_decoder(decode_mode)
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                img = _decode(bytes(payload))
+                hist = np.histogram(img, bins=n_bins, range=(0, 256))[0]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "luma_sum": int(img.astype(np.int64).sum()),
+                        "luma_hist": [int(c) for c in hist],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_STATS_SCHEMA]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, IMAGE_STATS_SCHEMA
     )
 
 

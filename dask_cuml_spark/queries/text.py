@@ -1747,3 +1747,102 @@ def q127_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q129 — document-quality MODEL scoring (r9 verdict task 7): the
+# fasttext-style linear-classifier filter that sits between the Gopher
+# heuristics (q110) and dedup in public LLM pipelines (e.g. CCNet /
+# GPT-3's quality classifier, Brown et al. 2020 §A): score(doc) =
+# bias + mean over tokens of weight[bucket(token)], keep = score > 0.
+#
+# Decomposition (the q114 pivot-scoring shape): tokenize -> explode ->
+# hashed-bucket per token -> BROADCAST join the V-row weight table ->
+# one groupBy(doc_id). The weight table is model state (V = 4096 rows
+# here; a real fasttext quality model is ~2M buckets x dim — still
+# broadcast-sized), so the fact side streams through one scan + one
+# shuffle at any corpus size.
+#
+# Oracle-replayability choices, both swap-out-able without touching the
+# plan: (1) the bucketizer is a positional char-code polynomial
+# (sum (i+1)*codepoint(tok[i]) % V) that both engines state exactly —
+# production swaps in xxhash64(tok) % V (same 8-byte key, same join);
+# (2) weights are the fixed bijection w_j = ((j*2481) % 4096)/2048 - 1,
+# EXACT dyadic rationals, so SUM(weight) is exact in double on both
+# engines regardless of aggregation order and the keep cut is
+# deterministic — a trained model's float weights would make parity
+# tolerance-based instead, not change the shape.
+# ---------------------------------------------------------------------------
+_Q129_V = 4096
+_Q129_BIAS = 0.0625  # dyadic, so the logit stays exactly representable
+
+
+@register(
+    "q129_quality_model_score",
+    oracle=f"""
+WITH w AS (
+  SELECT i AS bucket, ((i * 2481) % {_Q129_V}) / 2048.0 - 1.0 AS wt
+  FROM range({_Q129_V}) t(i)
+), tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+), b AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(range(1, length(tok) + 1),
+                          i -> i * unicode(tok[i:i])),
+           'sum') % {_Q129_V} AS bucket
+  FROM tok WHERE tok <> ''
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(w.wt) / COUNT(*) + {_Q129_BIAS}, 6) AS quality_logit,
+       (SUM(w.wt) / COUNT(*) + {_Q129_BIAS}) > 0 AS keep
+FROM b JOIN w ON b.bucket = w.bucket
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def q129_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # model state: V weight rows built once, broadcast into the token
+    # stream (on a real deployment this frame comes from the trained
+    # model file; the join is identical)
+    weights = spark.range(_Q129_V).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") * 2481) % _Q129_V) / 2048.0 - 1.0).alias("wt"),
+    )
+    # spread the explode across cores (the q110 one-row-group note)
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(
+        "doc_id", F.explode(tokens()).alias("tok")
+    ).filter(F.col("tok") != "")
+    # positional char-code polynomial, all JVM-side codegen (no UDF):
+    # sum (i+1) * codepoint over the token's chars, mod V
+    bucket = (
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok")),
+                lambda i: i * F.ascii(F.col("tok").substr(i, F.lit(1))),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        % _Q129_V
+    )
+    scored = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("wt").alias("_wsum"),
+        )
+    )
+    logit = F.col("_wsum") / F.col("n_tokens") + F.lit(_Q129_BIAS)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(logit, 6).alias("quality_logit"),
+        (logit > 0).alias("keep"),
+    ).orderBy("doc_id")

@@ -1802,3 +1802,80 @@ def test_q127_pii_redaction_invariants(spark):
     for pat in (_Q127_EMAIL, _Q127_PHONE, _Q127_IPV4):
         assert not re.search(pat, red)
     assert hashlib.md5(red.encode()).hexdigest() == row.redacted_md5
+
+
+def test_q128_decode_matches_numpy_ground_truth(spark):
+    """The q128 witnesses equal an independent numpy replay of the image
+    spec — proving the Spark path (encode -> REAL PNG decode -> stats)
+    end-to-end, including the RGB fixed-point luma, without the oracle."""
+    import numpy as np
+
+    from dask_cuml_spark.queries.pandas_udfs import q128_image_decode_stats
+
+    pdf = (
+        q128_image_decode_stats(spark, SF)
+        .filter("doc_id < 50")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert len(pdf) == 50
+    for _, row in pdf.iterrows():
+        d = int(row.doc_id)
+        w, h = 8 + d % 5, 8 + d % 3
+        i = np.arange(w * h, dtype=np.int64)
+        if d % 2 == 1:
+            r, g, b = (d + 3 * i) % 256, (d + 3 * i + 1) % 256, (d + 3 * i + 2) % 256
+            lumas = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+        else:
+            lumas = (d + i) % 256
+        assert (row.width, row.height) == (w, h)
+        assert row.luma_sum == lumas.sum()
+        hist = np.histogram(lumas, bins=8, range=(0, 256))[0]
+        assert [row[f"h{j}"] for j in range(8)] == hist.tolist()
+
+
+def test_png_encode_rgb_roundtrip():
+    """_png_encode(RGB) -> _png_decode returns the exact ITU-R 601
+    fixed-point luma of the encoded pixels (the decoder's RGB branch)."""
+    import numpy as np
+
+    from dask_cuml_spark.operators.multimodal import _png_decode, _png_encode
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    out = _png_decode(_png_encode(rgb))
+    r, g, b = (rgb[:, :, i].astype(np.uint32) for i in range(3))
+    expect = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+        np.uint8
+    )
+    assert out.shape == (5, 9)
+    assert (out == expect).all()
+
+
+def test_q129_quality_model_invariants(spark):
+    """Scoring truths: one output row per doc, n_tokens == whitespace
+    token count, keep <=> logit > 0, and the logit is the exact dyadic
+    mean-of-weights + bias (re-derived in pure Python for a sample)."""
+    from dask_cuml_spark.queries.text import (
+        _Q129_BIAS,
+        _Q129_V,
+        q129_quality_model_score,
+    )
+
+    pdf = q129_quality_model_score(spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    assert len(pdf) == len(docs)
+    m = pdf.merge(docs, on="doc_id").sort_values("doc_id")
+    assert (
+        m.n_tokens == m.text.map(lambda t: len([x for x in t.split(" ") if x]))
+    ).all()
+    assert ((m.quality_logit > 0) == m.keep).all()
+    # both classes occur (the cut isn't vacuous on the fixture)
+    assert m.keep.any() and (~m.keep).any()
+    for _, row in m.head(20).iterrows():
+        wsum = 0.0
+        toks = [t for t in row.text.split(" ") if t]
+        for t in toks:
+            bucket = sum((i + 1) * ord(c) for i, c in enumerate(t)) % _Q129_V
+            wsum += ((bucket * 2481) % _Q129_V) / 2048.0 - 1.0
+        assert round(wsum / len(toks) + _Q129_BIAS, 6) == row.quality_logit
