@@ -187,12 +187,19 @@ def bench_consumers(spark, sf, layout, consumers, out):
                 else:
                     rel._Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = 1 << 60
                     alt = ("bucketed",)
-                t_alt, rows_alt = timed3(
-                    lambda n=name: QUERIES[n](spark, sf).collect(),
-                    f"{name} {alt[0]} (road not taken)",
-                )
-                _assert_rows_close(rows_plain, rows_alt, name)
-                alt = (alt[0], round(t_alt, 3))
+                try:
+                    t_alt, rows_alt = timed3(
+                        lambda n=name: QUERIES[n](spark, sf).collect(),
+                        f"{name} {alt[0]} (road not taken)",
+                    )
+                    _assert_rows_close(rows_plain, rows_alt, name)
+                    alt = (alt[0], round(t_alt, 3))
+                except Exception as e:  # noqa: BLE001
+                    # the road-not-taken may be genuinely infeasible at
+                    # this scale (e.g. the forced broadcast build OOMs
+                    # — that IS the measurement); record it, keep the
+                    # primary rows
+                    alt = (alt[0], f"DNF: {type(e).__name__}: {str(e)[:200]}")
             finally:
                 rel._Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = saved
         d = duck_timed(sf, name, tables)

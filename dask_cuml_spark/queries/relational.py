@@ -143,6 +143,7 @@ def q02_bucketed_layout(
     pays once per table, not per query."""
     import time as _time
 
+    from dask_cuml_spark.io import source_size_bytes
     from dask_cuml_spark.operators.layout import drop_table_and_location
 
     t0 = _time.perf_counter()
@@ -152,10 +153,22 @@ def q02_bucketed_layout(
         ("lineitem", bl, "l_orderkey"),
     ):
         drop_table_and_location(spark, tbl)
+        src = load_table(spark, sf_dir, name)
+        # bucketBy needs NO pre-shuffle: every write task hashes its
+        # rows into local per-bucket files. The repartition below only
+        # prettifies small layouts (one file per bucket); on a big
+        # table it stages a full extra copy of the input as shuffle
+        # files — the r10 1000x write died on disk exactly there
+        # (600M-row lineitem: ~12.7 GB parquet + ~2x that in shuffle).
+        # Past the threshold, write shuffle-free and accept
+        # (input tasks x buckets) files — the shape a real multi-
+        # executor cluster write produces anyway; bucketed reads
+        # co-group all files of a bucket, so the Exchange-free join
+        # plan is identical.
+        if source_size_bytes(sf_dir, name) <= (4 << 30):
+            src = src.repartition(n_buckets, F.col(key))
         (
-            load_table(spark, sf_dir, name)
-            .repartition(n_buckets, F.col(key))
-            .write.mode("overwrite")
+            src.write.mode("overwrite")
             .bucketBy(n_buckets, key)
             .sortBy(key)
             .saveAsTable(tbl)
