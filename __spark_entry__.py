@@ -35,12 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-enters the hard gate (advisor r2). Round-10 window, in order
 # (WINDOW_r10.md has the per-query evidence trail):
 #   1. the NEW round-10 queries q128 (multimodal PNG decode under the
-#      hard gate — injected closed-form payloads, integer witnesses)
-#      and q129 (fasttext-style quality-model scoring — broadcast
-#      weight join over hashed tokens), and the queries whose CODE
-#      changed in round 10: q02 (cache-proof file-size branch gate),
-#      q126 (exact integer floor division for bucket ids, advisor r9),
-#      q127 (comment-only, re-gated as its module changed);
+#      hard gate — injected closed-form payloads, integer witnesses),
+#      q129 (fasttext-style quality-model scoring — broadcast weight
+#      join over hashed tokens) and q130 (overlapping document
+#      chunking — the RAG/embedding-prep splitter, chunk text as the
+#      full-value witness), and the queries whose CODE changed in
+#      round 10: q02 (cache-proof file-size branch gate), q126 (exact
+#      integer floor division for bucket ids, advisor r9), q127
+#      (comment-only, re-gated as its module changed);
 #   2. q57, q58 — displaced from the r9 window by the late q126/q127
 #      addition (the r9 verdict's task 5 names them first);
 #   3. the 25 remaining r7-evidence queries, lowest number first;
@@ -50,6 +52,7 @@ _PRIORITY = [
     # -- (1) new in round 10 + code changed in round 10
     "q128_image_decode_stats",
     "q129_quality_model_score",
+    "q130_chunk_documents",
     "q02_revenue_by_nation",
     "q126_sequence_packing",
     "q127_pii_redaction",
@@ -100,9 +103,9 @@ _PRIORITY = [
     "q30_top_terms",
     "q33_lang_source_slice",
     "q34_text_quality",
-    "q36_naive_bayes_fit",
     # -- positions 51+: r8/r9-green code-unchanged (remaining r8 set
     # first — first in line for r11 — then the r9-green block)
+    "q36_naive_bayes_fit",
     "q37_label_encode",
     "q38_fingerprint",
     "q39_count_vectorizer",

@@ -1846,3 +1846,67 @@ def q129_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(logit, 6).alias("quality_logit"),
         (logit > 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q130 — overlapping document chunking (the RAG / embedding-prep
+# table-stake: split every document into fixed-size token windows with
+# stride < size so context overlaps, carrying provenance offsets — the
+# step between curation and the embedding model in retrieval pipelines,
+# e.g. LangChain/LlamaIndex text splitters, RETRO Borgeaud et al. 2022).
+#
+# Pure narrow plan: scan → split → one generator explode per chunk
+# (sequence(0, n-1, STRIDE) gives the starts directly — no join, no
+# shuffle; the orderBy is presentation-only). At 100 TB this runs at
+# scan speed and the output is ~n_tokens/STRIDE rows per doc. Chunk
+# text itself is the full-value witness (both engines slice the same
+# token array), so tokenizer drift, off-by-one starts, or a broken tail
+# chunk all break parity.
+# ---------------------------------------------------------------------------
+_Q130_SIZE = 64  # tokens per chunk
+_Q130_STRIDE = 48  # 16-token overlap
+
+
+@register(
+    "q130_chunk_documents",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         UNNEST(range(0, len(toks), {_Q130_STRIDE})) AS start
+  FROM tok
+)
+SELECT doc_id,
+       CAST(start / {_Q130_STRIDE} AS BIGINT) AS chunk_id,
+       start,
+       LEAST({_Q130_SIZE}, n - start) AS chunk_len,
+       array_to_string(
+         toks[start + 1 : start + LEAST({_Q130_SIZE}, n - start)], ' '
+       ) AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_id
+""",
+)
+def q130_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n = F.array_size(toks)
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n"),
+        F.explode(
+            F.sequence(F.lit(0), n - 1, F.lit(_Q130_STRIDE))
+        ).alias("start"),
+    )
+    chunk_len = F.least(F.lit(_Q130_SIZE), F.col("n") - F.col("start"))
+    return t.select(
+        "doc_id",
+        F.expr(f"start div {_Q130_STRIDE}").alias("chunk_id"),
+        "start",
+        chunk_len.cast("long").alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("start") + 1, chunk_len)
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")

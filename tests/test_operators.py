@@ -1879,3 +1879,37 @@ def test_q129_quality_model_invariants(spark):
             bucket = sum((i + 1) * ord(c) for i, c in enumerate(t)) % _Q129_V
             wsum += ((bucket * 2481) % _Q129_V) / 2048.0 - 1.0
         assert round(wsum / len(toks) + _Q129_BIAS, 6) == row.quality_logit
+
+
+def test_q130_chunking_invariants(spark):
+    """Chunking truths: full coverage (concatenating stride-prefixes of
+    chunks reconstructs the doc), overlap == SIZE-STRIDE on interior
+    chunks, starts on the stride grid, tail chunk may be short but
+    never empty."""
+    from dask_cuml_spark.queries.text import (
+        _Q130_SIZE,
+        _Q130_STRIDE,
+        q130_chunk_documents,
+    )
+
+    pdf = q130_chunk_documents(spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    assert pdf.chunk_len.min() >= 1
+    assert (pdf.start == pdf.chunk_id * _Q130_STRIDE).all()
+    g = pdf.sort_values(["doc_id", "chunk_id"]).groupby("doc_id")
+    recon = g.apply(
+        lambda ch: " ".join(
+            " ".join(t.split(" ")[:_Q130_STRIDE]) for t in ch.chunk_text
+        ),
+        include_groups=False,
+    )
+    m = docs.set_index("doc_id").join(recon.rename("recon"))
+    assert (m.text == m.recon).all()
+    # every chunk is exactly min(SIZE, n_tokens - start) long
+    n_by_doc = docs.set_index("doc_id").text.map(
+        lambda t: len(t.split(" "))
+    )
+    n = pdf.doc_id.map(n_by_doc)
+    import numpy as np
+
+    assert (pdf.chunk_len == np.minimum(_Q130_SIZE, n - pdf.start)).all()
