@@ -92,6 +92,11 @@ TABLES_FOR = {
     "q122_token_budget_mixture": {"documents"},
     "q123_vocab_coverage": {"documents"},
     "q124_embedding_outliers": {"embeddings"},
+    "q126_sequence_packing": {"documents"},
+    "q127_pii_redaction": {"documents"},
+    "q128_image_decode_stats": {"documents"},
+    "q129_quality_model_score": {"documents"},
+    "q130_chunk_documents": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -279,6 +284,12 @@ SKIP_DUCK_ABOVE = {
 # harness). A wall-clock ratio against those is meaningless; the row
 # records the Spark-side scaling curve only.
 ORACLE_NOT_COMPARABLE = {
+    "q128_image_decode_stats": (
+        "oracle is an injected-expectation closed form — DuckDB does "
+        "NO image work while Spark PNG-encodes AND -decodes every "
+        "payload through the real codec; row records Spark-side "
+        "decode throughput scaling only"
+    ),
     "q76_kmeans_fit": (
         "oracle is an O(1) invariant check — ratio not meaningful; "
         "row records Spark-side scaling only"
@@ -323,6 +334,14 @@ ORACLE_NOT_COMPARABLE = {
 # Rows whose ratio is real but measures a deliberately conservative
 # configuration — annotated, not nulled (r6 verdict task 7).
 RATIO_CAVEATS = {
+    "q129_quality_model_score": (
+        "ratio measures the ORACLE-REPLAYABLE bucketizer (positional "
+        "char-code polynomial both engines can state exactly); the "
+        "production swap — xxhash64(tok) % V, same plan shape — "
+        "measured 1.32 s min-of-3 fresh-plan at 100x (0.92x, beats "
+        "DuckDB's 1.43 s) vs 5.19 s for the polynomial. The 3.9 s "
+        "delta is the per-char lambda tax paid only for oracle parity"
+    ),
     "q47_ivf_search_full_probe": (
         "ratio measures an ORACLE-FIDELITY configuration, not an ANN "
         "operating point: full probe (nprobe == n_cells) re-scans the "

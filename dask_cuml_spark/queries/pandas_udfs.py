@@ -818,7 +818,16 @@ def q128_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_stats,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread the codec work across all cores: the fixture's few row
+    # groups would otherwise pin the encode+decode passes to 4 tasks
+    # (measured 24.2 s -> 15.8 s at 100x; the residual is the pure-
+    # Python codec itself, ~32k docs/s across 32 cores); the shuffled
+    # payload is doc_id alone, so this costs ~8 bytes/row
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1889,7 +1889,12 @@ ORDER BY doc_id, chunk_id
 """,
 )
 def q130_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread the split+slice work across cores (the q110 one-row-group
+    # note; at deployment scale the scan has many splits and this is a
+    # no-op-sized shuffle)
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens()
     n = F.array_size(toks)
     t = d.select(
