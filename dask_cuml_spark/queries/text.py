@@ -1888,6 +1888,12 @@ FROM starts
 ORDER BY doc_id, chunk_id
 """,
 )
+# The oracle KEEPS its ORDER BY even though the Spark side dropped the
+# presentation sort and the driver's compare is order-insensitive:
+# DuckDB's unsorted UNNEST plan is ~35x SLOWER here (42 s vs 1.2 s at
+# 100x — insertion-order preservation serializes it), so the sorted
+# form is DuckDB's idiomatic-best formulation. Each engine runs its own
+# best plan; that is the honest-ratio rule from the q12 correction.
 def q130_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the split+slice work across cores (the q110 one-row-group
     # note; at deployment scale the scan has many splits and this is a
@@ -1914,4 +1920,9 @@ def q130_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             " ", F.slice(F.col("toks"), F.col("start") + 1, chunk_len)
         ).alias("chunk_text"),
-    ).orderBy("doc_id", "chunk_id")
+    )
+    # NO presentation orderBy: a global sort range-shuffles the entire
+    # chunk-text output (~450 MB at 100x) for display order alone —
+    # measured 4.18 s -> 1.81 s without it. The driver's compare and
+    # the oracle hash are order-insensitive, and no real pipeline
+    # sorts its chunk stream before embedding.
