@@ -37,9 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   1. the NEW round-10 queries q128 (multimodal PNG decode under the
 #      hard gate — injected closed-form payloads, integer witnesses),
 #      q129 (fasttext-style quality-model scoring — broadcast weight
-#      join over hashed tokens) and q130 (overlapping document
+#      join over hashed tokens), q130 (overlapping document
 #      chunking — the RAG/embedding-prep splitter, chunk text as the
-#      full-value witness), and the queries whose CODE changed in
+#      full-value witness) and q131 (int8 scalar quantization of
+#      embeddings, the FAISS-SQ8 ANN compression step — floor-based
+#      rounding keeps both engines bit-identical), and the queries
+#      whose CODE changed in
 #      round 10: q02 (cache-proof file-size branch gate), q126 (exact
 #      integer floor division for bucket ids, advisor r9), q127
 #      (comment-only, re-gated as its module changed);
@@ -53,6 +56,7 @@ _PRIORITY = [
     "q128_image_decode_stats",
     "q129_quality_model_score",
     "q130_chunk_documents",
+    "q131_int8_quantization",
     "q02_revenue_by_nation",
     "q126_sequence_packing",
     "q127_pii_redaction",
@@ -102,9 +106,9 @@ _PRIORITY = [
     "q24_event_value_stats",
     "q30_top_terms",
     "q33_lang_source_slice",
-    "q34_text_quality",
     # -- positions 51+: r8/r9-green code-unchanged (remaining r8 set
     # first — first in line for r11 — then the r9-green block)
+    "q34_text_quality",
     "q36_naive_bayes_fit",
     "q37_label_encode",
     "q38_fingerprint",

@@ -97,6 +97,7 @@ TABLES_FOR = {
     "q128_image_decode_stats": {"documents"},
     "q129_quality_model_score": {"documents"},
     "q130_chunk_documents": {"documents"},
+    "q131_int8_quantization": {"embeddings"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -334,6 +335,16 @@ ORACLE_NOT_COMPARABLE = {
 # Rows whose ratio is real but measures a deliberately conservative
 # configuration — annotated, not nulled (r6 verdict task 7).
 RATIO_CAVEATS = {
+    "q131_int8_quantization": (
+        "Spark higher-order functions are CodegenFallback (interpreted "
+        "per element) while DuckDB's list ops are vectorized — the "
+        "1.2 s absolute is that interpreter tax on 12.8M elements plus "
+        "the 0.16 s action floor. The 100 TB posture swaps the same "
+        "math into the Arrow/numpy kernel path (operators/gemm.py "
+        "style) where quantization is a ~50 ms BLAS-free vector op "
+        "per 200k-row batch; the expression form is kept registered "
+        "because it is the oracle-exact, zero-dependency shape"
+    ),
     "q129_quality_model_score": (
         "ratio measures the ORACLE-REPLAYABLE bucketizer (positional "
         "char-code polynomial both engines can state exactly); the "

@@ -909,3 +909,97 @@ def q125_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_low_dropped") == 0).cast("int").alias("lowest_id_kept_ok"),
         (F.col("_dup_kept") == 0).cast("int").alias("dups_dropped_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — int8 scalar quantization of embeddings (D3 scale path: the
+# FAISS-SQ8 practice — 4x memory compression before ANN serving; public
+# method, e.g. FAISS ScalarQuantizer QT_8bit). Per vector: symmetric
+# scale = max |x_i|, q_i = floor(x_i/scale*127 + 0.5) in [-127, 127].
+# floor(y + 0.5), NOT round(): both engines' float ops here (cast,
+# divide, multiply, add, floor) are correctly-rounded IEEE doubles, so
+# q_i is bit-deterministic cross-engine, while round() half-way
+# conventions differ (HALF_UP vs banker's) and would make parity hang
+# on whether a tie ever occurs. Witnesses: exact integer sums of q_i
+# and |q_i| plus the round-6 max reconstruction error (order-free max,
+# elementwise-identical doubles).
+#
+# Plan: ONE narrow pass over the embeddings scan — no shuffle, no UDF,
+# all higher-order codegen. At 100 TB the quantized table is the thing
+# actually written; this query emits the per-vector witnesses instead
+# so the kernel sits under the driver's full-value gate.
+# ---------------------------------------------------------------------------
+@register(
+    "q131_int8_quantization",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> floor(x / scale * 127 + 0.5)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(qv, q -> abs(q)), 'sum')
+            AS BIGINT) AS q_abs_sum,
+       ROUND(list_max(list_transform(range(1, len(e) + 1),
+             i -> abs(e[i] - qv[i] * scale / 127))), 6) AS max_err
+FROM q
+ORDER BY vec_id
+""",
+)
+def q131_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread the per-vector lambda work across cores (the one-row-group
+    # fixture note; _par is the house idiom for the candidate side)
+    e = _par(load_table(spark, sf_dir, "embeddings"))
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", dbl.alias("e"))
+    v = v.withColumn(
+        "scale", F.array_max(F.transform(F.col("e"), F.abs))
+    )
+    qv = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)),
+    )
+    v = v.withColumn("qv", qv)
+    # max_err is computed in its OWN projection, before any select that
+    # aliases a rounded column back to the name "scale": Spark's
+    # lateral column alias resolution (3.4+) would otherwise bind the
+    # lambda's F.col("scale") to the ROUNDED alias in the same select
+    # list, silently shifting the reconstruction error by up to 5e-7
+    # per element (caught by the oracle: 62/500 rows off in the 6th
+    # decimal).
+    v = v.withColumn(
+        "max_err_raw",
+        F.array_max(
+            F.zip_with(
+                F.col("e"),
+                F.col("qv"),
+                lambda x, q: F.abs(x - q * F.col("scale") / 127),
+            )
+        ),
+    )
+    return v.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            F.transform(F.col("qv"), F.abs),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("q_abs_sum"),
+        F.round("max_err_raw", 6).alias("max_err"),
+    )
+    # no presentation orderBy (the q130 rule: the compare is
+    # order-insensitive and the sort was 0.55 s of the 1.49 s at 100x);
+    # the oracle keeps its ORDER BY — DuckDB-side cost there is noise

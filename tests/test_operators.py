@@ -1913,3 +1913,37 @@ def test_q130_chunking_invariants(spark):
     import numpy as np
 
     assert (pdf.chunk_len == np.minimum(_Q130_SIZE, n - pdf.start)).all()
+
+
+def test_q131_quantization_matches_numpy(spark):
+    """q131 witnesses equal an independent numpy replay; quantized
+    values stay in [-127, 127] and the reconstruction error respects
+    the half-step bound scale/254 (+1 ulp headroom)."""
+    import numpy as np
+
+    from dask_cuml_spark.queries.vector import q131_int8_quantization
+
+    pdf = (
+        q131_int8_quantization(spark, SF)
+        .filter("vec_id < 40")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .filter("vec_id < 40")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    assert len(pdf) == 40
+    for _, row in pdf.merge(emb, on="vec_id").iterrows():
+        e = np.array(row.embedding, dtype=np.float64)
+        scale = np.abs(e).max()
+        qv = np.floor(e / scale * 127 + 0.5)
+        assert np.abs(qv).max() <= 127
+        assert row.q_sum == int(qv.sum())
+        assert row.q_abs_sum == int(np.abs(qv).sum())
+        assert row.scale == round(scale, 6)
+        err = np.abs(e - qv * scale / 127).max()
+        assert row.max_err == round(err, 6)
+        assert err <= scale / 254 * (1 + 1e-12)
