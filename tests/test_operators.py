@@ -1947,3 +1947,39 @@ def test_q131_quantization_matches_numpy(spark):
         err = np.abs(e - qv * scale / 127).max()
         assert row.max_err == round(err, 6)
         assert err <= scale / 254 * (1 + 1e-12)
+
+
+def test_png_codec_roundtrip_hypothesis():
+    """Property: for ANY 8-bit gray or RGB array, _png_encode ->
+    _png_decode returns the exact luma (identity for gray, ITU-R 601
+    fixed point for RGB) — hardens the codec beyond the fixed shapes
+    q128 exercises."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_cuml_spark.operators.multimodal import _png_decode, _png_encode
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, rgb, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = _png_decode(_png_encode(arr))
+        if rgb:
+            r, g, b = (arr[:, :, i].astype(np.uint32) for i in range(3))
+            expect = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+                np.uint8
+            )
+        else:
+            expect = arr
+        assert out.shape == (h, w)
+        assert (out == expect).all()
+
+    prop()
