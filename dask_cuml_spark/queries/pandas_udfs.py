@@ -868,4 +868,7 @@ def q128_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("luma_hist", j + 1).alias(f"h{j}")
             for j in range(8)
         ],
-    ).orderBy("doc_id")
+    )
+    # no presentation orderBy (the r10 rule: the driver's compare is
+    # order-insensitive; a sort of the full witness stream is pure
+    # display cost — plan-pinned shuffle-free by test_plan_quality)

@@ -240,3 +240,36 @@ def test_suggest_shuffle_partitions_rule():
     assert suggest_shuffle_partitions(*paths, floor=1) == max(
         1, -(-total // SHUFFLE_PARTITION_BYTES)
     )
+
+
+def test_q129_weights_broadcast_single_data_shuffle(spark):
+    """The quality-model weight table must broadcast (model state), and
+    the only data exchange is the doc_id aggregate — the shape that
+    holds at any corpus size."""
+    plan = _plan(spark, "q129_quality_model_score")
+    assert "BroadcastHashJoin" in plan
+    # exchanges: the explicit repartition spread + the doc_id agg (+ the
+    # broadcast itself); no extra data shuffles may creep in
+    import re
+
+    data_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert data_exchanges == 1, plan[:2000]
+
+
+def test_q128_q130_q131_no_data_shuffle(spark):
+    """The narrow-map family must stay shuffle-free: only the explicit
+    round-robin spread may appear, never a hashpartitioning exchange or
+    a global sort."""
+    import re
+
+    for name in (
+        "q128_image_decode_stats",
+        "q130_chunk_documents",
+        "q131_int8_quantization",
+    ):
+        plan = _plan(spark, name)
+        assert not re.search(r"\bExchange hashpartitioning", plan), name
+        assert "Exchange rangepartitioning" not in plan, (
+            f"{name} grew a global sort — the presentation-sort "
+            "removal (r10, 2.4 s at 100x) regressed"
+        )
