@@ -349,9 +349,10 @@ RATIO_CAVEATS = {
         "ratio measures the ORACLE-REPLAYABLE bucketizer (positional "
         "char-code polynomial both engines can state exactly); the "
         "production swap — xxhash64(tok) % V, same plan shape — "
-        "measured 1.32 s min-of-3 fresh-plan at 100x (0.92x, beats "
-        "DuckDB's 1.43 s) vs 5.19 s for the polynomial. The 3.9 s "
-        "delta is the per-char lambda tax paid only for oracle parity"
+        "measured 1.32 s at 100x (0.92x, beats DuckDB) and 21.6 s at "
+        "1000x (1.93x at 5M docs / 125M tokens), min-of-3 fresh-plan. "
+        "The delta is the per-char lambda tax paid only for oracle "
+        "parity"
     ),
     "q47_ivf_search_full_probe": (
         "ratio measures an ORACLE-FIDELITY configuration, not an ANN "

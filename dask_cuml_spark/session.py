@@ -71,6 +71,15 @@ def get_spark(
             os.path.join(tempfile.gettempdir(), "dcs_warehouse"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Big-factor bench runs materialize corpus-sized results on the
+        # driver for value parity with DuckDB (both engines collect the
+        # full result); the 1 GiB default aborts q130's 8M-row chunk
+        # stream at 1000x. Env-gated so normal sessions keep Spark's
+        # fail-fast default.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
