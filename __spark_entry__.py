@@ -39,9 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q129 (fasttext-style quality-model scoring — broadcast weight
 #      join over hashed tokens), q130 (overlapping document
 #      chunking — the RAG/embedding-prep splitter, chunk text as the
-#      full-value witness) and q131 (int8 scalar quantization of
+#      full-value witness), q131 (int8 scalar quantization of
 #      embeddings, the FAISS-SQ8 ANN compression step — floor-based
-#      rounding keeps both engines bit-identical), and the queries
+#      rounding keeps both engines bit-identical), q132 (fixed-n
+#      per-stratum sampling — WindowGroupLimit-pushed rank per
+#      language) and q133 (CCNet-style bigram-LM perplexity scoring —
+#      Laplace counts as the learned weight table), and the queries
 #      whose CODE changed in
 #      round 10: q02 (cache-proof file-size branch gate), q126 (exact
 #      integer floor division for bucket ids, advisor r9), q127
@@ -57,6 +60,8 @@ _PRIORITY = [
     "q129_quality_model_score",
     "q130_chunk_documents",
     "q131_int8_quantization",
+    "q132_fixed_n_per_stratum",
+    "q133_bigram_lm_score",
     "q02_revenue_by_nation",
     "q126_sequence_packing",
     "q127_pii_redaction",
@@ -104,10 +109,10 @@ _PRIORITY = [
     "q22_json_extract",
     "q23_retention",
     "q24_event_value_stats",
-    "q30_top_terms",
-    "q33_lang_source_slice",
     # -- positions 51+: r8/r9-green code-unchanged (remaining r8 set
     # first — first in line for r11 — then the r9-green block)
+    "q30_top_terms",
+    "q33_lang_source_slice",
     "q34_text_quality",
     "q36_naive_bayes_fit",
     "q37_label_encode",

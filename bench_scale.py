@@ -98,6 +98,8 @@ TABLES_FOR = {
     "q129_quality_model_score": {"documents"},
     "q130_chunk_documents": {"documents"},
     "q131_int8_quantization": {"embeddings"},
+    "q132_fixed_n_per_stratum": {"documents"},
+    "q133_bigram_lm_score": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -1926,3 +1926,139 @@ def q130_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 4.18 s -> 1.81 s without it. The driver's compare and
     # the oracle hash are order-insensitive, and no real pipeline
     # sorts its chunk stream before embedding.
+
+
+# ---------------------------------------------------------------------------
+# q132 — fixed-n per-stratum sampling (the eval-set / ablation-set
+# builder: exactly K docs per language, deterministic and
+# partition-invariant — complements q109's rate-based sampler). Rank
+# docs within each stratum by a multiplicative-hash shuffle key with a
+# doc_id tie-break and keep rank <= K. One partitioned window (strata
+# are languages — bounded cardinality), and Spark 4's WindowGroupLimit
+# pushes the rank filter below the shuffle (partial top-K per map
+# task), so a skewed stratum never materializes its full pool: the
+# same plan property q03 pins in tests/test_plan_quality.py.
+# ---------------------------------------------------------------------------
+_Q132_K = 200
+_Q132_MULT = 2481  # odd -> bijection mod 4096 (the q109/q129 family)
+
+
+@register(
+    "q132_fixed_n_per_stratum",
+    oracle=f"""
+SELECT lang, doc_id, rk
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 4096) * {_Q132_MULT}) % 4096, doc_id
+         ) AS rk
+  FROM documents
+) t
+WHERE rk <= {_Q132_K}
+""",
+)
+def q132_fixed_n_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # pre-mod before the multiply (the q109 overflow rule): exact in
+    # both engines for any doc_id
+    shuffle_key = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(4096)) * F.lit(_Q132_MULT),
+        F.lit(4096),
+    )
+    w = Window.partitionBy("lang").orderBy(shuffle_key, F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _Q132_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133 — bigram language-model scoring (the CCNet/KenLM-style
+# perplexity quality filter, Wenzek et al. 2020: score documents by a
+# small n-gram LM and keep the low-perplexity head). Model = Laplace-
+# smoothed bigram LM trained on the corpus itself: P(w2|w1) =
+# (c(w1,w2)+1) / (c(w1,.)+V), score(doc) = mean ln P over its bigrams.
+#
+# Decomposition (all relational): one exploded bigram pass feeds BOTH
+# the count model (two groupBys — the "training") and the scoring join;
+# V is one scalar. At 100 TB the count tables are the model artifact
+# (vocab-sized, written once) and scoring is one join + one doc-level
+# aggregate — the exact q129 shape with a learned instead of hashed
+# weight table. ln-parity at round-6 is the q31 (tf-idf log) precedent,
+# proven across ten rounds of driver runs.
+# ---------------------------------------------------------------------------
+@register(
+    "q133_bigram_lm_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tok, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS vocab
+  FROM (SELECT UNNEST(t) AS tok FROM tok)
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln((c12.c12 + 1.0) / (c1.c1 + v.vocab))), 6)
+         AS avg_logprob
+FROM big b
+JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+""",
+)
+def q133_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = tokens()
+    n = F.array_size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    # one exploded pass feeds training and scoring: persist it (the
+    # cost gate picks cache vs localCheckpoint by input size)
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    big = persist_for_reuse(big)
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        d.select(F.explode(t).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c12") + F.lit(1.0))
+                        / (F.col("c1") + F.col("vocab"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.select("doc_id", "n_bigrams", "avg_logprob")

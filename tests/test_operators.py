@@ -1983,3 +1983,60 @@ def test_png_codec_roundtrip_hypothesis():
         assert (out == expect).all()
 
     prop()
+
+
+def test_q132_fixed_n_sampling_invariants(spark):
+    """Exactly min(K, pool) docs per stratum, ranks are 1..n dense, the
+    selection is deterministic (two runs identical), and it is a subset
+    of the stratum."""
+    from dask_cuml_spark.queries.text import _Q132_K, q132_fixed_n_per_stratum
+
+    a = q132_fixed_n_per_stratum(spark, SF).toPandas()
+    b = q132_fixed_n_per_stratum(spark, SF).toPandas()
+    key = lambda df: sorted(map(tuple, df.values.tolist()))  # noqa: E731
+    assert key(a) == key(b)
+    pool = (
+        load_table(spark, SF, "documents")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    g = a.groupby("lang")
+    for lang, grp in g:
+        assert len(grp) == min(_Q132_K, pool[lang])
+        assert sorted(grp.rk) == list(range(1, len(grp) + 1))
+
+
+def test_q133_bigram_lm_matches_python_replay(spark):
+    """The LM scores equal a pure-Python replay of the Laplace bigram
+    model on a sample of docs, and every score is negative (probability
+    < 1)."""
+    import math
+    from collections import Counter
+
+    from dask_cuml_spark.queries.text import q133_bigram_lm_score
+
+    pdf = q133_bigram_lm_score(spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    assert (pdf.avg_logprob < 0).all()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    c12, c1, vocab = Counter(), Counter(), set()
+    for t in toks.values():
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    m = pdf.set_index("doc_id")
+    for doc_id in list(toks)[:30]:
+        t = toks[doc_id]
+        if len(t) < 2:
+            assert doc_id not in m.index
+            continue
+        lps = [
+            math.log((c12[(a, b)] + 1.0) / (c1[a] + V))
+            for a, b in zip(t, t[1:])
+        ]
+        assert m.loc[doc_id].n_bigrams == len(lps)
+        assert m.loc[doc_id].avg_logprob == round(sum(lps) / len(lps), 6)
