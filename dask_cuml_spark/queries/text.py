@@ -2027,25 +2027,43 @@ def q133_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(t, 2, n - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # counts and joins are keyed by xxhash64, never by token strings —
+    # the repo's 8-byte shuffle-key rule (q32/q121/q134). The string-
+    # pair formulation was tried first and died in AGGREGATE_OUT_OF_
+    # MEMORY at 1000x (125M UTF8String pairs across 32 local tasks);
+    # hashed keys shrink every shuffle row to 16 bytes and the hash
+    # maps to longs. Equality-of-hash ≡ equality-of-string at the
+    # accepted 2^-64 class, and the oracle recomputes the model on the
+    # STRINGS, so the shortcut is re-proven on every driver run.
     big = (
         d.filter(n >= 2)
         .select("doc_id", F.explode(pairs).alias("bg"))
-        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.col("bg.w1"), F.col("bg.w2")).alias("h12"),
+            F.xxhash64(F.col("bg.w1")).alias("h1"),
+        )
     )
-    # one exploded pass feeds training and scoring: persist it (the
-    # cost gate picks cache vs localCheckpoint by input size)
+    # one exploded pass feeds training and scoring. Persist it only at
+    # small/medium inputs: above ~1 GB of source the pinned blocks
+    # starve the count aggregations (measured at 1000x), while
+    # re-running the narrow split+slice explode is scan-speed — the
+    # scale-correct trade. Gate on SOURCE bytes, not plan stats (the
+    # r10 cache-substitution lesson).
+    from dask_cuml_spark.io import source_size_bytes
     from dask_cuml_spark.plans.cost import persist_for_reuse
 
-    big = persist_for_reuse(big)
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    if source_size_bytes(sf_dir, "documents") <= (1 << 30):
+        big = persist_for_reuse(big)
+    c12 = big.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (
         d.select(F.explode(t).alias("tok"))
         .agg(F.countDistinct("tok").alias("vocab"))
     )
     scored = (
-        big.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+        big.join(c12, ["h12"])
+        .join(c1, ["h1"])
         .join(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
@@ -2138,9 +2156,14 @@ def q134_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.col("g.pos").alias("pos"), F.col("g._h").alias("_h")
     )
+    # persist only at small/medium inputs (the q133 rule: at 1000x the
+    # pinned blocks starve the count aggregation; the narrow positioned
+    # explode recomputes at scan speed)
+    from dask_cuml_spark.io import source_size_bytes
     from dask_cuml_spark.plans.cost import persist_for_reuse
 
-    g = persist_for_reuse(g)
+    if source_size_bytes(sf_dir, "documents") <= (1 << 30):
+        g = persist_for_reuse(g)
     dup = (
         g.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
