@@ -82,6 +82,10 @@ def source_size_bytes(sf_dir: str, name: str) -> int:
     path = table_path(sf_dir, name)
     if os.path.isfile(path):
         return os.path.getsize(path)
+    if not os.path.isdir(path):
+        # a typo'd fixture dir must surface, not silently read as
+        # "0 bytes" and send every size gate down the small-input branch
+        raise FileNotFoundError(f"no parquet at {path}")
     total = 0
     for dirpath, _dirs, files in os.walk(path):
         total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)

@@ -300,8 +300,15 @@ def _png_encode(arr: np.ndarray) -> bytes:
             b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
         )
     else:
-        h, w, _c = arr.shape
-        color = 2
+        if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+            raise ValueError(
+                f"expected (h,w), (h,w,3) or (h,w,4) array, got {arr.shape}"
+            )
+        h, w, c = arr.shape[0], arr.shape[1], arr.shape[2]
+        # color type 2 = RGB (3 bytes/px), 6 = RGBA (4 bytes/px) — the
+        # channel count must drive the IHDR or a 4-channel array would
+        # silently frame as a corrupt 3-channel PNG (advisor r10)
+        color = 2 if c == 3 else 6
         raw = b"".join(
             b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
         )

@@ -1845,7 +1845,11 @@ def q129_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(logit, 6).alias("quality_logit"),
         (logit > 0).alias("keep"),
-    ).orderBy("doc_id")
+    )
+    # no presentation orderBy (the q130 rule, applied by the r10
+    # verdict to this query): the compare is order-insensitive and the
+    # sort was a full range shuffle of the per-doc output — 5 M rows at
+    # 1000x for display order nothing downstream needs
 
 
 # ---------------------------------------------------------------------------

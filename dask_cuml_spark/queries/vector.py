@@ -942,7 +942,12 @@ WITH v AS (
   FROM v
 ), q AS (
   SELECT vec_id, e, scale,
-         list_transform(e, x -> floor(x / scale * 127 + 0.5)) AS qv
+         -- zero-scale guard (advisor r10): an all-zero vector has
+         -- scale=0; dividing by 1 instead yields qv=0, max_err=0 in
+         -- both engines rather than engine-dependent 0/0 semantics
+         list_transform(e, x -> floor(
+           x / (CASE WHEN scale = 0 THEN 1 ELSE scale END) * 127 + 0.5
+         )) AS qv
   FROM s
 )
 SELECT vec_id,
@@ -965,9 +970,15 @@ def q131_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = v.withColumn(
         "scale", F.array_max(F.transform(F.col("e"), F.abs))
     )
+    # zero-scale guard (advisor r10): all-zero vector → divide by 1 so
+    # qv=0/max_err=0 instead of engine-dependent 0/0; mirrored in the
+    # oracle's CASE
+    sdiv = F.when(F.col("scale") == 0, F.lit(1.0)).otherwise(
+        F.col("scale")
+    )
     qv = F.transform(
         F.col("e"),
-        lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)),
+        lambda x: F.floor(x / sdiv * 127 + F.lit(0.5)),
     )
     v = v.withColumn("qv", qv)
     # max_err is computed in its OWN projection, before any select that

@@ -254,6 +254,12 @@ def test_q129_weights_broadcast_single_data_shuffle(spark):
 
     data_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert data_exchanges == 1, plan[:2000]
+    # the r10 verdict caught a presentation orderBy here that the hash
+    # count above missed — range exchanges are banned too (the
+    # one-shuffle family may never grow a global sort)
+    assert "Exchange rangepartitioning" not in plan, (
+        "q129 grew a global sort — presentation-sort removal regressed"
+    )
 
 
 def test_q128_q130_q131_no_data_shuffle(spark):
