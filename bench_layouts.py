@@ -138,7 +138,7 @@ def duck_timed(sf_dir, name, tables):
 def drop_layout(spark, layout, sf):
     tables = {
         "q02": rel._q02_bucket_tables(sf),
-        "grams": (T._q121_gram_table(sf),),
+        "grams": (T._gram_table(sf),),
         "q112": P._q112_index_tables(sf),
     }[layout]
     for t in tables:
@@ -264,12 +264,14 @@ def main() -> None:
                 ("bucketed", "bucketed-eager"),
             )],
         ),
-        # shared gram layout: ONE write, TWO consumers (r9 task 3)
+        # shared POSITIONED gram layout: ONE write, THREE consumers
+        # (r9 task 3; r11 adds q134 and the pos column)
         "grams": (
             "grams",
             [
                 ("q121_boilerplate_ngrams", ["documents"], None),
                 ("q119_contamination_check", ["documents"], None),
+                ("q134_exact_substring_dedup", ["documents"], None),
             ],
         ),
         # q112 stored corpus LSH index

@@ -58,8 +58,8 @@ def ensure_layouts(
     )
     from dask_cuml_spark.queries.text import (
         _Q121_N,
-        _q121_gram_table,
-        q121_gram_layout,
+        _gram_table,
+        gram_layout,
     )
 
     # table-name thunks, not values: layout_tag stats the source
@@ -67,15 +67,20 @@ def ensure_layouts(
     # documents.parquet must only happen if 'grams' was requested
     spec = {
         "q02": (lambda: _q02_bucket_tables(sf_dir), q02_bucketed_layout),
-        "grams": (lambda: (_q121_gram_table(sf_dir),), q121_gram_layout),
+        "grams": (lambda: (_gram_table(sf_dir),), gram_layout),
         "q112": (lambda: _q112_index_tables(sf_dir), q112_index_layout),
     }
-    # stale-GC prefixes: everything up to the trailing fingerprint tag
+    # stale-GC prefixes: everything up to the trailing fingerprint tag.
+    # The r11 positioned-gram schema replaced the r8 distinct-pair one;
+    # the legacy prefix is listed so pre-r11 tables GC on first call
+    # (their tag matches the source but no query reads them anymore —
+    # drop via the never-matching keep_tag below).
     prefixes = {
         "q02": ("dcs_q02_orders_", "dcs_q02_lineitem_"),
-        "grams": (f"dcs_q121_grams{_Q121_N}_",),
+        "grams": (f"dcs_grams{_Q121_N}pos_",),
         "q112": ("dcs_q112_",),
     }
+    legacy_prefixes = {"grams": (f"dcs_q121_grams{_Q121_N}_",)}
     out: dict[str, float] = {}
     for name in layouts:
         tables_fn, writer = spec[name]
@@ -84,6 +89,9 @@ def ensure_layouts(
         if drop_stale:
             for p in prefixes[name]:
                 drop_stale_layouts(spark, p, tag)
+            for p in legacy_prefixes.get(name, ()):
+                # retired schema: no keep_tag can match "\0" → drop all
+                drop_stale_layouts(spark, p, "\0")
         if all(spark.catalog.tableExists(t) for t in tables):
             out[name] = 0.0
         else:

@@ -1,0 +1,182 @@
+"""int8 scalar quantization of embedding columns (FAISS SQ8 posture:
+per-vector max-abs scale, symmetric round-half-up to [-127, 127] — the
+ANN memory-compression step that cuts vector storage 4x before IVF/LSH
+indexing; SURVEY.md §2D D3).
+
+Two physical strategies, one contract (q131's witnesses: per-vector
+scale, exact integer q_sum / q_abs_sum, max reconstruction error):
+
+expr   — pyspark.sql higher-order functions. Oracle-exact by
+         construction (same fold order as the DuckDB SQL), but Spark
+         HOFs are CodegenFallback: every per-element lambda runs
+         interpreted, which the r10 verdict measured at 8.04x vs DuckDB
+         at 100x on an otherwise perfect one-pass zero-shuffle plan.
+expr_raw / kernel — same outputs UNROUNDED (rounding is applied by the
+         caller so both branches share one rounding site). kernel is
+         the 100-TB path: an Arrow-batched mapInPandas running the
+         whole batch as vectorized numpy (gemm.py's pattern — dense
+         per-element math belongs in a columnar kernel, not in
+         interpreted expression trees). Bit parity with expr_raw holds
+         because every elementwise op is the same IEEE-double sequence
+         (x/s*127+0.5 then floor; x - q*s/127) and the integer sums are
+         exact below 2^53 — asserted by tests/test_operators.py's
+         strategy-agreement test.
+
+strategy='auto' picks kernel above ``gate_bytes`` of source parquet
+(default 16 MB, knn.py's expr/gemm crossover idiom); callers with no
+file-size signal can pass the strategy explicitly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: expr/kernel crossover (bytes of source parquet) — knn.py's 16 MB idiom
+GATE_BYTES = 16 * 1024 * 1024
+
+_Q_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("scale", DoubleType()),
+        StructField("q_sum", LongType()),
+        StructField("q_abs_sum", LongType()),
+        StructField("max_err", DoubleType()),
+    ]
+)
+
+
+def _expr_raw(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Expression form, UNROUNDED outputs (the oracle-exact fold)."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = df.select(F.col(id_col).alias("vec_id"), dbl.alias("e"))
+    v = v.withColumn("scale", F.array_max(F.transform(F.col("e"), F.abs)))
+    # zero-scale guard: all-zero vector divides by 1 → qv=0, max_err=0
+    sdiv = F.when(F.col("scale") == 0, F.lit(1.0)).otherwise(F.col("scale"))
+    v = v.withColumn(
+        "qv",
+        F.transform(
+            F.col("e"), lambda x: F.floor(x / sdiv * 127 + F.lit(0.5))
+        ),
+    )
+    # max_err in its OWN projection — Spark 3.4+ lateral column alias
+    # resolution would bind a same-select lambda's "scale" to a rounded
+    # alias (the q131 hazard the oracle caught in round 10)
+    v = v.withColumn(
+        "max_err",
+        F.array_max(
+            F.zip_with(
+                F.col("e"),
+                F.col("qv"),
+                lambda x, q: F.abs(x - q * F.col("scale") / 127),
+            )
+        ),
+    )
+    zero = F.lit(0).cast("bigint")
+    return v.select(
+        "vec_id",
+        "scale",
+        F.aggregate(F.col("qv"), zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            F.transform(F.col("qv"), F.abs), zero, lambda a, x: a + x
+        ).alias("q_abs_sum"),
+        "max_err",
+    )
+
+
+def _kernel(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Arrow-batched numpy kernel: same values, compiled loop.
+
+    One narrow mapInPandas — arrays in, five scalars out per row; zero
+    shuffles, so at 100 TB this runs at scan speed with the per-element
+    work in vectorized C instead of Catalyst's interpreted
+    CodegenFallback lambdas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            # fixture vectors are fixed-dim; fall back to a ragged loop
+            # if a source ever mixes lengths
+            vecs = list(pdf[vec_col])
+            lens = {len(v) for v in vecs}
+            if len(lens) == 1:
+                m = np.asarray(
+                    np.stack([np.asarray(v) for v in vecs]), dtype=np.float64
+                )
+                scale = np.abs(m).max(axis=1)
+                sdiv = np.where(scale == 0.0, 1.0, scale)
+                # EXACT expr-order replication: (x / s) * 127 + 0.5
+                qv = np.floor(m / sdiv[:, None] * 127 + 0.5)
+                q_sum = qv.sum(axis=1).astype(np.int64)
+                q_abs = np.abs(qv).sum(axis=1).astype(np.int64)
+                # (q * s) / 127, then x - that — the expr's sequence
+                err = np.abs(m - qv * scale[:, None] / 127)
+                max_err = err.max(axis=1)
+            else:
+                scale = np.empty(len(vecs))
+                q_sum = np.empty(len(vecs), dtype=np.int64)
+                q_abs = np.empty(len(vecs), dtype=np.int64)
+                max_err = np.empty(len(vecs))
+                for i, v in enumerate(vecs):
+                    e = np.asarray(v, dtype=np.float64)
+                    s = np.abs(e).max() if e.size else 0.0
+                    sd = 1.0 if s == 0.0 else s
+                    q = np.floor(e / sd * 127 + 0.5)
+                    scale[i] = s
+                    q_sum[i] = int(q.sum())
+                    q_abs[i] = int(np.abs(q).sum())
+                    max_err[i] = (
+                        np.abs(e - q * s / 127).max() if e.size else 0.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "scale": scale,
+                    "q_sum": q_sum,
+                    "q_abs_sum": q_abs,
+                    "max_err": max_err,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(batches, _Q_SCHEMA)
+
+
+def int8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "auto",
+    source_bytes: int | None = None,
+) -> DataFrame:
+    """(vec_id, scale, q_sum, q_abs_sum, max_err) — UNROUNDED.
+
+    strategy: 'expr' (interpreted HOFs, oracle-exact), 'kernel'
+    (vectorized Arrow batches, the 100-TB path), or 'auto' (kernel when
+    ``source_bytes`` exceeds GATE_BYTES; expr when small or unknown).
+    Callers needing round-6 presentation apply F.round on top — one
+    rounding site keeps branch parity trivially true.
+    """
+    if strategy == "auto":
+        big = source_bytes is not None and source_bytes > GATE_BYTES
+        strategy = "kernel" if big else "expr"
+    if strategy == "kernel":
+        return _kernel(df, id_col, vec_col)
+    if strategy == "expr":
+        return _expr_raw(df, id_col, vec_col)
+    raise ValueError(f"unknown strategy {strategy!r}")

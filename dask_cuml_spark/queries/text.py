@@ -1188,12 +1188,8 @@ ORDER BY g.doc_id
 )
 def q119_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME gram frame q121 consumes: distinct-per-doc hashed
-    # 5-gram pairs, from the bucketed layout when provisioned
-    tbl = _q121_gram_table(sf_dir)
-    if spark.catalog.tableExists(tbl):
-        grams = spark.table(tbl)
-    else:
-        grams = _q121_hashed_grams(spark, sf_dir)
+    # 5-gram pairs, from the positioned bucketed layout when provisioned
+    grams = _gram_pairs(spark, sf_dir)
     eval_g = grams.filter(F.col("doc_id") % 97 == 0).select("_h").distinct()
     return (
         grams.filter(F.col("doc_id") % 97 != 0)
@@ -1259,37 +1255,68 @@ def _q121_hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(grams).alias("_h"))
 
 
-def _q121_gram_table(sf_dir: str) -> str:
+def _positioned_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exploded pass: (doc_id, pos, _h) — every L-gram occurrence
+    WITH its token offset and multiplicity kept (q134's construction).
+    The superset representation: distinct (doc_id, _h) pairs (q121/
+    q119's frame) derive from it by an in-partition dedup, so ONE
+    layout serves boilerplate, contamination, and substring dedup."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = tokens()
+    n = F.array_size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - _Q121_N, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.slice(toks, i + 1, _Q121_N)).alias("_h"),
+        ),
+    )
+    return d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g._h").alias("_h")
+    )
+
+
+def _gram_table(sf_dir: str) -> str:
     # fingerprinted identity (advisor r8, same scheme as
     # _q02_bucket_tables): absolute-path + source-fingerprint hash, so
     # fixtures never collide and a layout over rewritten documents
     # stops matching instead of serving stale grams. The gram width is
     # also part of the identity: a layout built under a different
-    # _Q121_N must never be silently served.
+    # _Q121_N must never be silently served. "pos" marks the r11
+    # positioned schema — a pre-r11 distinct-pair table can never be
+    # mistaken for it.
     from dask_cuml_spark.operators.layout import layout_tag
 
     tag = layout_tag(sf_dir, "documents.parquet")
-    return f"dcs_q121_grams{_Q121_N}_{tag}"
+    return f"dcs_grams{_Q121_N}pos_{tag}"
 
 
-def q121_gram_layout(
+def gram_layout(
     spark: SparkSession, sf_dir: str, n_buckets: int = _Q121_BUCKETS
 ) -> float:
-    """One-time inverted-index layout: the exploded (doc_id, _h) pairs
-    written bucketBy(n_buckets, _h), sorted within buckets, one file
-    per bucket (repartition on _h with Spark's own hash so write tasks
-    align 1:1 with buckets — the q02 layout mechanism). Returns wall
-    seconds spent writing; amortized across every gram consumer on the
-    table."""
+    """One-time POSITIONED inverted-index layout (r10 verdict task 3):
+    (doc_id, pos, _h) occurrences written bucketBy(n_buckets, _h),
+    sorted within buckets, one file per bucket (repartition on _h with
+    Spark's own hash so write tasks align 1:1 with buckets — the q02
+    layout mechanism). Returns wall seconds spent writing.
+
+    Three consumers amortize the one write: q121 boilerplate and q119
+    contamination dedup to distinct pairs IN-PARTITION (hash
+    partitioning on _h satisfies clustering on the superset key
+    (_h, doc_id) — no exchange), and q134 substring dedup gets its
+    occurrence counts and dup back-join bucket-local, erasing its one
+    corpus-wide shuffle entirely."""
     import time as _time
 
     t0 = _time.perf_counter()
     from dask_cuml_spark.operators.layout import drop_table_and_location
 
-    tbl = _q121_gram_table(sf_dir)
+    tbl = _gram_table(sf_dir)
     drop_table_and_location(spark, tbl)
     (
-        _q121_hashed_grams(spark, sf_dir)
+        _positioned_grams(spark, sf_dir)
         .repartition(n_buckets, F.col("_h"))
         .write.mode("overwrite")
         .bucketBy(n_buckets, "_h")
@@ -1297,6 +1324,26 @@ def q121_gram_layout(
         .saveAsTable(tbl)
     )
     return _time.perf_counter() - t0
+
+
+def _gram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, _h) pairs — q121/q119's shared frame.
+
+    Layout branch: dedup the positioned table per (_h, doc_id); the
+    scan's bucket partitioning on _h satisfies the group's clustering
+    requirement, so the dedup is exchange-free and the pairs inherit
+    the _h partitioning downstream consumers want. Plain branch: the
+    array_distinct construction (cheaper than positioned + dedup when
+    nothing is amortized)."""
+    tbl = _gram_table(sf_dir)
+    if spark.catalog.tableExists(tbl):
+        return (
+            spark.table(tbl)
+            .groupBy("_h", "doc_id")
+            .agg(F.lit(1))
+            .select("doc_id", "_h")
+        )
+    return _q121_hashed_grams(spark, sf_dir)
 
 
 @register(
@@ -1339,11 +1386,7 @@ def q121_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q121_gram_layout), read it instead: construction AND the wide
     # (doc_id,_h) exchange both vanish — the window's hash requirement
     # is satisfied by the bucketing, its sort by the bucket sortBy.
-    tbl = _q121_gram_table(sf_dir)
-    if spark.catalog.tableExists(tbl):
-        hashed = spark.table(tbl)
-    else:
-        hashed = _q121_hashed_grams(spark, sf_dir)
+    hashed = _gram_pairs(spark, sf_dir)
     with_df = hashed.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("_h"))
     )
@@ -2145,29 +2188,23 @@ GROUP BY doc_id, gid
 """,
 )
 def q134_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    toks = tokens()
-    n = F.array_size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - _Q134_L, F.lit(0))),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.xxhash64(F.slice(toks, i + 1, _Q134_L)).alias("_h"),
-        ),
-    )
-    g = d.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", F.col("g.pos").alias("pos"), F.col("g._h").alias("_h")
-    )
-    # persist only at small/medium inputs (the q133 rule: at 1000x the
-    # pinned blocks starve the count aggregation; the narrow positioned
-    # explode recomputes at scan speed)
-    from dask_cuml_spark.io import source_size_bytes
-    from dask_cuml_spark.plans.cost import persist_for_reuse
+    # layout branch (r11): when the positioned gram table exists, the
+    # occurrence counts AND the dup back-join are bucket-local — the
+    # query's one corpus-wide shuffle vanishes along with construction;
+    # only the per-doc window exchange remains.
+    tbl = _gram_table(sf_dir)
+    if spark.catalog.tableExists(tbl):
+        g = spark.table(tbl)
+    else:
+        g = _positioned_grams(spark, sf_dir)
+        # persist only at small/medium inputs (the q133 rule: at 1000x
+        # the pinned blocks starve the count aggregation; the narrow
+        # positioned explode recomputes at scan speed)
+        from dask_cuml_spark.io import source_size_bytes
+        from dask_cuml_spark.plans.cost import persist_for_reuse
 
-    if source_size_bytes(sf_dir, "documents") <= (1 << 30):
-        g = persist_for_reuse(g)
+        if source_size_bytes(sf_dir, "documents") <= (1 << 30):
+            g = persist_for_reuse(g)
     dup = (
         g.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))

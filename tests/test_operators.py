@@ -877,7 +877,7 @@ def test_q121_gram_layout_branch(spark):
     plain = {
         tuple(r) for r in T.q121_boilerplate_ngrams(spark, SF).collect()
     }
-    T.q121_gram_layout(spark, SF, n_buckets=4)
+    T.gram_layout(spark, SF, n_buckets=4)
     try:
         d = T.q121_boilerplate_ngrams(spark, SF)
         got = {tuple(r) for r in d.collect()}
@@ -890,9 +890,9 @@ def test_q121_gram_layout_branch(spark):
         assert fin.count("Exchange hashpartitioning") == 1, fin[:2500]
         assert "Exchange hashpartitioning(doc_id" in fin
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {T._q121_gram_table(SF)}")
+        spark.sql(f"DROP TABLE IF EXISTS {T._gram_table(SF)}")
     # layout dropped → back to the construction branch
-    assert not spark.catalog.tableExists(T._q121_gram_table(SF))
+    assert not spark.catalog.tableExists(T._gram_table(SF))
 
 
 def test_q02_bucketed_layout_branch(spark, monkeypatch):
@@ -956,7 +956,7 @@ def test_q119_gram_layout_branch(spark):
     plain = {
         tuple(r) for r in T.q119_contamination_check(spark, SF).collect()
     }
-    T.q121_gram_layout(spark, SF, n_buckets=4)
+    T.gram_layout(spark, SF, n_buckets=4)
     try:
         d = T.q119_contamination_check(spark, SF)
         got = {tuple(r) for r in d.collect()}
@@ -967,7 +967,7 @@ def test_q119_gram_layout_branch(spark):
         )
         assert "Bucketed: true" in fin, fin[:2000]
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {T._q121_gram_table(SF)}")
+        spark.sql(f"DROP TABLE IF EXISTS {T._gram_table(SF)}")
 
 
 def test_q112_stored_index_branch(spark):
@@ -1013,7 +1013,7 @@ def test_ensure_layouts_idempotent_and_stale_gc(spark, tmp_path):
 
     first = ensure_layouts(spark, sf, layouts=("grams",))
     assert first["grams"] > 0.0
-    tbl1 = T._q121_gram_table(sf)
+    tbl1 = T._gram_table(sf)
     assert spark.catalog.tableExists(tbl1)
     again = ensure_layouts(spark, sf, layouts=("grams",))
     assert again["grams"] == 0.0  # idempotent: no rewrite
@@ -1021,7 +1021,7 @@ def test_ensure_layouts_idempotent_and_stale_gc(spark, tmp_path):
     # rewrite the source → tag changes → old layout is stale
     shutil.copy(f"{SF}/documents.parquet", f"{sf}/documents.parquet")
     os.utime(f"{sf}/documents.parquet")
-    tbl2 = T._q121_gram_table(sf)
+    tbl2 = T._gram_table(sf)
     assert tbl2 != tbl1  # fingerprint moved
     assert not spark.catalog.tableExists(tbl2)  # consumers: plain branch
     rebuilt = ensure_layouts(spark, sf, layouts=("grams",))
@@ -2077,3 +2077,87 @@ def test_q134_exact_substring_spans(spark):
         t = toks[row.doc_id]
         for i in range(row.span_start, row.span_end - _Q134_L + 1):
             assert gram_counts[" ".join(t[i : i + _Q134_L])] >= 2
+
+
+def test_int8_quantize_strategy_agreement(spark):
+    """expr vs kernel must agree EXACTLY on the integer witnesses and to
+    the last ulp on scale/max_err (both are the same IEEE-double op
+    sequence; the round-6 presentation layer sits above both)."""
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.quantize import int8_quantize
+
+    e = load_table(spark, SF, "embeddings")
+    a = (
+        int8_quantize(e, strategy="expr")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        int8_quantize(e, strategy="kernel")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    assert (a.vec_id == b.vec_id).all()
+    assert (a.q_sum == b.q_sum).all()
+    assert (a.q_abs_sum == b.q_abs_sum).all()
+    # bit parity expected; allow 0 tolerance to prove it
+    assert (a.scale.to_numpy() == b.scale.to_numpy()).all()
+    assert (a.max_err.to_numpy() == b.max_err.to_numpy()).all()
+
+
+def test_int8_quantize_zero_vector_guard(spark):
+    """An all-zero embedding must yield scale=0, qv sums 0, max_err=0 in
+    BOTH strategies (advisor r10: no engine-dependent 0/0)."""
+    from pyspark.sql import functions as F
+
+    from dask_cuml_spark.operators.quantize import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    for strat in ("expr", "kernel"):
+        got = {
+            r.vec_id: r
+            for r in int8_quantize(df, strategy=strat).collect()
+        }
+        z = got[1]
+        assert z.scale == 0.0 and z.q_sum == 0 and z.q_abs_sum == 0
+        assert z.max_err == 0.0
+        nz = got[2]
+        assert nz.scale == 1.0 and nz.q_abs_sum == 64 + 127 + 32
+
+
+def test_q134_gram_layout_branch(spark):
+    """r11 (verdict task 3): with the positioned gram layout
+    registered, q134's occurrence counts and dup back-join are
+    bucket-local — the query's one corpus-wide gram shuffle VANISHES
+    (only the per-doc window exchange remains) and values are
+    identical to the construction branch."""
+    import dask_cuml_spark.queries.text as T
+
+    plain = {
+        tuple(r) for r in T.q134_exact_substring_dedup(spark, SF).collect()
+    }
+    T.gram_layout(spark, SF, n_buckets=4)
+    try:
+        d = T.q134_exact_substring_dedup(spark, SF)
+        got = {tuple(r) for r in d.collect()}
+        assert got == plain and len(got) > 0
+        fin = (
+            d._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in fin, fin[:2000]
+        # the gram-hash count/join exchanges are gone; what remains is
+        # the doc_id window partitioning (and whatever AQE reuses of it)
+        import re
+
+        ex = re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", fin)
+        assert all(e.startswith("doc_id") for e in ex), (ex, fin[:2500])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {T._gram_table(SF)}")
+    assert not spark.catalog.tableExists(T._gram_table(SF))
