@@ -32,87 +32,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-10 window, in order
-# (WINDOW_r10.md has the per-query evidence trail):
-#   1. the NEW round-10 queries q128 (multimodal PNG decode under the
-#      hard gate — injected closed-form payloads, integer witnesses),
-#      q129 (fasttext-style quality-model scoring — broadcast weight
-#      join over hashed tokens), q130 (overlapping document
-#      chunking — the RAG/embedding-prep splitter, chunk text as the
-#      full-value witness), q131 (int8 scalar quantization of
-#      embeddings, the FAISS-SQ8 ANN compression step — floor-based
-#      rounding keeps both engines bit-identical), q132 (fixed-n
-#      per-stratum sampling — WindowGroupLimit-pushed rank per
-#      language), q133 (CCNet-style bigram-LM perplexity scoring —
-#      Laplace counts as the learned weight table) and q134
-#      (exact-substring span dedup, Lee et al. 2022 — positioned
-#      hash-grams + per-doc interval merge), and the queries
-#      whose CODE changed in
-#      round 10: q02 (cache-proof file-size branch gate), q126 (exact
-#      integer floor division for bucket ids, advisor r9), q127
-#      (comment-only, re-gated as its module changed);
-#   2. q57, q58 — displaced from the r9 window by the late q126/q127
-#      addition (the r9 verdict's task 5 names them first);
-#   3. the 25 remaining r7-evidence queries, lowest number first;
-#   4. oldest r8-evidence queries, lowest number first, filling to 50.
-# Entries past position 50 are r8/r9-green and code-unchanged.
+# re-enters the hard gate (advisor r2). Round-11 window, in order
+# (WINDOW_r11.md has the per-query evidence trail):
+#   1. changed-code-first: q135 (NEW — near-dup cluster
+#      canonicalization: connected components over q78's verified
+#      pairs, full-value recursive-CTE oracle), q131 (size-gated Arrow
+#      kernel + zero-scale guard), q129 (delegates to the
+#      operators/quality.py library operator; presentation sort
+#      removed), q121/q119/q134 (shared POSITIONED gram layout branch),
+#      q133 (persist gate lowered to 256 MB — the r11 1000x OOM fix),
+#      q128 (RGBA-safe PNG encoder, advisor r10), q77/q120 (dbscan's CC
+#      extracted to operators/components.py), q02 (io.source_size_bytes
+#      now raises on a missing path — its branch gate input);
+#   2. the 28 remaining r8-evidence queries, lowest number first
+#      (q77/q120 from that set already sit in group 1);
+#   3. oldest r9-evidence queries, lowest number first, filling to 50.
+# Entries past position 50 are r9/r10-green and code-unchanged.
 _PRIORITY = [
-    # -- (1) new in round 10 + code changed in round 10
-    "q128_image_decode_stats",
-    "q129_quality_model_score",
-    "q130_chunk_documents",
+    # -- (1) new in round 11 + code changed in round 11
+    "q135_near_dup_canonicalize",
     "q131_int8_quantization",
-    "q132_fixed_n_per_stratum",
-    "q133_bigram_lm_score",
+    "q129_quality_model_score",
+    "q121_boilerplate_ngrams",
+    "q119_contamination_check",
     "q134_exact_substring_dedup",
+    "q133_bigram_lm_score",
+    "q128_image_decode_stats",
+    "q77_dbscan",
+    "q120_dbscan_blocked",
     "q02_revenue_by_nation",
-    "q126_sequence_packing",
-    "q127_pii_redaction",
-    # -- (2) displaced from the r9 window (r9 verdict task 5)
-    "q57_metrics",
-    "q58_gram_matrix",
-    # -- (3) the remaining r7-evidence set, lowest number first
-    "q60_asof_join",
-    "q61_cube",
-    "q62_partitioned_write",
-    "q63_multiformat_roundtrip",
-    "q64_map_functions",
-    "q66_language_id",
-    "q67_token_count",
-    "q68_knn_regressor",
-    "q72_map_partitions",
-    "q73_grouped_normalize",
-    "q74_grouped_agg_udf",
-    "q75_pivot",
-    "q76_kmeans_fit",
-    "q80_range_window",
-    "q81_one_hot",
-    "q84_merge_upsert",
-    "q85_grouping_sets",
-    "q86_profile_table",
-    "q88_group_quantiles",
-    "q89_unpivot_melt",
-    "q92_interval_join",
-    "q99_kmeans_parallel_fit",
-    "q108_semantic_dedup",
-    "q114_ngram_language_id",
-    "q122_token_budget_mixture",
-    # -- (4) oldest r8-evidence, lowest number first, filling to 50
-    "q01_pricing_summary",
-    "q05_string_ops",
-    "q12_quantiles_histogram",
-    "q13_semi_anti_join",
-    "q14_range_join_bands",
-    "q15_global_topk",
-    "q16_project_cast_case",
-    "q17_rolling_avg",
-    "q18_lag_lead",
-    "q20_sessionization",
-    "q21_funnel",
-    "q22_json_extract",
-    "q23_retention",
-    # -- positions 51+: r8/r9-green code-unchanged (remaining r8 set
-    # first — first in line for r11 — then the r9-green block)
+    # -- (2) the remaining r8-evidence set, lowest number first
     "q24_event_value_stats",
     "q30_top_terms",
     "q33_lang_source_slice",
@@ -130,7 +79,6 @@ _PRIORITY = [
     "q59_ols_predict",
     "q70_stream_sessionization",
     "q71_stream_hourly_counts",
-    "q77_dbscan",
     "q79_stream_stateful_totals",
     "q90_regexp_ops",
     "q91_python_udtf",
@@ -141,8 +89,55 @@ _PRIORITY = [
     "q110_gopher_rules",
     "q111_clustered_layout",
     "q113_bpe_token_accounting",
-    "q120_dbscan_blocked",
     "q123_vocab_coverage",
+    # -- (3) oldest r9-evidence, lowest number first, filling to 50
+    "q03_top_orders_per_customer",
+    "q04_segment_stats",
+    "q06_orders_by_month",
+    "q07_fillna_left_join",
+    "q08_value_counts",
+    "q09_drop_duplicates",
+    "q10_set_ops",
+    "q11_rollup",
+    "q25_hourly_windows",
+    "q31_tfidf_top_term",
+    "q32_exact_dedup",
+    # -- positions 51+: r9/r10-green code-unchanged (remaining r9 set
+    # first — first in line for r12 — then the r10-green block)
+    "q35_jaccard_near_dup",
+    "q41_centroid_assignment",
+    "q42_lloyd_iteration",
+    "q45_cosine_near_dup",
+    "q47_ivf_search_full_probe",
+    "q48_kmeans_transform",
+    "q52_ridge_fit",
+    "q53_standard_scaler",
+    "q54_minmax_scaler",
+    "q55_corr_cov_matrix",
+    "q56_confusion_matrix",
+    "q65_ranking_windows",
+    "q78_minhash_near_dup",
+    "q82_lsh_knn",
+    "q83_logreg_predict",
+    "q87_naive_bayes_predict",
+    "q94_elasticnet_vs_ols",
+    "q96_train_test_split",
+    "q98_stream_dedup",
+    "q100_merge_schema",
+    "q101_make_classification",
+    "q102_adjusted_rand",
+    "q104_json_parse_at_ingest",
+    "q105_curation_pipeline",
+    "q106_salted_skew_join",
+    "q107_approx_aggregates",
+    "q109_stratified_sample",
+    "q112_incremental_dedup",
+    "q115_ivf_partial_probe",
+    "q116_stream_upsert_sink",
+    "q117_stream_static_enrichment",
+    "q118_knn_graph",
+    "q124_embedding_outliers",
+    "q125_semantic_dedup_auto",
 ]
 
 

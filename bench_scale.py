@@ -101,6 +101,7 @@ TABLES_FOR = {
     "q132_fixed_n_per_stratum": {"documents"},
     "q133_bigram_lm_score": {"documents"},
     "q134_exact_substring_dedup": {"documents"},
+    "q135_near_dup_canonicalize": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -294,213 +294,24 @@ def dbscan(
             .select("id_a", "id_b")
         ).cache()
 
-        # Connected components. Distributed label propagation (with
-        # per-round localCheckpoint lineage truncation) is the DEFAULT
-        # scale path; the driver union-find shortcut is reserved for
-        # genuinely small graphs (≤ union_find_max_edges, default 100k —
-        # O(model-state), like the reference's rank-0 solve; the r2 5M
-        # cutoff was flagged as the repo's weakest scale claim). Un-
-        # truncated label-prop lineage was measured 105 s for a 16k-edge
-        # graph from plan-recompile blowup alone, hence the checkpoint.
-        n_edges = core_edges.count()
-        if n_edges == 0:
-            # no core-core edges: every core is a singleton cluster
-            # labeled by its own id — pure projection, nothing collected
-            labels = cores.withColumn("label", F.col("id"))
-        elif n_edges <= union_find_max_edges:
-            parent: dict[int, int] = {}
+        # Connected components over the core-core edge graph —
+        # the staged strategy (driver union-find / partition-local
+        # pre-contraction / pointer-jumping) lives in
+        # operators/components.connected_components (extracted r11 so
+        # near-dup canonicalization shares it; measurements and design
+        # notes moved with it). Isolated cores never enter the graph;
+        # they label themselves below.
+        from dask_cuml_spark.operators.components import (
+            connected_components,
+        )
 
-            def find(x: int) -> int:
-                while parent.setdefault(x, x) != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for r in core_edges.collect():
-                ra, rb = find(r["id_a"]), find(r["id_b"])
-                if ra != rb:
-                    # min-root union → component id = min member id
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            # only ids that APPEAR in edges live in `parent` — the driver
-            # never materializes the full core set (isolated cores can
-            # vastly outnumber edges); they stay distributed below
-            label_rows = [(i, find(i)) for i in list(parent)]
-            edge_labels = df.sparkSession.createDataFrame(
-                label_rows, ["id", "label"]
-            )
-            singletons = cores.join(
-                edge_labels.select("id"), "id", "left_anti"
-            ).withColumn("label", F.col("id"))
-            labels = edge_labels.unionByName(singletons)
-        else:
-            # Partition-local union-find PRE-CONTRACTION (r8, verdict
-            # item 3: the pointer-jump loop was 31 s of q120's 38 s at
-            # 100× because every round joins the FULL edge set). Each
-            # partition runs union-find over just its own edges and
-            # emits (id → local root = min id of the local component);
-            # the contracted graph's vertices are the local roots, and
-            # its edges are (min root, other root) for every id that
-            # landed in two partitions with different roots — exactly
-            # the connectivity that crosses partition boundaries.
-            # Contraction preserves components, and because union keeps
-            # the MIN id as root and every root is itself a member, the
-            # min label of a contracted component equals the min member
-            # id of the original component: final labels are
-            # bit-identical regardless of how edges were partitioned.
-            # This is the "local aggregation" step of large-graph CC
-            # (Kiveris et al. 2014 "Connected Components in MapReduce
-            # and Beyond"); the contracted remainder is solved by the
-            # same gated driver union-find if it fits (the rank-0
-            # analogue, same union_find_max_edges bound) or by the
-            # pointer-jumping loop over the (much smaller) contracted
-            # edge set.
-            import pandas as pd
-
-            id_t = dict(core_edges.dtypes)["id_a"]
-
-            def uf_kernel(it):
-                parent: dict = {}
-
-                def find(x):
-                    while parent.setdefault(x, x) != x:
-                        parent[x] = parent[parent[x]]
-                        x = parent[x]
-                    return x
-
-                for pdf in it:
-                    for a, b in zip(pdf["id_a"], pdf["id_b"]):
-                        ra, rb = find(a), find(b)
-                        if ra != rb:
-                            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                            parent[hi] = lo
-                if parent:
-                    ids = list(parent)
-                    yield pd.DataFrame(
-                        {"id": ids, "root": [find(x) for x in ids]}
-                    )
-
-            # (id, root) per partition — an id split across partitions
-            # yields one row per partition it appears in
-            local_map = core_edges.mapInPandas(
-                uf_kernel, f"id {id_t}, root {id_t}"
-            )
-            id_roots = (
-                local_map.groupBy("id")
-                .agg(
-                    F.min("root").alias("mroot"),
-                    F.collect_set("root").alias("_roots"),
-                )
-                .localCheckpoint()
-            )
-            cedges = (
-                id_roots.select(
-                    F.col("mroot").alias("id_a"),
-                    F.explode("_roots").alias("id_b"),
-                )
-                .filter(F.col("id_a") != F.col("id_b"))
-                .distinct()
-            )
-            cedges = cedges.unionByName(
-                cedges.select(
-                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-                )
-            ).localCheckpoint()
-            all_roots = local_map.select("root").distinct()
-            n_c = cedges.count() // 2  # symmetrized above
-            if n_c <= union_find_max_edges:
-                parent: dict = {}
-
-                def find(x):
-                    while parent.setdefault(x, x) != x:
-                        parent[x] = parent[parent[x]]
-                        x = parent[x]
-                    return x
-
-                for r in cedges.filter(
-                    F.col("id_a") < F.col("id_b")
-                ).collect():
-                    ra, rb = find(r["id_a"]), find(r["id_b"])
-                    if ra != rb:
-                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                        parent[hi] = lo
-                cc_rows = [(i, find(i)) for i in list(parent)]
-                if cc_rows:
-                    linked = df.sparkSession.createDataFrame(
-                        cc_rows, ["root", "label"]
-                    )
-                else:
-                    linked = all_roots.withColumn(
-                        "label", F.col("root")
-                    ).limit(0)
-                root_labels = linked.unionByName(
-                    all_roots.join(
-                        linked.select("root"), "root", "left_anti"
-                    ).withColumn("label", F.col("root"))
-                )
-            else:
-                root_labels = all_roots.select(
-                    F.col("root").alias("id")
-                ).withColumn("label", F.col("id"))
-                for _ in range(max_rounds):
-                    neighbor_min = (
-                        cedges.join(
-                            root_labels.select(
-                                F.col("id").alias("id_b"),
-                                F.col("label").alias("nl"),
-                            ),
-                            "id_b",
-                        )
-                        .groupBy("id_a")
-                        .agg(F.min("nl").alias("min_nl"))
-                    )
-                    stepped = root_labels.join(
-                        neighbor_min,
-                        root_labels.id == neighbor_min.id_a,
-                        "left",
-                    ).select(
-                        "id",
-                        F.least(
-                            F.col("label"),
-                            F.coalesce("min_nl", F.col("label")),
-                        ).alias("label"),
-                    )
-                    # pointer-jumping shortcut (r7): label ← label(label).
-                    # Labels only ever decrease and label(u) ≤ u, so the
-                    # composition is monotone and safe; it doubles the
-                    # propagation horizon per round — O(log diameter)
-                    # rounds total instead of O(diameter).
-                    ptr = stepped.select(
-                        F.col("id").alias("_pid"),
-                        F.col("label").alias("_plab"),
-                    )
-                    new_labels = (
-                        stepped.join(ptr, stepped.label == ptr._pid, "left")
-                        .select(
-                            "id",
-                            F.coalesce("_plab", "label").alias("label"),
-                        )
-                        .localCheckpoint()
-                    )
-                    changed = (
-                        new_labels.alias("n")
-                        .join(root_labels.alias("o"), "id")
-                        .filter(F.col("n.label") != F.col("o.label"))
-                        .count()
-                    )
-                    root_labels = new_labels
-                    if changed == 0:
-                        break
-                root_labels = root_labels.select(
-                    F.col("id").alias("root"), "label"
-                )
-            edge_labels = id_roots.join(
-                root_labels, id_roots.mroot == root_labels.root
-            ).select("id", "label")
-            singletons = cores.join(
-                id_roots.select("id"), "id", "left_anti"
-            ).withColumn("label", F.col("id"))
-            labels = edge_labels.unionByName(singletons)
+        edge_labels = connected_components(
+            core_edges, union_find_max_edges, max_rounds
+        )
+        singletons = cores.join(
+            edge_labels.select("id"), "id", "left_anti"
+        ).withColumn("label", F.col("id"))
+        labels = edge_labels.unionByName(singletons)
 
         border = (
             pairs.join(

@@ -467,6 +467,81 @@ def q78_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q135 — near-dup cluster CANONICALIZATION (r10 verdict task 8; the
+# SlimPajama / The Pile posture): q78's verified near-dup PAIRS
+# under-delete transitive chains (A~B, B~C ⇒ {A,B,C} is ONE duplicate
+# cluster even when A~C misses the threshold), so production dedup runs
+# connected components over the pair graph and keeps ONE canonical doc
+# per cluster (lowest id — deterministic). Spark side: the exact same
+# LSH pipeline as q78 feeding operators/components.connected_components
+# (the staged CC extracted from dbscan — driver union-find at
+# model-state sizes, partition-local pre-contraction + pointer-jumping
+# at scale). FULL-VALUE oracle: DuckDB recomputes the exact
+# shingle-Jaccard pair set (q78's CTE) and resolves components by
+# recursive min-label reachability (q77's pattern) — transitivity,
+# keep-lowest minimality, and cluster membership are all re-proven
+# against string truth on every driver run.
+# ---------------------------------------------------------------------------
+@register(
+    "q135_near_dup_canonicalize",
+    oracle="""
+WITH RECURSIVE tok AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i+2], ' ')))
+           AS shingle
+  FROM tok
+), sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+), edges AS MATERIALIZED (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT id_a AS id FROM edges
+), reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.id_a, r.lab FROM edges e JOIN reach r ON e.id_b = r.id
+)
+SELECT id AS doc_id,
+       CAST(MIN(lab) AS BIGINT) AS canonical_id,
+       CAST(id = MIN(lab) AS INT) AS is_canonical
+FROM reach GROUP BY id
+ORDER BY doc_id
+""",
+)
+def q135_near_dup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.components import connected_components
+    from dask_cuml_spark.operators.dedup import minhash_near_dup
+
+    d = load_table(spark, sf_dir, "documents")
+    # q78's exact configuration — its full-value oracle already proves
+    # this pair set ≡ the exact shingle-Jaccard pairs on the fixture
+    pairs = minhash_near_dup(
+        d, n=3, num_hashes=36, bands=12, threshold=0.5
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").cast("long").alias("canonical_id"),
+        (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q82 — LSH approximate kNN (A4 scale path), invariant oracle computed
 # against the exact brute-force kNN IN-QUERY (the q40 result):
 #   * rank domination — an approximate top-k drawn from a candidate

@@ -1846,48 +1846,26 @@ ORDER BY b.doc_id
 """,
 )
 def q129_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # model state: V weight rows built once, broadcast into the token
-    # stream (on a real deployment this frame comes from the trained
-    # model file; the join is identical)
-    weights = spark.range(_Q129_V).select(
-        F.col("id").alias("bucket"),
-        (((F.col("id") * 2481) % _Q129_V) / 2048.0 - 1.0).alias("wt"),
+    # the library operator (operators/quality.py, r10 verdict task 6)
+    # in its ORACLE-REPLAYABLE mode: the positional char-code polynomial
+    # both engines can state exactly. Production callers take the
+    # default bucketizer='xxhash64' (0.92x at 100x / 1.93x at 1000x).
+    # Weight table is model state — V rows built once, broadcast.
+    from dask_cuml_spark.operators.quality import (
+        dyadic_weights,
+        quality_score,
     )
+
     # spread the explode across cores (the q110 one-row-group note)
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tok = d.select(
-        "doc_id", F.explode(tokens()).alias("tok")
-    ).filter(F.col("tok") != "")
-    # positional char-code polynomial, all JVM-side codegen (no UDF):
-    # sum (i+1) * codepoint over the token's chars, mod V
-    bucket = (
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.length("tok")),
-                lambda i: i * F.ascii(F.col("tok").substr(i, F.lit(1))),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        % _Q129_V
-    )
-    scored = (
-        tok.select("doc_id", bucket.alias("bucket"))
-        .join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("wt").alias("_wsum"),
-        )
-    )
-    logit = F.col("_wsum") / F.col("n_tokens") + F.lit(_Q129_BIAS)
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        F.round(logit, 6).alias("quality_logit"),
-        (logit > 0).alias("keep"),
+    return quality_score(
+        d,
+        dyadic_weights(spark, _Q129_V),
+        V=_Q129_V,
+        bias=_Q129_BIAS,
+        bucketizer="charpoly",
     )
     # no presentation orderBy (the q130 rule, applied by the r10
     # verdict to this query): the compare is order-insensitive and the
@@ -2092,15 +2070,20 @@ def q133_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # one exploded pass feeds training and scoring. Persist it only at
-    # small/medium inputs: above ~1 GB of source the pinned blocks
-    # starve the count aggregations (measured at 1000x), while
-    # re-running the narrow split+slice explode is scan-speed — the
-    # scale-correct trade. Gate on SOURCE bytes, not plan stats (the
-    # r10 cache-substitution lesson).
+    # small/medium inputs: at large scale the pinned blocks starve the
+    # count aggregations, while re-running the narrow split+slice
+    # explode is scan-speed — the scale-correct trade. Gate on SOURCE
+    # bytes, not plan stats (the r10 cache-substitution lesson). The
+    # gate is 256 MB, NOT the 1 GB the r10 draft used: duplicated text
+    # compresses ~2x better on disk than the rows it explodes to (the
+    # 1000x fixture is 585 MB of parquet but 125 M bigram rows), and
+    # the r11 re-run proved 585 MB of source still OOMs the persisted
+    # shape under a 24 g driver — on-disk bytes understate exploded
+    # working set, so the gate errs low.
     from dask_cuml_spark.io import source_size_bytes
     from dask_cuml_spark.plans.cost import persist_for_reuse
 
-    if source_size_bytes(sf_dir, "documents") <= (1 << 30):
+    if source_size_bytes(sf_dir, "documents") <= (256 << 20):
         big = persist_for_reuse(big)
     c12 = big.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
     c1 = big.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
@@ -2197,13 +2180,16 @@ def q134_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = spark.table(tbl)
     else:
         g = _positioned_grams(spark, sf_dir)
-        # persist only at small/medium inputs (the q133 rule: at 1000x
+        # persist only at small/medium inputs (the q133 rule: at scale
         # the pinned blocks starve the count aggregation; the narrow
-        # positioned explode recomputes at scan speed)
+        # positioned explode recomputes at scan speed). 256 MB gate —
+        # see q133: on-disk bytes understate the exploded working set
+        # ~4x on duplicated text, so 1 GB let the 1000x fixture
+        # (585 MB parquet -> 650 M positioned rows) slip through.
         from dask_cuml_spark.io import source_size_bytes
         from dask_cuml_spark.plans.cost import persist_for_reuse
 
-        if source_size_bytes(sf_dir, "documents") <= (1 << 30):
+        if source_size_bytes(sf_dir, "documents") <= (256 << 20):
             g = persist_for_reuse(g)
     dup = (
         g.groupBy("_h")

@@ -2161,3 +2161,114 @@ def test_q134_gram_layout_branch(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {T._gram_table(SF)}")
     assert not spark.catalog.tableExists(T._gram_table(SF))
+
+
+def test_quality_score_bucketizer_modes(spark):
+    """r11 (verdict task 6): the quality_score library operator. The
+    charpoly mode must be value-identical to the registered q129; the
+    production xxhash64 mode shares the row set / n_tokens (bucketing
+    changes SCORES, never token accounting) and is deterministic
+    across partitionings."""
+    import dask_cuml_spark.queries.text as T
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.quality import (
+        dyadic_weights,
+        quality_score,
+    )
+
+    d = load_table(spark, SF, "documents")
+    w = dyadic_weights(spark, T._Q129_V)
+    oracle_mode = {
+        tuple(r)
+        for r in quality_score(
+            d, w, V=T._Q129_V, bias=T._Q129_BIAS, bucketizer="charpoly"
+        ).collect()
+    }
+    registered = {
+        tuple(r) for r in T.q129_quality_model_score(spark, SF).collect()
+    }
+    assert oracle_mode == registered and len(registered) > 0
+
+    prod = quality_score(
+        d, w, V=T._Q129_V, bias=T._Q129_BIAS, bucketizer="xxhash64"
+    ).toPandas()
+    reg = T.q129_quality_model_score(spark, SF).toPandas()
+    assert set(prod.doc_id) == set(reg.doc_id)
+    a = prod.set_index("doc_id").n_tokens.sort_index()
+    b = reg.set_index("doc_id").n_tokens.sort_index()
+    assert (a == b).all()
+    # deterministic under a different partitioning (hash keys are
+    # partition-invariant)
+    prod2 = quality_score(
+        d.repartition(7), w, V=T._Q129_V, bias=T._Q129_BIAS
+    ).toPandas()
+    m1 = prod.set_index("doc_id").quality_logit.sort_index()
+    m2 = prod2.set_index("doc_id").quality_logit.sort_index()
+    assert (m1 == m2).all()
+    # bucket ids land in [0, V) for the signed xxhash64 (pmod, not %)
+    from pyspark.sql import functions as F
+    from dask_cuml_spark.operators.quality import _bucket_xxhash
+
+    rng = (
+        d.select(_bucket_xxhash(F.col("text"), T._Q129_V).alias("b"))
+        .agg(F.min("b"), F.max("b"))
+        .first()
+    )
+    assert rng[0] >= 0 and rng[1] < T._Q129_V
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find vs pre-contraction (+pointer-jump) must label
+    identically: label = min member id, regardless of edge
+    partitioning (the contraction-preserves-min-roots property)."""
+    from dask_cuml_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (7, 7), (3, 4), (11, 12)],
+        "id_a long, id_b long",
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 7: 7}
+    small = {
+        r.id: r.label for r in connected_components(edges).collect()
+    }
+    assert small == want
+    big = {
+        r.id: r.label
+        for r in connected_components(
+            edges.repartition(4), union_find_max_edges=1
+        ).collect()
+    }
+    assert big == want
+    # empty graph → typed empty frame
+    none = connected_components(edges.limit(0))
+    assert none.count() == 0 and none.columns == ["id", "label"]
+
+
+def test_q135_transitive_chain_canonicalized(spark):
+    """The under-delete case q135 exists for: A~B and B~C near-dup but
+    J(A,C) BELOW threshold — pairs alone would never link A and C; the
+    component must still canonicalize all three to min id."""
+    import dask_cuml_spark.queries.pandas_udfs as P
+    from dask_cuml_spark.operators.components import connected_components
+    from dask_cuml_spark.operators.dedup import minhash_near_dup
+
+    # middle-block edits: replacing tokens [i, i+2] changes the 5
+    # shingles touching them — J = 13/23 ≈ 0.565 per hop, while the two
+    # hops together change 10 of 18 shingles — J(1,3) = 8/28 ≈ 0.286
+    base = [f"w{i}" for i in range(20)]
+    d2 = base[:5] + ["x1", "x2", "x3"] + base[8:]
+    d3 = d2[:12] + ["y1", "y2", "y3"] + d2[15:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(d2)), (3, " ".join(d3))],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dup(
+        df, n=3, num_hashes=36, bands=12, threshold=0.5
+    ).select("id_a", "id_b")
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    assert (1, 3) not in got_pairs  # the chain q135 must close
+    labels = {
+        r.id: r.label for r in connected_components(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1}
