@@ -50,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past position 50 are r9/r10-green and code-unchanged.
 _PRIORITY = [
     # -- (1) new in round 11 + code changed in round 11
+    "q136_apply_span_dedup",
     "q135_near_dup_canonicalize",
     "q131_int8_quantization",
     "q129_quality_model_score",
@@ -101,9 +102,10 @@ _PRIORITY = [
     "q11_rollup",
     "q25_hourly_windows",
     "q31_tfidf_top_term",
+    # -- positions 51+: r9/r10-green code-unchanged (q32 displaced to
+    # 51 by the late q136 addition — first in line for r12 with the
+    # remaining r9 set — then the r10-green block)
     "q32_exact_dedup",
-    # -- positions 51+: r9/r10-green code-unchanged (remaining r9 set
-    # first — first in line for r12 — then the r10-green block)
     "q35_jaccard_near_dup",
     "q41_centroid_assignment",
     "q42_lloyd_iteration",

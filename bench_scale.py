@@ -102,6 +102,7 @@ TABLES_FOR = {
     "q133_bigram_lm_score": {"documents"},
     "q134_exact_substring_dedup": {"documents"},
     "q135_near_dup_canonicalize": {"documents"},
+    "q136_apply_span_dedup": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -2229,3 +2229,105 @@ def q134_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("gid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — span-cut APPLICATION (the step after q134 in the Lee et al.
+# 2022 pipeline: having found every maximal duplicated span, actually
+# emit the cleaned corpus with those token ranges removed — what The
+# Pile / RedPajama cleanups write back to storage). The cleaned TEXT
+# itself is the full-value witness: both engines must agree on every
+# byte of every cleaned document, so an off-by-one span boundary, a
+# dropped survivor token, or a wrong merge all break parity.
+#
+# Plan: q134's span set (already ONE corpus shuffle, or zero with the
+# positioned gram layout) → per-doc span array (groupBy doc_id — the
+# spans frame is duplicated-region-sized, far smaller than the corpus)
+# → LEFT join back to documents on doc_id → one narrow higher-order
+# pass drops covered positions and re-joins the survivors. At 100 TB
+# the join is doc-keyed (8-byte ids) and the token filtering runs at
+# scan speed; no stage sees more than the corpus + its span table.
+# ---------------------------------------------------------------------------
+@register(
+    "q136_apply_span_dedup",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(
+           toks[i + 1 : i + {_Q134_L}], ' ') AS gram
+  FROM tok,
+       UNNEST(range(0, GREATEST(len(toks) - {_Q134_L}, 0) + 1)) AS u(i)
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), covered AS (
+  SELECT DISTINCT h.doc_id, u.p
+  FROM hits h, UNNEST(range(h.pos, h.pos + {_Q134_L})) AS u(p)
+), kept AS (
+  SELECT t.doc_id, u.i, t.toks[u.i + 1] AS tok
+  FROM tok t, UNNEST(range(0, len(t.toks))) AS u(i)
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = t.doc_id AND c.p = u.i)
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens_orig,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       COALESCE(k.cleaned, '') AS cleaned_text
+FROM tok t
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(tok ORDER BY i), ' ') AS cleaned
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def q136_apply_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = (
+        q134_exact_substring_dedup(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("spans")
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens()
+    joined = d.join(spans, "doc_id", "left").select(
+        "doc_id",
+        toks.alias("toks"),
+        F.coalesce(
+            "spans", F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ).alias("spans"),
+    )
+    # survivors: position i kept iff no span covers it. Spans are
+    # per-doc few and non-overlapping (q134 merges), so the exists()
+    # probe is tiny; the whole pass is narrow (the join above is the
+    # only exchange this query adds).
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.array_size("toks") - 1),
+            lambda i: F.struct(
+                i.alias("i"), F.element_at("toks", i + 1).alias("tok")
+            ),
+        ),
+        lambda p: ~F.exists(
+            F.col("spans"),
+            lambda sp: (p["i"] >= sp["s"]) & (p["i"] < sp["e"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_size("toks").cast("bigint").alias("n_tokens_orig"),
+        F.array_size(kept).cast("bigint").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(kept, lambda p: p["tok"]), " "
+        ).alias("cleaned_text"),
+    )
