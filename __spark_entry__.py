@@ -34,9 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # this dict. Rounds rotate the window so every query periodically
 # re-enters the hard gate (advisor r2). Round-11 window, in order
 # (WINDOW_r11.md has the per-query evidence trail):
-#   1. changed-code-first: q135 (NEW — near-dup cluster
-#      canonicalization: connected components over q78's verified
-#      pairs, full-value recursive-CTE oracle), q131 (size-gated Arrow
+#   1. changed-code-first: q136 (NEW — span-cut application: emit the
+#      cleaned corpus, byte-exact cleaned-text oracle), q137 (NEW — PQ
+#      product quantization, FAISS IndexPQ; q125-style invariant oracle
+#      with an independent numpy argmin re-check), q135 (NEW — near-dup
+#      cluster canonicalization: connected components over q78's
+#      verified pairs, full-value recursive-CTE oracle), q131 (size-gated Arrow
 #      kernel + zero-scale guard), q129 (delegates to the
 #      operators/quality.py library operator; presentation sort
 #      removed), q121/q119/q134 (shared POSITIONED gram layout branch),
@@ -51,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # -- (1) new in round 11 + code changed in round 11
     "q136_apply_span_dedup",
+    "q137_pq_quantization",
     "q135_near_dup_canonicalize",
     "q131_int8_quantization",
     "q129_quality_model_score",
@@ -101,10 +105,10 @@ _PRIORITY = [
     "q10_set_ops",
     "q11_rollup",
     "q25_hourly_windows",
+    # -- positions 51+: r9/r10-green code-unchanged (q31/q32 displaced
+    # past 50 by the late q136/q137 additions — first in line for r12
+    # with the remaining r9 set — then the r10-green block)
     "q31_tfidf_top_term",
-    # -- positions 51+: r9/r10-green code-unchanged (q32 displaced to
-    # 51 by the late q136 addition — first in line for r12 with the
-    # remaining r9 set — then the r10-green block)
     "q32_exact_dedup",
     "q35_jaccard_near_dup",
     "q41_centroid_assignment",

@@ -103,6 +103,7 @@ TABLES_FOR = {
     "q134_exact_substring_dedup": {"documents"},
     "q135_near_dup_canonicalize": {"documents"},
     "q136_apply_span_dedup": {"documents"},
+    "q137_pq_quantization": {"embeddings"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -243,16 +244,36 @@ def time_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     # compute — collect-based timing measures the serializer.
     from dask_cuml_spark.benchlib import materialize
 
+    # bench_layouts' disk/GC protocol (r9 q02 campaign, ported r11
+    # after the q134 1000x leg filled the disk): each fresh-plan run
+    # strands the previous run's shuffle files until a JVM GC lets
+    # ContextCleaner delete them — 10-20 GB/run at 1000x. A System.gc()
+    # between runs (BEFORE the timer starts) bounds stranded spill to
+    # ~one run's worth.
+    big = _GC_FACTOR_AT_LEAST is not None and spark is not None
+
+    def _gc():
+        if big:
+            spark.sparkContext._jvm.System.gc()
+
     out = {}
     for n in names:
         materialize(QUERIES[n](spark, sf_dir))  # warm plan/codegen
         best = float("inf")
         for _ in range(3):  # min-of-3: single-run noise on this box is 2-3x
+            _gc()
             t0 = time.perf_counter()
             materialize(QUERIES[n](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         out[n] = round(best, 4)
+        _gc()
     return out
+
+
+#: set by main() for factors >= 300 — enables the GC-between-runs
+#: protocol in time_spark (no-op at small factors: a forced full GC
+#: costs ~0.1 s of pause the fixture-scale numbers shouldn't carry)
+_GC_FACTOR_AT_LEAST = None
 
 
 # DuckDB-side skips: q45's oracle is a Θ(n²) expression-fold all-pairs
@@ -470,6 +491,9 @@ def main() -> None:
         os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(parts)
         print(f"shuffle partitions (rule): {parts}", file=sys.stderr)
     spark = get_spark("dask_cuml_spark-scalebench")
+    if factor >= 300:
+        global _GC_FACTOR_AT_LEAST
+        _GC_FACTOR_AT_LEAST = factor
     from dask_cuml_spark.io import enable_table_cache
 
     enable_table_cache(True)

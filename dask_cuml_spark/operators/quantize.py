@@ -180,3 +180,89 @@ def int8_quantize(
     if strategy == "expr":
         return _expr_raw(df, id_col, vec_col)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def pq_train_encode(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+):
+    """Product quantization (FAISS IndexPQ, Jégou et al. 2011): split
+    each vector into ``m`` contiguous subvectors, train a ``k``-centroid
+    codebook per subspace (Lloyd on the subspace — the existing KMeans
+    operator, deterministic first-k init), and encode every vector as m
+    small codes. 64-dim float32 → 8 bytes/vector at m=8, k≤256: the
+    memory step BEYOND q131's SQ8 (16x vs 4x compression) that IVF-PQ
+    serving stacks on the q47/q115 index.
+
+    Returns (codes_df, codebooks, models):
+      codes_df   (id, codes array<int>[m]) — one narrow pass per
+                 subspace over the SAME scan, assignment via the
+                 codegen argmin expression (kmeans._assignment_expr);
+      codebooks  list of m (k × subdim) numpy arrays (model state);
+      models     the fitted KMeans per subspace (inertia histories —
+                 Lloyd's monotone-descent guarantee is an oracle
+                 invariant upstream).
+
+    Scale posture: codebook training is sample-sized in production
+    (fit on a bounded sample — model state, like the reference's
+    single-GPU fit; SURVEY §2A A1) while ENCODING is the corpus-wide
+    pass, and that pass here is m argmin expressions in one projection:
+    zero shuffles, scan speed. Subspace slicing is F.slice — no UDF.
+    """
+    from dask_cuml_spark.operators.kmeans import KMeans, _assignment_expr
+
+    head = df.select(vec_col).first()
+    dim = len(head[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    codebooks = []
+    models = []
+    out = df.select(id_col, vec_col)
+    code_cols = []
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        km = KMeans(k=k, max_iter=max_iter)
+        km.fit(
+            df.select(F.col(id_col).alias(id_col), sl.alias("_sv")),
+            vec_col="_sv",
+            id_col=id_col,
+        )
+        codebooks.append(km.cluster_centers_)
+        models.append(km)
+        # assignment over the subspace slice — the same literal-matrix
+        # argmin q41/q76 use, evaluated in ONE projection for all m
+        code_cols.append(
+            _assignment_expr_on(sl, km.cluster_centers_).alias(f"_c{s}")
+        )
+    coded = out.select(
+        id_col, vec_col, *code_cols
+    ).select(
+        id_col,
+        vec_col,
+        F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"),
+    )
+    return coded, codebooks, models
+
+
+def _assignment_expr_on(vec_expr, centers) -> "F.Column":
+    """kmeans._assignment_expr generalized to an arbitrary array
+    EXPRESSION (the original binds a column by name)."""
+    from dask_cuml_spark.functions.vector import matrix_lit
+
+    dists = F.transform(
+        matrix_lit(centers),
+        lambda c: F.aggregate(
+            F.zip_with(
+                vec_expr,
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")

@@ -996,3 +996,130 @@ def q131_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no presentation orderBy (the q130 rule: the compare is
     # order-insensitive and the sort was 0.55 s of the 1.49 s at 100x);
     # the oracle keeps its ORDER BY — DuckDB-side cost there is noise
+
+
+# ---------------------------------------------------------------------------
+# q137 — PRODUCT quantization of embeddings (FAISS IndexPQ, Jégou
+# et al. 2011 "Product Quantization for Nearest Neighbor Search"): m=8
+# contiguous subspaces, a k=16-centroid codebook per subspace trained
+# with the existing Lloyd operator (deterministic first-k init), every
+# vector encoded as 8 nibble codes — 16x memory compression vs the raw
+# float32, the step BEYOND q131's SQ8 (4x) that IVF-PQ serving stacks
+# on the q47/q115 index. Codebooks are data-derived (not
+# SQL-replayable), so the oracle is the q125-style INVARIANT row — each
+# flag a property ANY correct PQ run must satisfy, on an input salted
+# with 10 exact duplicates (copies of vec_id<10 re-id'd +1_000_000):
+#   n_rows               one code row per input vector (n + 10)
+#   code_range_ok        every code in [0, k) for all m subspaces
+#   argmin_ok            the expression-path assignment equals an
+#                        INDEPENDENT numpy/BLAS re-derivation of the
+#                        per-subspace argmin (broadcast codebooks,
+#                        Arrow-batched — a different float path, so a
+#                        codegen or slicing bug cannot self-certify)
+#   twin_ok              identical vectors get identical codes (each
+#                        injected copy matches its twin in all m)
+#   inertia_monotone_ok  all m Lloyd fits have non-increasing
+#                        inertia histories (the q76 guarantee, per
+#                        subspace)
+# Scale: training is model-state (m driver-reduced Lloyd loops, sample-
+# sized in production); ENCODING — the corpus-wide pass — is m argmin
+# expressions in ONE projection: zero shuffles, scan speed.
+# ---------------------------------------------------------------------------
+_Q137_M = 8
+_Q137_K = 16
+_Q137_NDUP = 10
+
+
+@register(
+    "q137_pq_quantization",
+    oracle=f"""
+SELECT (SELECT COUNT(*) + {_Q137_NDUP} FROM embeddings) AS n_rows,
+       1 AS code_range_ok,
+       1 AS argmin_ok,
+       1 AS twin_ok,
+       1 AS inertia_monotone_ok
+""",
+)
+def q137_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from dask_cuml_spark.operators.quantize import pq_train_encode
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") < _Q137_NDUP).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(copies)
+    coded, codebooks, models = pq_train_encode(
+        aug, m=_Q137_M, k=_Q137_K
+    )
+    # independent argmin re-derivation: numpy over broadcast codebooks
+    # (different float path than the codegen expression fold)
+    cb = np.stack(codebooks)  # (m, k, sub)
+    sub = cb.shape[2]
+
+    def recheck(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            vecs = np.stack(
+                [np.asarray(v) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            codes = np.stack([np.asarray(c) for c in pdf["codes"]])
+            bad = 0
+            for s in range(_Q137_M):
+                d = (
+                    ((vecs[:, s * sub:(s + 1) * sub, None]
+                      - cb[s].T[None, :, :]) ** 2)
+                    .sum(axis=1)
+                )
+                bad += int((d.argmin(axis=1) != codes[:, s]).sum())
+            yield pd.DataFrame({"n": [len(pdf)], "bad": [bad]})
+
+    checked = (
+        coded.mapInPandas(recheck, "n long, bad long")
+        .agg(
+            F.sum("n").alias("_n_checked"),
+            F.sum("bad").alias("_argmin_bad"),
+        )
+    )
+    stats = coded.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.array_min("codes")).alias("_cmin"),
+        F.max(F.array_max("codes")).alias("_cmax"),
+    )
+    twins = (
+        coded.filter(F.col("vec_id") >= 1_000_000)
+        .select(
+            (F.col("vec_id") - 1_000_000).alias("vec_id"),
+            F.col("codes").alias("_tc"),
+        )
+        .join(coded, "vec_id")
+        .agg(
+            F.sum(
+                (F.col("codes") != F.col("_tc")).cast("long")
+            ).alias("_twin_bad")
+        )
+    )
+    monotone = all(
+        all(
+            a >= b - 1e-9
+            for a, b in zip(km.inertia_history_, km.inertia_history_[1:])
+        )
+        for km in models
+    )
+    return stats.crossJoin(checked).crossJoin(twins).select(
+        "n_rows",
+        ((F.col("_cmin") >= 0) & (F.col("_cmax") < _Q137_K))
+        .cast("int")
+        .alias("code_range_ok"),
+        (
+            (F.col("_argmin_bad") == 0)
+            & (F.col("_n_checked") == F.col("n_rows"))
+        )
+        .cast("int")
+        .alias("argmin_ok"),
+        (F.col("_twin_bad") == 0).cast("int").alias("twin_ok"),
+        F.lit(int(monotone)).alias("inertia_monotone_ok"),
+    )
