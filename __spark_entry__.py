@@ -37,7 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   1. changed-code-first: q136 (NEW — span-cut application: emit the
 #      cleaned corpus, byte-exact cleaned-text oracle), q137 (NEW — PQ
 #      product quantization, FAISS IndexPQ; q125-style invariant oracle
-#      with an independent numpy argmin re-check), q135 (NEW — near-dup
+#      with an independent numpy argmin re-check), q138 (NEW — PQ ADC
+#      search + exact re-rank, the FAISS serving shape; q82-style
+#      rank-domination + recall invariants), q135 (NEW — near-dup
 #      cluster canonicalization: connected components over q78's
 #      verified pairs, full-value recursive-CTE oracle), q131 (size-gated Arrow
 #      kernel + zero-scale guard), q129 (delegates to the
@@ -55,6 +57,7 @@ _PRIORITY = [
     # -- (1) new in round 11 + code changed in round 11
     "q136_apply_span_dedup",
     "q137_pq_quantization",
+    "q138_pq_adc_search",
     "q135_near_dup_canonicalize",
     "q131_int8_quantization",
     "q129_quality_model_score",
@@ -104,10 +107,10 @@ _PRIORITY = [
     "q09_drop_duplicates",
     "q10_set_ops",
     "q11_rollup",
+    # -- positions 51+: r9/r10-green code-unchanged (q25/q31/q32
+    # displaced past 50 by the late q136/q137/q138 additions — first in
+    # line for r12 with the remaining r9 set — then the r10-green block)
     "q25_hourly_windows",
-    # -- positions 51+: r9/r10-green code-unchanged (q31/q32 displaced
-    # past 50 by the late q136/q137 additions — first in line for r12
-    # with the remaining r9 set — then the r10-green block)
     "q31_tfidf_top_term",
     "q32_exact_dedup",
     "q35_jaccard_near_dup",

@@ -104,6 +104,7 @@ TABLES_FOR = {
     "q135_near_dup_canonicalize": {"documents"},
     "q136_apply_span_dedup": {"documents"},
     "q137_pq_quantization": {"embeddings"},
+    "q138_pq_adc_search": {"embeddings"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
