@@ -39,7 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      product quantization, FAISS IndexPQ; q125-style invariant oracle
 #      with an independent numpy argmin re-check), q138 (NEW — PQ ADC
 #      search + exact re-rank, the FAISS serving shape; q82-style
-#      rank-domination + recall invariants), q135 (NEW — near-dup
+#      rank-domination + recall invariants), q139 (NEW — span-level
+#      decontamination: eval-gram hits through the shared interval
+#      merge; string-truth oracle), q135 (NEW — near-dup
 #      cluster canonicalization: connected components over q78's
 #      verified pairs, full-value recursive-CTE oracle), q131 (size-gated Arrow
 #      kernel + zero-scale guard), q129 (delegates to the
@@ -58,6 +60,7 @@ _PRIORITY = [
     "q136_apply_span_dedup",
     "q137_pq_quantization",
     "q138_pq_adc_search",
+    "q139_decontaminate_spans",
     "q135_near_dup_canonicalize",
     "q131_int8_quantization",
     "q129_quality_model_score",
@@ -106,10 +109,10 @@ _PRIORITY = [
     "q08_value_counts",
     "q09_drop_duplicates",
     "q10_set_ops",
-    "q11_rollup",
-    # -- positions 51+: r9/r10-green code-unchanged (q25/q31/q32
-    # displaced past 50 by the late q136/q137/q138 additions — first in
+    # -- positions 51+: r9/r10-green code-unchanged (q11/q25/q31/q32
+    # displaced past 50 by the late q136-q139 additions — first in
     # line for r12 with the remaining r9 set — then the r10-green block)
+    "q11_rollup",
     "q25_hourly_windows",
     "q31_tfidf_top_term",
     "q32_exact_dedup",

@@ -105,6 +105,7 @@ TABLES_FOR = {
     "q136_apply_span_dedup": {"documents"},
     "q137_pq_quantization": {"embeddings"},
     "q138_pq_adc_search": {"embeddings"},
+    "q139_decontaminate_spans": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -2198,6 +2198,15 @@ def q134_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_h")
     )
     hits = g.join(dup, "_h").select("doc_id", "pos")
+    return _merge_gram_spans(hits, _Q134_L)
+
+
+def _merge_gram_spans(hits: DataFrame, L: int) -> DataFrame:
+    """(doc_id, pos) gram hits → merged maximal spans [start, end) with
+    token counts — the classic running-max interval merge as a window
+    PARTITIONED by doc_id (never global; each doc's spans merge
+    independently, exactly parallel at any corpus size). Shared by q134
+    (self-duplication spans) and q139 (eval-contamination spans)."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -2212,9 +2221,7 @@ def q134_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_grp",
         (
             F.col("pos")
-            > F.coalesce(
-                F.max(F.col("pos") + _Q134_L).over(w_prev), F.lit(-1)
-            )
+            > F.coalesce(F.max(F.col("pos") + L).over(w_prev), F.lit(-1))
         ).cast("int"),
     )
     grp = flagged.withColumn("gid", F.sum("new_grp").over(w_run))
@@ -2222,8 +2229,8 @@ def q134_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp.groupBy("doc_id", "gid")
         .agg(
             F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + _Q134_L).cast("bigint").alias("span_end"),
-            (F.max("pos") + _Q134_L - F.min("pos"))
+            (F.max("pos") + L).cast("bigint").alias("span_end"),
+            (F.max("pos") + L - F.min("pos"))
             .cast("bigint")
             .alias("span_tokens"),
         )
@@ -2331,3 +2338,78 @@ def q136_apply_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(kept, lambda p: p["tok"]), " "
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — SPAN-LEVEL decontamination (the strict-hygiene complement to
+# q119: GPT-3/PaLM-style decontamination flags whole documents by eval
+# n-gram overlap — q119's per-doc counts — while span-level pipelines
+# (e.g. the 13-gram surgical removal described in Brown et al. 2020
+# App. C: affected spans are cut and the document SPLIT, not dropped)
+# need the exact token ranges that collide with the benchmark). Eval
+# set = the q119 convention (doc_id % 97 == 0, a stand-in benchmark
+# corpus). Decomposition: positioned L-grams (q134's construction, or
+# the shared bucketed layout when provisioned) → semi-join training
+# positions against the DISTINCT eval gram hashes (benchmark-sized at
+# 100 TB → broadcast; bucket-local under the layout) → the shared
+# per-doc interval merge. Oracle recomputes on gram STRINGS (the q119
+# rule: hash shortcut re-proven against string truth every driver run).
+# ---------------------------------------------------------------------------
+@register(
+    "q139_decontaminate_spans",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(
+           toks[i + 1 : i + {_Q134_L}], ' ') AS gram
+  FROM tok,
+       UNNEST(range(0, GREATEST(len(toks) - {_Q134_L}, 0) + 1)) AS u(i)
+), eval_grams AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN eval_grams e USING (gram)
+  WHERE g.doc_id % 97 <> 0
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {_Q134_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM hits
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(new_grp) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_Q134_L} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_Q134_L} - MIN(pos) AS BIGINT) AS span_tokens
+FROM grp
+GROUP BY doc_id, gid
+""",
+)
+def q139_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _gram_table(sf_dir)
+    if spark.catalog.tableExists(tbl):
+        g = spark.table(tbl)
+    else:
+        g = _positioned_grams(spark, sf_dir)
+        from dask_cuml_spark.io import source_size_bytes
+        from dask_cuml_spark.plans.cost import persist_for_reuse
+
+        if source_size_bytes(sf_dir, "documents") <= (256 << 20):
+            g = persist_for_reuse(g)
+    eval_g = (
+        g.filter(F.col("doc_id") % 97 == 0).select("_h").distinct()
+    )
+    hits = (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(eval_g, "_h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    return _merge_gram_spans(hits, _Q134_L)
