@@ -305,6 +305,21 @@ SKIP_DUCK_ABOVE = {
     # the tri CTE explode grows linearly for both engines, so beyond
     # 300x the row records the Spark-side curve only
     "q114_ngram_language_id": 300,
+    # measured r11: the 1000x oracle (650 M gram STRINGS through a
+    # group-by-HAVING + back-join + two windows) spilled >25 GB of
+    # duckdb_temp_storage and had not completed ONE timed run after
+    # ~20 min when the disk budget ran out — 100x (7.98 s, 0.42x with
+    # the gram layout) is the last comparable point; beyond it the row
+    # records the Spark-side curve, whose shuffle keys stay 8 bytes
+    "q134_exact_substring_dedup": 100,
+    "q139_decontaminate_spans": 100,
+    "q136_apply_span_dedup": 100,
+    # clone-artifact quadratic for BOTH engines (clusters = factor
+    # copies, pairs Θ(factor²) — the q45 convention). Measured curve
+    # while comparable: 2.62x (1x) -> 0.36x (10x) -> 0.14x (30x):
+    # banded LSH + pre-contracted CC WIDENS its lead with scale vs the
+    # exact self-join + recursive CTE
+    "q135_near_dup_canonicalize": 30,
 }
 
 # Tail rows whose DuckDB "oracle" is an O(1) invariant check (q76/q82:
@@ -313,6 +328,18 @@ SKIP_DUCK_ABOVE = {
 # harness). A wall-clock ratio against those is meaningless; the row
 # records the Spark-side scaling curve only.
 ORACLE_NOT_COMPARABLE = {
+    "q137_pq_quantization": (
+        "oracle is an O(1) invariant row — the Spark side trains m=8 "
+        "Lloyd codebooks, encodes every vector, AND re-derives every "
+        "argmin through an independent numpy path; row records "
+        "Spark-side scaling only"
+    ),
+    "q138_pq_adc_search": (
+        "oracle is an O(1) invariant row — the Spark side trains PQ, "
+        "ADC-scans all codes, exact-re-ranks the shortlist AND runs "
+        "the in-query exact-kNN baseline for the rank/recall checks; "
+        "row records Spark-side scaling only"
+    ),
     "q128_image_decode_stats": (
         "oracle is an injected-expectation closed form — DuckDB does "
         "NO image work while Spark PNG-encodes AND -decodes every "
@@ -436,7 +463,12 @@ def tune_q77_eps(factor: int) -> float:
 # at 30×, ~11 min at 100×). Beyond 30× the declared scale path is LSH /
 # banded near-dup (q78/q82/q103), so the brute-force row is skipped
 # rather than burning a bench slot proving a known quadratic.
-SKIP_SPARK_ABOVE = {"q45_cosine_near_dup": 30}
+SKIP_SPARK_ABOVE = {
+    "q45_cosine_near_dup": 30,
+    # same clone artifact as its DuckDB cap: candidate buckets densify
+    # Θ(factor²) on replicated text for ANY engine
+    "q135_near_dup_canonicalize": 30,
+}
 
 
 def time_duck(sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -705,6 +737,11 @@ def main() -> None:
         # (pair-scan phase 7-17 s, full query ~55 s incl. the shared
         # CC). q77's 104.7 s / OOM-free exact row on ITS unit-norm data
         # remains the exact-path reference point.
+        # checkpoint after EVERY leg (r11): the q134 1000x invocation
+        # lost 30 min of Spark timings when the DuckDB leg died on a
+        # full disk with everything still in memory
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     spark.stop()
 
     def med(label):
