@@ -313,7 +313,10 @@ SKIP_DUCK_ABOVE = {
     # records the Spark-side curve, whose shuffle keys stay 8 bytes
     "q134_exact_substring_dedup": 100,
     "q139_decontaminate_spans": 100,
-    "q136_apply_span_dedup": 100,
+    # measured r11: at 100x the covered/kept anti-join (65 M grams ×
+    # L-token UNNEST ranges) grew DuckDB past 44 GB RSS and died in
+    # OutOfMemoryException ("bad allocation") before one timed run
+    "q136_apply_span_dedup": 30,
     # clone-artifact quadratic for BOTH engines (clusters = factor
     # copies, pairs Θ(factor²) — the q45 convention). Measured curve
     # while comparable: 2.62x (1x) -> 0.36x (10x) -> 0.14x (30x):
@@ -476,13 +479,25 @@ def time_duck(sf_dir: str, names: list[str]) -> dict[str, float]:
     out = {}
     try:
         for n in names:
-            con.execute(ORACLES[n]).arrow()  # warm
-            best = float("inf")
-            for _ in range(3):  # min-of-3, same protocol as the Spark side
-                t0 = time.perf_counter()
-                con.execute(ORACLES[n]).arrow()
-                best = min(best, time.perf_counter() - t0)
-            out[n] = round(best, 4)
+            # per-query isolation (r11: the q136 100x oracle OOM'd
+            # DuckDB — "bad allocation" after >40 GB — and the bare
+            # exception killed the invocation WITH the finished Spark
+            # timings; a failed oracle is a finding, not a crash)
+            try:
+                con.execute(ORACLES[n]).arrow()  # warm
+                best = float("inf")
+                for _ in range(3):  # min-of-3, same as the Spark side
+                    t0 = time.perf_counter()
+                    con.execute(ORACLES[n]).arrow()
+                    best = min(best, time.perf_counter() - t0)
+                out[n] = round(best, 4)
+            except Exception as exc:  # noqa: BLE001 — keep the leg alive
+                print(
+                    f"duckdb {n} FAILED: {type(exc).__name__}: "
+                    f"{str(exc)[:200]}",
+                    file=sys.stderr,
+                )
+                out[n] = None
     finally:
         con.close()
     return out
