@@ -182,6 +182,63 @@ def int8_quantize(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+):
+    """Train the m per-subspace codebooks only (model state). Split out
+    of pq_train_encode (r11) so a session can fit ONCE and encode many
+    frames — the production posture (and the _fitted_ivf memo pattern):
+    q137 encodes the twin-salted frame and q138 serves ADC search off
+    the SAME codebooks without re-running the m Lloyd loops."""
+    from dask_cuml_spark.operators.kmeans import KMeans
+
+    head = df.select(vec_col).first()
+    dim = len(head[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    codebooks, models = [], []
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        km = KMeans(k=k, max_iter=max_iter)
+        km.fit(
+            df.select(F.col(id_col).alias(id_col), sl.alias("_sv")),
+            vec_col="_sv",
+            id_col=id_col,
+        )
+        codebooks.append(km.cluster_centers_)
+        models.append(km)
+    return codebooks, models
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a frame against fitted codebooks: m literal-matrix argmin
+    expressions in ONE projection — zero shuffles, scan speed."""
+    m = len(codebooks)
+    dim = sum(cb.shape[1] for cb in codebooks)
+    sub = dim // m
+    code_cols = [
+        _assignment_expr_on(
+            F.slice(F.col(vec_col), s * sub + 1, sub), codebooks[s]
+        ).alias(f"_c{s}")
+        for s in range(m)
+    ]
+    return df.select(id_col, vec_col, *code_cols).select(
+        id_col,
+        vec_col,
+        F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"),
+    )
+
+
 def pq_train_encode(
     df: DataFrame,
     m: int = 8,
@@ -198,54 +255,14 @@ def pq_train_encode(
     memory step BEYOND q131's SQ8 (16x vs 4x compression) that IVF-PQ
     serving stacks on the q47/q115 index.
 
-    Returns (codes_df, codebooks, models):
-      codes_df   (id, codes array<int>[m]) — one narrow pass per
-                 subspace over the SAME scan, assignment via the
-                 codegen argmin expression (kmeans._assignment_expr);
-      codebooks  list of m (k × subdim) numpy arrays (model state);
-      models     the fitted KMeans per subspace (inertia histories —
-                 Lloyd's monotone-descent guarantee is an oracle
-                 invariant upstream).
-
-    Scale posture: codebook training is sample-sized in production
-    (fit on a bounded sample — model state, like the reference's
-    single-GPU fit; SURVEY §2A A1) while ENCODING is the corpus-wide
-    pass, and that pass here is m argmin expressions in one projection:
-    zero shuffles, scan speed. Subspace slicing is F.slice — no UDF.
+    Returns (codes_df, codebooks, models). Thin composition of pq_fit
+    (model-state training, memoizable per session) and pq_encode (the
+    corpus-wide pass: m argmin expressions in one zero-shuffle
+    projection). Scale posture: production fits on a bounded sample
+    ONCE and encodes everything; the split mirrors that.
     """
-    from dask_cuml_spark.operators.kmeans import KMeans, _assignment_expr
-
-    head = df.select(vec_col).first()
-    dim = len(head[0])
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    sub = dim // m
-    codebooks = []
-    models = []
-    out = df.select(id_col, vec_col)
-    code_cols = []
-    for s in range(m):
-        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-        km = KMeans(k=k, max_iter=max_iter)
-        km.fit(
-            df.select(F.col(id_col).alias(id_col), sl.alias("_sv")),
-            vec_col="_sv",
-            id_col=id_col,
-        )
-        codebooks.append(km.cluster_centers_)
-        models.append(km)
-        # assignment over the subspace slice — the same literal-matrix
-        # argmin q41/q76 use, evaluated in ONE projection for all m
-        code_cols.append(
-            _assignment_expr_on(sl, km.cluster_centers_).alias(f"_c{s}")
-        )
-    coded = out.select(
-        id_col, vec_col, *code_cols
-    ).select(
-        id_col,
-        vec_col,
-        F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"),
-    )
-    return coded, codebooks, models
+    codebooks, models = pq_fit(df, m, k, id_col, vec_col, max_iter)
+    return pq_encode(df, codebooks, id_col, vec_col), codebooks, models
 
 
 def _assignment_expr_on(vec_expr, centers) -> "F.Column":
