@@ -41,7 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      search + exact re-rank, the FAISS serving shape; q82-style
 #      rank-domination + recall invariants), q139 (NEW — span-level
 #      decontamination: eval-gram hits through the shared interval
-#      merge; string-truth oracle), q135 (NEW — near-dup
+#      merge; string-truth oracle), q140 (NEW — temperature mixture
+#      sampling, mT5/XLM-R n^α; α=0.5 keeps the rate map cross-engine
+#      exact, full-value oracle), q135 (NEW — near-dup
 #      cluster canonicalization: connected components over q78's
 #      verified pairs, full-value recursive-CTE oracle), q131 (size-gated Arrow
 #      kernel + zero-scale guard), q129 (delegates to the
@@ -61,6 +63,7 @@ _PRIORITY = [
     "q137_pq_quantization",
     "q138_pq_adc_search",
     "q139_decontaminate_spans",
+    "q140_temperature_mixture",
     "q135_near_dup_canonicalize",
     "q131_int8_quantization",
     "q129_quality_model_score",
@@ -108,10 +111,10 @@ _PRIORITY = [
     "q07_fillna_left_join",
     "q08_value_counts",
     "q09_drop_duplicates",
-    "q10_set_ops",
-    # -- positions 51+: r9/r10-green code-unchanged (q11/q25/q31/q32
-    # displaced past 50 by the late q136-q139 additions — first in
+    # -- positions 51+: r9/r10-green code-unchanged (q10/q11/q25/q31/
+    # q32 displaced past 50 by the late q136-q140 additions — first in
     # line for r12 with the remaining r9 set — then the r10-green block)
+    "q10_set_ops",
     "q11_rollup",
     "q25_hourly_windows",
     "q31_tfidf_top_term",

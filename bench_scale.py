@@ -106,6 +106,7 @@ TABLES_FOR = {
     "q137_pq_quantization": {"embeddings"},
     "q138_pq_adc_search": {"embeddings"},
     "q139_decontaminate_spans": {"documents"},
+    "q140_temperature_mixture": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

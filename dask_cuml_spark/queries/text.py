@@ -2413,3 +2413,83 @@ def q139_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos")
     )
     return _merge_gram_spans(hits, _Q134_L)
+
+
+# ---------------------------------------------------------------------------
+# q140 — TEMPERATURE-based multilingual mixture sampling (the mT5 /
+# XLM-R / CC-100 practice: sample language l with probability ∝ n_l^α,
+# α<1, so low-resource languages are upweighted relative to their raw
+# share — Conneau et al. 2020 §3.1, Xue et al. 2021 §3.2). α = 0.5
+# here, deliberately: the per-language weight n_l^(α−1) = 1/√n_l makes
+# every rate a composition of CORRECTLY-ROUNDED IEEE ops (one divide,
+# one sqrt, one ×4096 = exact exponent shift, one floor), so both
+# engines derive bit-identical integer rates from the counts and the
+# whole query keeps a full-value oracle — a generic α would need a
+# cross-engine pow() convention. Rates are normalized so the SMALLEST
+# language keeps everything (rate 4096/4096), the standard "downsample
+# the head, never fabricate the tail" posture.
+#
+# Plan: one count pass (per-lang model state) → broadcast the rate map
+# → the q109 portable-hash keep predicate per row → one aggregate. At
+# 100 TB: two scans, zero wide shuffles, no RNG state.
+# ---------------------------------------------------------------------------
+@register(
+    "q140_temperature_mixture",
+    oracle=f"""
+WITH pool AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS nt FROM documents
+), cnt AS (
+  SELECT lang, COUNT(*) AS n FROM pool GROUP BY lang
+), rates AS (
+  SELECT lang, n,
+         CAST(FLOOR(4096 * SQRT(
+           (SELECT MIN(n) FROM cnt) * 1.0 / n)) AS BIGINT) AS rate
+  FROM cnt
+), scored AS (
+  SELECT p.lang,
+         ((p.doc_id % 4096) * {_Q109_MULT}) % 4096 AS bucket,
+         p.nt, r.rate, r.n
+  FROM pool p JOIN rates r USING (lang)
+)
+SELECT lang,
+       MAX(n) AS n_pool,
+       MAX(rate) AS rate_pp4096,
+       COUNT(*) FILTER (bucket < rate) AS n_sampled,
+       CAST(SUM(nt) FILTER (bucket < rate) AS BIGINT) AS sampled_tokens
+FROM scored GROUP BY lang ORDER BY lang
+""",
+)
+def q140_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    minn = cnt.agg(F.min("n").alias("_minn"))
+    # FLOOR(4096 * SQRT(min_n / n)) — every step correctly rounded or
+    # exact in BOTH engines (see header), so the rate map is
+    # bit-deterministic from the counts
+    rates = cnt.crossJoin(F.broadcast(minn)).select(
+        "lang",
+        "n",
+        F.floor(
+            F.lit(4096)
+            * F.sqrt(F.col("_minn").cast("double") / F.col("n"))
+        ).alias("rate"),
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(4096)) * F.lit(_Q109_MULT),
+        F.lit(4096),
+    )
+    keep = bucket < F.col("rate")
+    return (
+        d.select("lang", "doc_id", F.array_size(tokens()).alias("_nt"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").alias("n_pool"),
+            F.max("rate").alias("rate_pp4096"),
+            F.count_if(keep).alias("n_sampled"),
+            F.sum(F.when(keep, F.col("_nt")))
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
