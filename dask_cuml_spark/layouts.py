@@ -11,6 +11,14 @@ amortized across every query that reads it):
          3.54x -> 0.77x; write 12.7 s, amortized across consumers).
   q112   corpus LSH index (shingle sets + band buckets): per-run
          signature work drops to Theta(|new batch|).
+  pq     the stored PQ serving index (r12 — FAISS "build the index"):
+         (vec_id, cell_id, codes) bucketBy(cell_id) + the model sidecar
+         (PQ codebooks + coarse centroids); q138/q141 serve off the
+         8-byte code table instead of re-encoding the corpus per
+         invocation, and IVF-PQ probes bucket-prune to the probed
+         cells (SelectedBucketsCount < total under
+         spark.sql.sources.bucketing.autoBucketedScan.enabled=false;
+         row-group pruning via the pushed cell_id IN filter otherwise).
 
 Each branch is catalog-gated and fingerprint-keyed
 (operators/layout.layout_tag): a fresh session — the driver's
@@ -31,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 #: layout name -> (writer import path, table-name fn, source files)
-_LAYOUTS = ("q02", "grams", "q112")
+_LAYOUTS = ("q02", "grams", "q112", "pq")
 
 
 def ensure_layouts(
@@ -61,6 +69,7 @@ def ensure_layouts(
         _gram_table,
         gram_layout,
     )
+    from dask_cuml_spark.queries.vector import _pq_tables, pq_layout
 
     # table-name thunks, not values: layout_tag stats the source
     # parquet, so naming the grams tables on a fixture that has no
@@ -69,6 +78,7 @@ def ensure_layouts(
         "q02": (lambda: _q02_bucket_tables(sf_dir), q02_bucketed_layout),
         "grams": (lambda: (_gram_table(sf_dir),), gram_layout),
         "q112": (lambda: _q112_index_tables(sf_dir), q112_index_layout),
+        "pq": (lambda: _pq_tables(sf_dir), pq_layout),
     }
     # stale-GC prefixes: everything up to the trailing fingerprint tag.
     # The r11 positioned-gram schema replaced the r8 distinct-pair one;
@@ -79,6 +89,7 @@ def ensure_layouts(
         "q02": ("dcs_q02_orders_", "dcs_q02_lineitem_"),
         "grams": (f"dcs_grams{_Q121_N}pos_",),
         "q112": ("dcs_q112_",),
+        "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_"),
     }
     legacy_prefixes = {"grams": (f"dcs_q121_grams{_Q121_N}_",)}
     out: dict[str, float] = {}

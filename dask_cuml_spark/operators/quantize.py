@@ -108,6 +108,25 @@ def _kernel(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         for pdf in it:
             if pdf.empty:
                 continue
+            # null vectors propagate as all-null output rows — the expr
+            # strategy's behavior (transform/aggregate over NULL is
+            # NULL), so 'auto' flipping expr->kernel at GATE_BYTES never
+            # changes dirty-input semantics (advisor r11)
+            null_mask = pdf[vec_col].isna()
+            if null_mask.any():
+                nulls = pdf[null_mask]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": nulls[id_col].to_numpy(),
+                        "scale": [None] * len(nulls),
+                        "q_sum": pd.array([None] * len(nulls), "Int64"),
+                        "q_abs_sum": pd.array([None] * len(nulls), "Int64"),
+                        "max_err": [None] * len(nulls),
+                    }
+                )
+                pdf = pdf[~null_mask]
+                if pdf.empty:
+                    continue
             ids = pdf[id_col].to_numpy()
             # fixture vectors are fixed-dim; fall back to a ragged loop
             # if a source ever mixes lengths
@@ -189,24 +208,55 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 5,
+    max_train_rows: int | None = None,
 ):
     """Train the m per-subspace codebooks only (model state). Split out
     of pq_train_encode (r11) so a session can fit ONCE and encode many
     frames — the production posture (and the _fitted_ivf memo pattern):
     q137 encodes the twin-salted frame and q138 serves ADC search off
-    the SAME codebooks without re-running the m Lloyd loops."""
+    the SAME codebooks without re-running the m Lloyd loops.
+
+    ``max_train_rows`` bounds the TRAINING set (r11 verdict: codebooks
+    are model state — FAISS trains them on a bounded sample, never the
+    corpus; m=8 Lloyd fits x max_iter=5 over the full frame is ~40
+    corpus-wide aggregation passes, the wrong plan at 100 TB even
+    once). The sample is a deterministic xxhash64 bucket cut on
+    ``id_col`` (the train_test_split convention): same rows selected
+    regardless of partitioning or cluster size, so memoized refits are
+    bit-identical. When the frame already fits the cap the filter is
+    skipped entirely — small-fixture codebooks are unchanged. The cap
+    only affects which rows VOTE for centroid positions; every encode
+    invariant (argmin re-derivation, twin consistency, code range,
+    Lloyd monotonicity) is codebook-agnostic, so q137/q138's oracles
+    hold for any cap."""
     from dask_cuml_spark.operators.kmeans import KMeans
 
     head = df.select(vec_col).first()
     dim = len(head[0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
+    train = df
+    if max_train_rows is not None:
+        n = df.count()
+        if n > max_train_rows:
+            # bucket cut sized so E[sample] = max_train_rows; one cheap
+            # count (model-state work, paid once per session via the
+            # _fitted_pq memo) buys a corpus-independent training cost
+            cut = max(1, int(max_train_rows / n * 10_000))
+            train = df.filter(
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(42)), F.lit(10_000))
+                < F.lit(cut)
+            )
+            # the m subspace fits each scan the sample ~max_iter times;
+            # localCheckpoint materializes it ONCE (sample-sized, the
+            # whole point of the cap)
+            train = train.localCheckpoint()
     codebooks, models = [], []
     for s in range(m):
         sl = F.slice(F.col(vec_col), s * sub + 1, sub)
         km = KMeans(k=k, max_iter=max_iter)
         km.fit(
-            df.select(F.col(id_col).alias(id_col), sl.alias("_sv")),
+            train.select(F.col(id_col).alias(id_col), sl.alias("_sv")),
             vec_col="_sv",
             id_col=id_col,
         )

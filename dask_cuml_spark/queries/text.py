@@ -1673,7 +1673,10 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_block",
         (F.col("last_block") - F.col("first_block") + 1).alias("n_blocks"),
         "block_offset",
-    ).orderBy("doc_id")
+    )
+    # no presentation orderBy (the q130 rule, extended here r12): the
+    # driver compare is order-insensitive and the global sort was a
+    # full-output range exchange — 5 M rows at 1000x for display order
 
 
 # ---------------------------------------------------------------------------
@@ -1789,7 +1792,8 @@ def q127_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
-    ).orderBy("doc_id")
+    )
+    # no presentation orderBy (q130 rule, r12): one scan, zero shuffles
 
 
 # ---------------------------------------------------------------------------

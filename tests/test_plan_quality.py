@@ -265,10 +265,12 @@ def test_q129_weights_broadcast_single_data_shuffle(spark):
 def test_q128_q130_q131_no_data_shuffle(spark):
     """The narrow-map family must stay shuffle-free: only the explicit
     round-robin spread may appear, never a hashpartitioning exchange or
-    a global sort."""
+    a global sort. q127 joined the family in r12 (presentation sort
+    removed — it is one scan of narrow per-row expressions)."""
     import re
 
     for name in (
+        "q127_pii_redaction",
         "q128_image_decode_stats",
         "q130_chunk_documents",
         "q131_int8_quantization",
@@ -279,3 +281,12 @@ def test_q128_q130_q131_no_data_shuffle(spark):
             f"{name} grew a global sort — the presentation-sort "
             "removal (r10, 2.4 s at 100x) regressed"
         )
+
+
+def test_q126_no_presentation_sort(spark):
+    """q126's two-level prefix sum keeps its partitioned window
+    exchanges, but the r12 presentation-sort removal means no
+    rangepartitioning exchange may reappear (a full-output global sort
+    — 5 M rows at 1000x — purely for display order)."""
+    plan = _plan(spark, "q126_sequence_packing")
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
