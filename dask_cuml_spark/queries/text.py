@@ -2497,3 +2497,108 @@ def q140_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — packing-efficiency audit (r11 verdict task 8: the pre-training
+# batch-shape QA step). Given q126's concat-and-chunk placements, emit
+# per-BLOCK statistics — the numbers a data engineer reads before
+# launching a run to understand what the packer did to the batch shape:
+#   n_docs         documents contributing tokens to the block
+#   n_starts       documents whose first token lands in the block
+#   n_ends         documents whose last token lands in the block
+#   fill_tokens    tokens in the block (== block size for every block
+#                  but the stream tail — the audit PROVES the packer
+#                  leaves no holes)
+#   contin_tokens  tokens from documents that started in an EARLIER
+#                  block (cross-boundary continuations — the tokens
+#                  whose attention context was cut by the block
+#                  boundary; sum/total is the packing's semantic-loss
+#                  rate, the quantity papers trade off against padding
+#                  waste when choosing concat-vs-pad packing)
+# Every quantity is an exact BIGINT (full-value oracle). Shape: one
+# narrow explode of each doc's block RANGE (output rows ≈ blocks +
+# doc-span overflow, ≪ token count) off q126's placement frame, then
+# ONE groupBy(block_id) — the placement's two-level prefix sum is the
+# only other shuffle inherited. At 100 TB the explode emits
+# Θ(total_tokens / block_size + n_docs) rows — corpus-token-independent
+# per block, and the aggregate keys are dense integers (no skew: every
+# block gets ~block_size/avg_doc_len docs).
+# ---------------------------------------------------------------------------
+@register(
+    "q142_packing_audit",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS seq_start
+  FROM t
+), e AS (
+  -- the window SUM is HUGEINT in DuckDB; BIGINT-cast once here so
+  -- range()/arithmetic below bind (all values < 2^63 by construction)
+  SELECT doc_id, n_tokens, CAST(seq_start AS BIGINT) AS seq_start,
+         CAST(seq_start // {_Q126_BLOCK} AS BIGINT) AS first_block,
+         CAST((seq_start + n_tokens - 1) // {_Q126_BLOCK} AS BIGINT)
+           AS last_block
+  FROM p
+), x AS (
+  SELECT doc_id, n_tokens, seq_start, first_block, last_block,
+         UNNEST(range(first_block, last_block + 1)) AS block_id
+  FROM e
+)
+SELECT CAST(block_id AS BIGINT) AS block_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN block_id = first_block THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_starts,
+       CAST(SUM(CASE WHEN block_id = last_block THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ends,
+       CAST(SUM(LEAST(seq_start + n_tokens, (block_id + 1) * {_Q126_BLOCK})
+            - GREATEST(seq_start, block_id * {_Q126_BLOCK}))
+            AS BIGINT) AS fill_tokens,
+       CAST(SUM(CASE WHEN block_id > first_block THEN
+             LEAST(seq_start + n_tokens, (block_id + 1) * {_Q126_BLOCK})
+             - block_id * {_Q126_BLOCK}
+           ELSE 0 END) AS BIGINT) AS contin_tokens
+FROM x
+GROUP BY block_id
+""",
+)
+def q142_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _Q126_BLOCK
+    placed = q126_sequence_packing(spark, sf_dir).select(
+        "doc_id", "n_tokens", "seq_start", "first_block", "last_block"
+    )
+    x = placed.select(
+        "n_tokens",
+        "seq_start",
+        "first_block",
+        "last_block",
+        F.explode(F.sequence("first_block", "last_block")).alias("block_id"),
+    )
+    in_block = F.least(
+        F.col("seq_start") + F.col("n_tokens"),
+        (F.col("block_id") + 1) * B,
+    ) - F.greatest(F.col("seq_start"), F.col("block_id") * B)
+    return x.groupBy("block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("block_id") == F.col("first_block")).cast("long")
+        ).alias("n_starts"),
+        F.sum(
+            (F.col("block_id") == F.col("last_block")).cast("long")
+        ).alias("n_ends"),
+        F.sum(in_block).alias("fill_tokens"),
+        F.sum(
+            F.when(
+                F.col("block_id") > F.col("first_block"),
+                F.least(
+                    F.col("seq_start") + F.col("n_tokens"),
+                    (F.col("block_id") + 1) * B,
+                )
+                - F.col("block_id") * B,
+            ).otherwise(F.lit(0))
+        ).alias("contin_tokens"),
+    )
