@@ -32,93 +32,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-11 window, in order
-# (WINDOW_r11.md has the per-query evidence trail):
-#   1. changed-code-first: q136 (NEW — span-cut application: emit the
-#      cleaned corpus, byte-exact cleaned-text oracle), q137 (NEW — PQ
-#      product quantization, FAISS IndexPQ; q125-style invariant oracle
-#      with an independent numpy argmin re-check), q138 (NEW — PQ ADC
-#      search + exact re-rank, the FAISS serving shape; q82-style
-#      rank-domination + recall invariants), q139 (NEW — span-level
-#      decontamination: eval-gram hits through the shared interval
-#      merge; string-truth oracle), q140 (NEW — temperature mixture
-#      sampling, mT5/XLM-R n^α; α=0.5 keeps the rate map cross-engine
-#      exact, full-value oracle), q135 (NEW — near-dup
-#      cluster canonicalization: connected components over q78's
-#      verified pairs, full-value recursive-CTE oracle), q131 (size-gated Arrow
-#      kernel + zero-scale guard), q129 (delegates to the
-#      operators/quality.py library operator; presentation sort
-#      removed), q121/q119/q134 (shared POSITIONED gram layout branch),
-#      q133 (persist gate lowered to 256 MB — the r11 1000x OOM fix),
-#      q128 (RGBA-safe PNG encoder, advisor r10), q77/q120 (dbscan's CC
-#      extracted to operators/components.py), q02 (io.source_size_bytes
-#      now raises on a missing path — its branch gate input);
-#   2. the 28 remaining r8-evidence queries, lowest number first
-#      (q77/q120 from that set already sit in group 1);
-#   3. oldest r9-evidence queries, lowest number first, filling to 50.
-# Entries past position 50 are r9/r10-green and code-unchanged.
+# re-enters the hard gate (advisor r2). Round-12 window, in order
+# (WINDOW_r12.md has the per-query evidence trail):
+#   1. changed-code-first: q141 (NEW — IVF-PQ search: coarse cells +
+#      PQ ADC + exact re-rank, the FAISS IVFPQ serving index; q138's
+#      invariant oracle pattern), q142 (NEW — packing-efficiency
+#      audit over q126's placements, full-value integer oracle),
+#      q137/q138 (pq_fit now trains on a bounded deterministic
+#      hash-sample; q138 additionally serves off the stored PQ layout
+#      when provisioned and its exact baseline excludes self-matches —
+#      advisor r11), q131 (kernel path now propagates null vectors
+#      like the expr path — advisor r11), q126/q127 (presentation
+#      sorts removed, plan-pinned);
+#   2. q10/q11/q25/q31/q32 — displaced past 50 in r11 by the late
+#      q136–q140 additions; WINDOW_r11.md named them first in line;
+#   3. the r9-evidence block (every remaining query whose latest
+#      driver row is round 9), lowest number first;
+#   4. oldest r10-evidence queries, lowest number first, filling to 50.
+# Entries past position 50 are r10/r11-green and code-unchanged.
 _PRIORITY = [
-    # -- (1) new in round 11 + code changed in round 11
-    "q136_apply_span_dedup",
+    # -- (1) new or changed in round 12
+    "q141_ivfpq_search",
+    "q142_packing_audit",
     "q137_pq_quantization",
     "q138_pq_adc_search",
-    "q139_decontaminate_spans",
-    "q140_temperature_mixture",
-    "q135_near_dup_canonicalize",
     "q131_int8_quantization",
-    "q129_quality_model_score",
-    "q121_boilerplate_ngrams",
-    "q119_contamination_check",
-    "q134_exact_substring_dedup",
-    "q133_bigram_lm_score",
-    "q128_image_decode_stats",
-    "q77_dbscan",
-    "q120_dbscan_blocked",
-    "q02_revenue_by_nation",
-    # -- (2) the remaining r8-evidence set, lowest number first
-    "q24_event_value_stats",
-    "q30_top_terms",
-    "q33_lang_source_slice",
-    "q34_text_quality",
-    "q36_naive_bayes_fit",
-    "q37_label_encode",
-    "q38_fingerprint",
-    "q39_count_vectorizer",
-    "q40_knn_bruteforce",
-    "q43_cosine_topk",
-    "q44_multimodal_join",
-    "q46_knn_classify",
-    "q50_feature_stats",
-    "q51_ols_fit",
-    "q59_ols_predict",
-    "q70_stream_sessionization",
-    "q71_stream_hourly_counts",
-    "q79_stream_stateful_totals",
-    "q90_regexp_ops",
-    "q91_python_udtf",
-    "q93_stream_stream_join",
-    "q95_random_forest",
-    "q97_make_blobs",
-    "q103_simhash_near_dup",
-    "q110_gopher_rules",
-    "q111_clustered_layout",
-    "q113_bpe_token_accounting",
-    "q123_vocab_coverage",
-    # -- (3) oldest r9-evidence, lowest number first, filling to 50
-    "q03_top_orders_per_customer",
-    "q04_segment_stats",
-    "q06_orders_by_month",
-    "q07_fillna_left_join",
-    "q08_value_counts",
-    "q09_drop_duplicates",
-    # -- positions 51+: r9/r10-green code-unchanged (q10/q11/q25/q31/
-    # q32 displaced past 50 by the late q136-q140 additions — first in
-    # line for r12 with the remaining r9 set — then the r10-green block)
+    "q126_sequence_packing",
+    "q127_pii_redaction",
+    # -- (2) displaced past 50 last round, first in line (WINDOW_r11)
     "q10_set_ops",
     "q11_rollup",
     "q25_hourly_windows",
     "q31_tfidf_top_term",
     "q32_exact_dedup",
+    # -- (3) the r9-evidence block, lowest number first
     "q35_jaccard_near_dup",
     "q41_centroid_assignment",
     "q42_lloyd_iteration",
@@ -153,6 +100,99 @@ _PRIORITY = [
     "q118_knn_graph",
     "q124_embedding_outliers",
     "q125_semantic_dedup_auto",
+    # -- (4) oldest r10-evidence, lowest number first, filling to 50
+    "q01_pricing_summary",
+    "q05_string_ops",
+    "q12_quantiles_histogram",
+    "q13_semi_anti_join",
+    # -- positions 51+: code-unchanged. Remaining r10-evidence first
+    # (first in line for r13), lowest number first
+    "q14_range_join_bands",
+    "q15_global_topk",
+    "q16_project_cast_case",
+    "q17_rolling_avg",
+    "q18_lag_lead",
+    "q20_sessionization",
+    "q21_funnel",
+    "q22_json_extract",
+    "q23_retention",
+    "q57_metrics",
+    "q58_gram_matrix",
+    "q60_asof_join",
+    "q61_cube",
+    "q62_partitioned_write",
+    "q63_multiformat_roundtrip",
+    "q64_map_functions",
+    "q66_language_id",
+    "q67_token_count",
+    "q68_knn_regressor",
+    "q72_map_partitions",
+    "q73_grouped_normalize",
+    "q74_grouped_agg_udf",
+    "q75_pivot",
+    "q76_kmeans_fit",
+    "q80_range_window",
+    "q81_one_hot",
+    "q84_merge_upsert",
+    "q85_grouping_sets",
+    "q86_profile_table",
+    "q88_group_quantiles",
+    "q89_unpivot_melt",
+    "q92_interval_join",
+    "q99_kmeans_parallel_fit",
+    "q108_semantic_dedup",
+    "q114_ngram_language_id",
+    "q122_token_budget_mixture",
+    "q130_chunk_documents",
+    "q132_fixed_n_per_stratum",
+    # then the r11-evidence block, lowest number first
+    "q02_revenue_by_nation",
+    "q03_top_orders_per_customer",
+    "q04_segment_stats",
+    "q06_orders_by_month",
+    "q07_fillna_left_join",
+    "q08_value_counts",
+    "q09_drop_duplicates",
+    "q24_event_value_stats",
+    "q30_top_terms",
+    "q33_lang_source_slice",
+    "q34_text_quality",
+    "q36_naive_bayes_fit",
+    "q37_label_encode",
+    "q38_fingerprint",
+    "q39_count_vectorizer",
+    "q40_knn_bruteforce",
+    "q43_cosine_topk",
+    "q44_multimodal_join",
+    "q46_knn_classify",
+    "q50_feature_stats",
+    "q51_ols_fit",
+    "q59_ols_predict",
+    "q70_stream_sessionization",
+    "q71_stream_hourly_counts",
+    "q77_dbscan",
+    "q79_stream_stateful_totals",
+    "q90_regexp_ops",
+    "q91_python_udtf",
+    "q93_stream_stream_join",
+    "q95_random_forest",
+    "q97_make_blobs",
+    "q103_simhash_near_dup",
+    "q110_gopher_rules",
+    "q111_clustered_layout",
+    "q113_bpe_token_accounting",
+    "q119_contamination_check",
+    "q120_dbscan_blocked",
+    "q121_boilerplate_ngrams",
+    "q123_vocab_coverage",
+    "q128_image_decode_stats",
+    "q129_quality_model_score",
+    "q133_bigram_lm_score",
+    "q134_exact_substring_dedup",
+    "q135_near_dup_canonicalize",
+    "q136_apply_span_dedup",
+    "q139_decontaminate_spans",
+    "q140_temperature_mixture",
 ]
 
 

@@ -136,19 +136,28 @@ def duck_timed(sf_dir, name, tables):
 
 
 def drop_layout(spark, layout, sf):
+    import dask_cuml_spark.queries.vector as V
+
     tables = {
         "q02": rel._q02_bucket_tables(sf),
         "grams": (T._gram_table(sf),),
         "q112": P._q112_index_tables(sf),
+        "pq": V._pq_tables(sf),
     }[layout]
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-def bench_consumers(spark, sf, layout, consumers, out):
+def bench_consumers(spark, sf, layout, consumers, out, factor=1):
     """One layout, N consumer queries: plain rows first, ONE provision,
     then cold + steady rows per consumer (the amortization evidence —
     write cost divides across consumers)."""
+    # DuckDB-side skips mirror bench_scale's measured rationales: an
+    # oracle that OOMs (q136 at 100x) or is an O(1) invariant row
+    # (q138/q141) yields no meaningful contemporaneous ratio — the
+    # layout A/B's signal is the Spark plain-vs-layout pair either way
+    from bench_scale import ORACLE_NOT_COMPARABLE, SKIP_DUCK_ABOVE
+
     drop_layout(spark, layout, sf)
     plain = {}
     for name, tables, expect_branch in consumers:
@@ -202,18 +211,33 @@ def bench_consumers(spark, sf, layout, consumers, out):
                     alt = (alt[0], f"DNF: {type(e).__name__}: {str(e)[:200]}")
             finally:
                 rel._Q02_BCAST_CMAP_MAX_CUSTOMER_BYTES = saved
-        d = duck_timed(sf, name, tables)
-        suffix = {"q02": "bucketed", "grams": "gram", "q112": "index"}[layout]
+        duck_note = None
+        if factor > SKIP_DUCK_ABOVE.get(name, 10**9):
+            d = None
+            duck_note = (
+                "duckdb oracle skipped: measured infeasible above this "
+                "factor (bench_scale.SKIP_DUCK_ABOVE)"
+            )
+        elif name in ORACLE_NOT_COMPARABLE:
+            d = None
+            duck_note = ORACLE_NOT_COMPARABLE[name]
+        else:
+            d = duck_timed(sf, name, tables)
+        suffix = {
+            "q02": "bucketed", "grams": "gram", "q112": "index", "pq": "pq",
+        }[layout]
         out[f"{name}_{suffix}_layout"] = {
             "branch": branch,
             "spark_sec": round(t_lay, 3),
-            "duckdb_sec": round(d, 3),
-            "ratio": round(t_lay / d, 2),
+            "duckdb_sec": round(d, 3) if d is not None else None,
+            "ratio": round(t_lay / d, 2) if d is not None else None,
             "plain_shape_contemporaneous_sec": round(t_plain, 3),
             "cold_first_query_sec": round(t_cold, 3),
             "layout_write_once_sec": round(w, 1),
             "layout_consumers_here": len(consumers),
         }
+        if duck_note is not None:
+            out[f"{name}_{suffix}_layout"]["note"] = duck_note
         if alt is not None:
             out[f"{name}_{suffix}_layout"]["alt_branch"] = alt[0]
             out[f"{name}_{suffix}_layout"]["alt_branch_spark_sec"] = alt[1]
@@ -272,6 +296,10 @@ def main() -> None:
                 ("q121_boilerplate_ngrams", ["documents"], None),
                 ("q119_contamination_check", ["documents"], None),
                 ("q134_exact_substring_dedup", ["documents"], None),
+                # r12: the span-CUT consumer inherits q134's layout
+                # branch (it calls q134 for its spans) — the verdict
+                # asked for its own same-invocation A/B pair
+                ("q136_apply_span_dedup", ["documents"], None),
             ],
         ),
         # q112 stored corpus LSH index
@@ -279,11 +307,21 @@ def main() -> None:
             "q112",
             [("q112_incremental_dedup", ["documents"], None)],
         ),
+        # r12: stored PQ serving index — codes read from the bucketed
+        # table instead of re-encoding the corpus per invocation; the
+        # model sidecar replaces the m Lloyd refits in a fresh session
+        "pq": (
+            "pq",
+            [
+                ("q138_pq_adc_search", ["embeddings"], None),
+                ("q141_ivfpq_search", ["embeddings"], None),
+            ],
+        ),
     }
     for key, (layout, consumers) in legs.items():
         if only and key not in only:
             continue
-        bench_consumers(spark, sf, layout, consumers, out)
+        bench_consumers(spark, sf, layout, consumers, out, factor=factor)
 
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SCALEBENCH.json"

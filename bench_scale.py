@@ -107,6 +107,8 @@ TABLES_FOR = {
     "q138_pq_adc_search": {"embeddings"},
     "q139_decontaminate_spans": {"documents"},
     "q140_temperature_mixture": {"documents"},
+    "q141_ivfpq_search": {"embeddings"},
+    "q142_packing_audit": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -343,6 +345,12 @@ ORACLE_NOT_COMPARABLE = {
         "ADC-scans all codes, exact-re-ranks the shortlist AND runs "
         "the in-query exact-kNN baseline for the rank/recall checks; "
         "row records Spark-side scaling only"
+    ),
+    "q141_ivfpq_search": (
+        "oracle is an O(1) invariant row — the Spark side fits the "
+        "coarse quantizer + PQ codebooks, encodes, ADC-scans the "
+        "probed cells, exact-re-ranks AND runs the in-query exact-kNN "
+        "baseline; row records Spark-side scaling only"
     ),
     "q128_image_decode_stats": (
         "oracle is an injected-expectation closed form — DuckDB does "
