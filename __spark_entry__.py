@@ -54,6 +54,7 @@ _PRIORITY = [
     # -- (1) new or changed in round 12
     "q141_ivfpq_search",
     "q142_packing_audit",
+    "q143_seq_length_histogram",
     "q137_pq_quantization",
     "q138_pq_adc_search",
     "q131_int8_quantization",
@@ -104,9 +105,9 @@ _PRIORITY = [
     "q01_pricing_summary",
     "q05_string_ops",
     "q12_quantiles_histogram",
-    "q13_semi_anti_join",
     # -- positions 51+: code-unchanged. Remaining r10-evidence first
     # (first in line for r13), lowest number first
+    "q13_semi_anti_join",
     "q14_range_join_bands",
     "q15_global_topk",
     "q16_project_cast_case",

@@ -109,6 +109,7 @@ TABLES_FOR = {
     "q140_temperature_mixture": {"documents"},
     "q141_ivfpq_search": {"embeddings"},
     "q142_packing_audit": {"documents"},
+    "q143_seq_length_histogram": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -2602,3 +2602,60 @@ def q142_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("contin_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — sequence-length histogram + truncation-loss sweep (the other
+# half of the batch-shape QA: q142 audits CONCAT packing's
+# attention-boundary cost; this audits the PAD-OR-TRUNCATE alternative.
+# Together they are the two numbers a pretraining engineer compares
+# when choosing a packing strategy — e.g. Kosec et al. 2021's packing
+# analysis). Per fixed-width length bucket (64 tokens — integer-exact
+# in both engines, no float log2 at bucket edges):
+#   n_docs / total_tokens   the length distribution itself
+#   lost_at_128/512/1024    tokens BEYOND each candidate context
+#                           window, i.e. what truncation at W discards
+#                           (padding waste is the complement:
+#                           n_docs·W − (total − lost) for docs < W)
+# One narrow pass, one groupBy on dense integer keys, exact BIGINTs
+# under a full-value oracle. At 100 TB this is scan speed: no joins,
+# output O(max_len / 64) rows.
+# ---------------------------------------------------------------------------
+_Q143_BUCKET = 64
+_Q143_WINDOWS = (128, 512, 1024)
+
+
+@register(
+    "q143_seq_length_histogram",
+    oracle=f"""
+SELECT CAST(n_tokens // {_Q143_BUCKET} AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(GREATEST(n_tokens - 128, 0)) AS BIGINT) AS lost_at_128,
+       CAST(SUM(GREATEST(n_tokens - 512, 0)) AS BIGINT) AS lost_at_512,
+       CAST(SUM(GREATEST(n_tokens - 1024, 0)) AS BIGINT) AS lost_at_1024
+FROM (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents)
+GROUP BY 1
+""",
+)
+def q143_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.array_size(tokens()).cast("long").alias("n_tokens"))
+    lost = [
+        F.sum(
+            F.greatest(F.col("n_tokens") - w, F.lit(0))
+        ).alias(f"lost_at_{w}")
+        for w in _Q143_WINDOWS
+    ]
+    return (
+        t.select(
+            F.expr(f"n_tokens div {_Q143_BUCKET}").alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            *lost,
+        )
+    )
