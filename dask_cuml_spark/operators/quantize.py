@@ -333,3 +333,121 @@ def _assignment_expr_on(vec_expr, centers) -> "F.Column":
         ),
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def adc_candidates(
+    df: DataFrame,
+    lut_rows: list,
+    shortlist: int,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    cell_col: str | None = None,
+    strategy: str = "expr",
+) -> DataFrame:
+    """(query_id, neighbor_id, adist) candidates PROVABLY containing
+    every query's global top-``shortlist`` by (adist, neighbor_id) —
+    the PQ asymmetric-distance scan (shared q138/q141).
+
+    ``lut_rows``: (query_id, lut[m][k], probe_cells-or-None) triples;
+    when ``cell_col`` is given, a query scores ONLY rows whose cell is
+    in its probe set (the IVF-PQ contract).
+
+    strategy='expr' — broadcast-joined LUT columns + an interpreted
+    aggregate fold: the oracle-mirroring shape, fine at fixture scale.
+    strategy='kernel' — the 100-TB path (r12: at 1000× the expr fold
+    is 320 M CodegenFallback lookups — the q131 interpreter-tax class):
+    an Arrow-batched mapInPandas where each batch runs the fold as m
+    vectorized numpy gathers IN THE EXPR'S EXACT IEEE ORDER
+    (acc = lut[0][c0]; acc = acc + lut[s][cs] ascending — bit parity
+    with the expression fold, strategy-agreement pytest) and emits only
+    its per-(batch, query) top-``shortlist`` by the same
+    (adist, neighbor_id) order the global window uses — the union over
+    batches provably contains the global top-k (brute_force_knn's gemm
+    merge argument), so the shuffle carries batches × queries ×
+    shortlist rows instead of |corpus| × queries."""
+    import numpy as np
+
+    spark = df.sparkSession
+    m = len(lut_rows[0][1])
+    if strategy == "expr":
+        if cell_col is not None:
+            probes = spark.createDataFrame(
+                [
+                    (qid, int(c), lut)
+                    for qid, lut, cells in lut_rows
+                    for c in cells
+                ],
+                f"query_id long, {cell_col} int, lut array<array<double>>",
+            )
+            cand = df.join(F.broadcast(probes), cell_col)
+        else:
+            luts = spark.createDataFrame(
+                [(qid, lut) for qid, lut, _cells in lut_rows],
+                "query_id long, lut array<array<double>>",
+            )
+            cand = df.crossJoin(F.broadcast(luts))
+        adc = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at("lut", s.cast("int") + 1),
+                F.element_at(codes_col, s.cast("int") + 1) + 1,
+            ),
+        )
+        return cand.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc.alias("adist"),
+        )
+    if strategy != "kernel":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    luts_np = [
+        (
+            int(qid),
+            np.asarray(lut, dtype=np.float64),
+            None if cells is None else np.asarray(sorted(cells)),
+        )
+        for qid, lut, cells in lut_rows
+    ]
+    cols = [id_col, codes_col] + ([cell_col] if cell_col else [])
+    out_schema = "query_id long, neighbor_id long, adist double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            codes = np.stack(
+                [np.asarray(c) for c in pdf[codes_col]]
+            )  # (b, m) small ints
+            ids = pdf[id_col].to_numpy()
+            cells = pdf[cell_col].to_numpy() if cell_col else None
+            qs, ns, ds = [], [], []
+            for qid, lut, qcells in luts_np:
+                if cells is not None:
+                    mask = np.isin(cells, qcells)
+                    if not mask.any():
+                        continue
+                    c, nid = codes[mask], ids[mask]
+                else:
+                    c, nid = codes, ids
+                acc = lut[0][c[:, 0]]
+                for s in range(1, len(lut)):
+                    # sequential adds — the expression fold's order
+                    acc = acc + lut[s][c[:, s]]
+                take = min(shortlist, len(acc))
+                order = np.lexsort((nid, acc))[:take]
+                qs.append(np.full(take, qid, dtype=np.int64))
+                ns.append(nid[order])
+                ds.append(acc[order])
+            if not qs:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qs),
+                    "neighbor_id": np.concatenate(ns),
+                    "adist": np.concatenate(ds),
+                }
+            )
+
+    return df.select(*cols).mapInPandas(batches, out_schema)

@@ -1237,17 +1237,21 @@ def q138_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = np.stack(codebooks)  # (m, k, sub)
     m, k, sub = cb.shape
-    luts = spark.createDataFrame(
-        _pq_luts(qrows, cb), "query_id long, lut array<array<double>>"
-    )
 
-    # ADC scan: broadcast the query LUTs over the CODES-only frame; the
-    # distance is m array lookups (the embedding column never loads)
-    adc = _adc_expr(m)
-    scored = codes.crossJoin(F.broadcast(luts)).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        adc.alias("adist"),
+    # ADC scan: m LUT lookups per code row (the embedding column never
+    # loads). Size-gated like q131: the expr fold (oracle-mirroring)
+    # at fixture scale; above GATE_BYTES the Arrow kernel — r12: the
+    # fold is 320M interpreted lookups at 1000x — emitting per-batch
+    # top-shortlist only (bit-identical adist, strategy-agreement
+    # pytest), so the window exchange carries batches x nq x 50 rows.
+    from dask_cuml_spark.operators.quantize import GATE_BYTES, adc_candidates
+
+    big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
+    scored = adc_candidates(
+        codes,
+        [(qid, lut, None) for qid, lut in _pq_luts(qrows, cb)],
+        shortlist=_Q138_SHORTLIST,
+        strategy="kernel" if big else "expr",
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     shortlist = (
@@ -1477,19 +1481,6 @@ def _pq_luts(qrows, cb) -> list:
     return out
 
 
-def _adc_expr(m: int):
-    """Asymmetric PQ distance: sum of m LUT lookups over the 8-byte
-    code array (columns `lut`, `codes` in scope — shared q138/q141)."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at("lut", s.cast("int") + 1),
-            F.element_at("codes", s.cast("int") + 1) + 1,
-        ),
-    )
-
 
 # ---------------------------------------------------------------------------
 # q141 — IVF-PQ search (FAISS IndexIVFPQ, Jégou et al. 2011 §VI — the
@@ -1554,26 +1545,28 @@ def q141_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
     nprobe = min(_Q141_NPROBE, len(centers))
     lut_by_id = dict(_pq_luts(qrows, cb))
-    probe_rows = []
+    lut_rows = []
     for qi, r in enumerate(qrows):
         order = np.lexsort((np.arange(len(centers)), d2[qi]))[:nprobe]
-        for c in order:
-            probe_rows.append((int(r.vec_id), int(c), lut_by_id[r.vec_id]))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, cell_id int, lut array<array<double>>"
-    )
-    probed_cells = sorted({c for _, c, _ in probe_rows})
+        lut_rows.append(
+            (int(r.vec_id), lut_by_id[r.vec_id], [int(c) for c in order])
+        )
+    probed_cells = sorted({c for _q, _l, cells in lut_rows for c in cells})
 
     # cell-local ADC scan: the literal IN prunes buckets on the stored
-    # layout; the probe join is broadcast (nq x nprobe rows) — the codes
-    # side never shuffles
-    cand = coded.filter(F.col("cell_id").isin(probed_cells)).join(
-        F.broadcast(probes), "cell_id"
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _adc_expr(m).alias("adist"),
+    # layout (row groups otherwise); the codes side never shuffles.
+    # Same size gate as q138: expr fold (oracle-mirroring) at fixture
+    # scale, per-batch-top-shortlist Arrow kernel above GATE_BYTES
+    # (each query scores only its probed cells in both strategies)
+    from dask_cuml_spark.operators.quantize import GATE_BYTES, adc_candidates
+
+    big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
+    scored = adc_candidates(
+        coded.filter(F.col("cell_id").isin(probed_cells)),
+        lut_rows,
+        shortlist=_Q141_SHORTLIST,
+        cell_col="cell_id",
+        strategy="kernel" if big else "expr",
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     shortlist = (

@@ -2399,3 +2399,78 @@ def test_pq_layout_branch(spark):
         )
         for t in V._pq_tables(SF):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_adc_candidates_strategy_agreement(spark):
+    """The ADC scan's expr fold and per-batch-top-shortlist Arrow
+    kernel must yield IDENTICAL global top-shortlists — same neighbor
+    sets AND bit-identical adist (the kernel adds the m LUT gathers in
+    the expression fold's sequential IEEE order; its per-batch pruning
+    keeps the global top-k by the subset-merge argument). Checked with
+    and without per-query probe-cell restriction (the q138 and q141
+    shapes), across a multi-partition frame so per-batch pruning
+    actually engages."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import dask_cuml_spark.queries.vector as V
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.quantize import adc_candidates
+
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    codebooks, centers, coded, _ = V._pq_serving(spark, SF)
+    cb = np.stack(codebooks)
+    qrows = sorted(
+        e.filter(F.col("vec_id") < 10).collect(), key=lambda r: r.vec_id
+    )
+    luts = V._pq_luts(qrows, cb)
+    rng = np.random.default_rng(7)
+    n_cells = len(centers)
+    shortlist = 20
+
+    def topk(df):
+        w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+        return sorted(
+            tuple(r)
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= shortlist)
+            .collect()
+        )
+
+    spread = coded.repartition(8)  # multiple Arrow batches
+    for cells_per_q in (None, 3):
+        if cells_per_q is None:
+            lut_rows = [(qid, lut, None) for qid, lut in luts]
+            frame = spread.select("vec_id", "codes")
+            cell_col = None
+        else:
+            lut_rows = [
+                (
+                    qid,
+                    lut,
+                    sorted(
+                        int(c)
+                        for c in rng.choice(
+                            n_cells, size=cells_per_q, replace=False
+                        )
+                    ),
+                )
+                for qid, lut in luts
+            ]
+            frame = spread
+            cell_col = "cell_id"
+        a = topk(
+            adc_candidates(
+                frame, lut_rows, shortlist, cell_col=cell_col,
+                strategy="expr",
+            )
+        )
+        b = topk(
+            adc_candidates(
+                frame, lut_rows, shortlist, cell_col=cell_col,
+                strategy="kernel",
+            )
+        )
+        assert len(a) > 0
+        assert a == b, (cells_per_q, a[:3], b[:3])
