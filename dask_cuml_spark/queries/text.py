@@ -2659,3 +2659,116 @@ def q143_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             *lost,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — DSIR importance weighting (Xie et al. 2023 "Data Selection for
+# Language Models via Importance Resampling"): score every pool document
+# by how much more likely its hashed-n-gram features are under a TARGET
+# distribution (here: the English slice, the fixture's stand-in for
+# "wiki-quality target corpus") than under the RAW pool — the
+# log importance weight log p_target(x) − log p_raw(x) under bag-of-
+# hashed-unigram models with add-one smoothing over B buckets. The
+# downstream resample step is exactly the q109/q140 portable-hash keep
+# family, so this query emits the scores (the part DSIR adds).
+#
+# Feature hashing is ENGINE-PORTABLE by construction: bucket(tok) =
+# polyfold(ascii chars, 31, mod 1000003) % B, computed identically by
+# a Spark HOF fold and DuckDB list_reduce — hash collisions (a real
+# part of the DSIR method) are REPRODUCED bit-for-bit by the oracle
+# instead of argued away, and the fold runs only on the VOCAB-sized
+# distinct-token frame, never per occurrence.
+#
+# Scale shape: explode → xxhash64 token keys (the 8-byte shuffle rule,
+# q32/q133) → broadcast vocab→bucket map → ONE bucket-keyed count pass
+# (partial-agg; B=8192 keys, no skew: bucket counts are the model) →
+# broadcast log-ratio map → per-doc avg keyed by doc_id. The two
+# passes over the exploded rows re-run the narrow split+explode at
+# scan speed rather than persisting corpus-sized state (q133's 256 MB
+# lesson — at fixture scale recompute costs ~nothing, at 100 TB the
+# pinned blocks would starve the aggregation). Doubles: per-doc AVG of
+# logs rounded to 6 (the q133 convention).
+# ---------------------------------------------------------------------------
+_Q144_B = 8192  # hashed feature buckets (DSIR §3.2 uses 10^4)
+_Q144_MOD = 1000003  # prime fold modulus, keeps the fold < 2^25 exact
+
+
+@register(
+    "q144_dsir_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+), vb AS (
+  SELECT tok,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(tok, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 31 + c) % {_Q144_MOD}) % {_Q144_B} AS bucket
+  FROM (SELECT DISTINCT tok FROM tok)
+), rows_ AS (
+  SELECT doc_id, lang = 'en' AS is_t, bucket FROM tok JOIN vb USING (tok)
+), stats AS (
+  SELECT bucket, COUNT(*) AS cr, COUNT(*) FILTER (is_t) AS ct
+  FROM rows_ GROUP BY bucket
+), tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM stats),
+lr AS (
+  SELECT bucket,
+         LN((ct + 1.0) / (nt + {_Q144_B})) -
+         LN((cr + 1.0) / (nr + {_Q144_B})) AS lr
+  FROM stats, tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(lr), 6) AS dsir_score
+FROM rows_ JOIN lr USING (bucket)
+GROUP BY doc_id
+""",
+)
+def q144_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.explode(tokens()).alias("tok"),
+    ).select("doc_id", "is_t", F.xxhash64("tok").alias("h"))
+    # portable bucket computed on the DISTINCT vocab only (31 strings at
+    # any fixture scale — scale fixtures replicate docs, never grow the
+    # vocab), then broadcast onto the 8-byte-keyed token rows
+    chars = F.transform(
+        F.split("tok", ""), lambda c: F.ascii(c).cast("bigint")
+    )
+    fold = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda a, c: (a * F.lit(31) + c) % F.lit(_Q144_MOD),
+    )
+    vb = (
+        d.select(F.explode(tokens()).alias("tok"))
+        .distinct()
+        .select(
+            F.xxhash64("tok").alias("h"), (fold % _Q144_B).alias("bucket")
+        )
+    )
+    rows = rows.join(F.broadcast(vb), "h")
+    stats = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(F.col("is_t")).alias("ct"),
+    )
+    tot = stats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + F.lit(float(_Q144_B))))
+            - F.log(
+                (F.col("cr") + 1.0) / (F.col("nr") + F.lit(float(_Q144_B)))
+            )
+        ).alias("lr"),
+    )
+    return (
+        rows.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("dsir_score"),
+        )
+    )
