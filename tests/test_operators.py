@@ -2474,3 +2474,179 @@ def test_adc_candidates_strategy_agreement(spark):
         )
         assert len(a) > 0
         assert a == b, (cells_per_q, a[:3], b[:3])
+
+
+def test_signhash_signatures_numpy_replay_and_partition_invariance(spark):
+    """binhash signature bits are pinned two ways: (a) a driver-side
+    numpy replay through the SAME signatures_of() path must reproduce
+    every packed word exactly; (b) 1-partition vs 8-partition runs must
+    be bit-identical — safe to demand because the measured minimum
+    |<v, plane>| margin on the fixtures is 2.7e-6 (binhash.py header),
+    a ~10^6x guard band over BLAS summation-order ulp noise."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.binhash import (
+        hyperplanes,
+        sign_signatures,
+        signatures_of,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rows = sorted(e.collect(), key=lambda r: r.vec_id)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    planes = hyperplanes(128, X.shape[1])
+    expect = {
+        int(r.vec_id): [int(w) for w in sig]
+        for r, sig in zip(rows, signatures_of(X, planes))
+    }
+    for nparts in (1, 8):
+        got = {
+            int(r.vec_id): [int(w) for w in r.sig]
+            for r in sign_signatures(
+                e.repartition(nparts), "vec_id", "embedding", planes
+            ).collect()
+        }
+        assert got == expect, nparts
+
+
+def test_hamming_candidates_strategy_agreement(spark):
+    """expr (XOR+POPCNT explode) and kernel (per-batch top-shortlist
+    numpy scan) must yield the IDENTICAL global per-query shortlist —
+    Hamming is integer, so set equality is exact, including ham values
+    (the q131/adc strategy-agreement convention)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.binhash import (
+        hamming_candidates,
+        hyperplanes,
+        sign_signatures,
+        signatures_of,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qrows = sorted(
+        e.filter(F.col("vec_id") < 5).collect(), key=lambda r: r.vec_id
+    )
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in qrows])
+    planes = hyperplanes(128, Q.shape[1])
+    qsigs = signatures_of(Q, planes)
+    queries = [
+        (int(r.vec_id), [int(w) for w in qsigs[i]])
+        for i, r in enumerate(qrows)
+    ]
+    sigs = sign_signatures(
+        e.repartition(8), "vec_id", "embedding", planes
+    ).localCheckpoint()
+
+    def topk(df):
+        w = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+        return sorted(
+            (int(r.query_id), int(r.neighbor_id), int(r.ham))
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .collect()
+        )
+
+    a = topk(hamming_candidates(sigs, queries, 20, strategy="expr"))
+    b = topk(hamming_candidates(sigs, queries, 20, strategy="kernel"))
+    assert len(a) == 5 * 20
+    assert a == b
+
+
+def test_hamming_candidates_null_sig_excluded_in_both_strategies(spark):
+    """A null embedding yields a null signature (quantize.py dirty-input
+    convention); hamming_candidates must EXCLUDE it identically in both
+    strategies — otherwise expr ranks null ham first (nulls-first asc)
+    while the kernel's np.stack crashes: the q131 auto-gate-divergence
+    class (advisor r11), closed at the shared entry."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from dask_cuml_spark.operators.binhash import (
+        hamming_candidates,
+        hyperplanes,
+        sign_signatures,
+        signatures_of,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rng = np.random.default_rng(3)
+    clean = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(6)]
+    df = spark.createDataFrame(clean + [(99, None)], schema)
+    planes = hyperplanes(64, 8)
+    sigs = sign_signatures(df, "vec_id", "embedding", planes)
+    got = {int(r.vec_id): r.sig for r in sigs.collect()}
+    assert got[99] is None and all(got[i] is not None for i in range(6))
+    q = [(0, [int(w) for w in signatures_of(
+        np.asarray([clean[0][1]]), planes)[0]])]
+    for strat in ("expr", "kernel"):
+        out = hamming_candidates(sigs, q, 10, strategy=strat).collect()
+        ids = {int(r.neighbor_id) for r in out}
+        assert 99 not in ids and ids == set(range(6)), strat
+
+
+def test_stratified_split_exact_proportions_and_partition_invariance(spark):
+    """The stratified split's cuml-parity guarantee: EVERY stratum
+    contributes exactly (4·n) div 5 train rows (not binomially-close
+    like the hash-predicate split), the assignment is a partition of
+    the input, and it is invariant to input partitioning (the ordering
+    key is (bucket, id), never physical layout)."""
+    from pyspark.sql import functions as F
+
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.preprocessing import (
+        stratified_split_labels,
+        stratified_train_test_split,
+    )
+
+    d = load_table(spark, SF, "documents")
+    lab = stratified_split_labels(d, "doc_id", "lang", 4, 5)
+    per = {
+        (r.lang, r.split): r.n
+        for r in lab.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, n in totals.items():
+        assert per.get((lang, "train"), 0) == (4 * n) // 5, lang
+        assert per.get((lang, "test"), 0) == n - (4 * n) // 5, lang
+    # partitioning invariance: identical per-row labels
+    a = sorted(map(tuple, lab.collect()))
+    b = sorted(
+        map(
+            tuple,
+            stratified_split_labels(
+                d.repartition(17), "doc_id", "lang", 4, 5
+            ).collect(),
+        )
+    )
+    assert a == b
+    # the (train, test) wrapper partitions the input with full columns
+    tr, te = stratified_train_test_split(d, "doc_id", "lang")
+    assert tr.count() + te.count() == d.count()
+    assert set(tr.columns) == set(d.columns)
+    assert tr.join(te, "doc_id").count() == 0
