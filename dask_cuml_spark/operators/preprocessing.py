@@ -119,3 +119,92 @@ def train_test_split(
     test = df.filter(bucket < cut)
     train = df.filter(bucket >= cut)
     return train, test
+
+
+def stratified_split_labels(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    train_num: int = 4,
+    train_den: int = 5,
+    buckets: int = 4096,
+) -> DataFrame:
+    """EXACT stratified split (cuml.train_test_split's ``stratify=``
+    semantics): every stratum contributes floor(train_num/train_den ·
+    n_stratum) rows to train — per-stratum proportions hold exactly,
+    not in expectation like the hash-predicate split above (whose
+    per-stratum counts are binomial around the rate).
+
+    The ratio is a RATIONAL (num, den), never a float: the cutoff is
+    (num · n) div den in pure integer arithmetic, so any SQL engine
+    reproduces the assignment bit-for-bit (no floor(0.8·n) double
+    hazard at den-divisible n).
+
+    Scale shape — the q126 two-level prefix sum, not a per-stratum
+    global window: rows get a multiplicative-hash bucket (the shuffled
+    order); ranking windows partition by (stratum, bucket) — ``buckets``
+    independent windows per stratum, no stratum-sized single partition
+    at 100 TB; bucket offsets come from a window over the
+    (strata × buckets)-row COUNTS frame, which is model-state-sized
+    and broadcast back. Global rank = bucket offset + in-bucket rank,
+    ordered by (bucket, id) — deterministic and partitioning-free.
+
+    Returns df's (id, stratum) plus a 'split' column ('train'/'test').
+    """
+    from pyspark.sql.window import Window
+
+    bucket = F.pmod(
+        F.pmod(F.col(id_col), F.lit(buckets)) * F.lit(2654435761),
+        F.lit(buckets),
+    )
+    rows = df.select(
+        F.col(id_col), F.col(stratum_col), bucket.alias("_bkt")
+    )
+    counts = rows.groupBy(stratum_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    woff = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        stratum_col,
+        "_bkt",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+    )
+    tot = counts.groupBy(stratum_col).agg(F.sum("_cnt").alias("_n"))
+    wr = Window.partitionBy(stratum_col, "_bkt").orderBy(id_col)
+    cut = F.expr(f"({train_num} * _n) div {train_den}")
+    return (
+        rows.withColumn("_rkb", F.row_number().over(wr))
+        .join(F.broadcast(offs), [stratum_col, "_bkt"])
+        .join(F.broadcast(tot), stratum_col)
+        .select(
+            id_col,
+            stratum_col,
+            F.when(F.col("_off") + F.col("_rkb") <= cut, "train")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def stratified_train_test_split(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    train_num: int = 4,
+    train_den: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) frames under the exact stratified assignment —
+    the cuml stratify API shape; a broadcast-joined label keeps the
+    caller's full column set."""
+    labels = stratified_split_labels(
+        df, id_col, stratum_col, train_num, train_den
+    ).select(id_col, "split")
+    both = df.join(labels, id_col)
+    return (
+        both.filter(F.col("split") == "train").drop("split"),
+        both.filter(F.col("split") == "test").drop("split"),
+    )

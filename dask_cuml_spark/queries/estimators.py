@@ -465,3 +465,46 @@ def q102_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.round("ari", 6).alias("ari"), "self_ari_ok", "n_rows"
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — STRATIFIED train/test split (A17's second half: cuml's
+# train_test_split(..., stratify=) — q96 covers the plain hash split,
+# whose per-stratum counts are only binomially close to the target;
+# stratified mode guarantees floor(4/5 · n_stratum) train rows EXACTLY
+# per stratum). FULL-VALUE oracle: the assignment is pure integer
+# arithmetic — multiplicative-hash bucket order, two-level prefix-sum
+# rank, rational 4/5 cutoff — so DuckDB reproduces every row's label
+# via the equivalent one-window formulation; the Spark side NEVER runs
+# a stratum-sized window (operators/preprocessing.py scale notes), and
+# the agreement of the two formulations is itself part of what the
+# oracle proves. A pytest additionally pins the exact per-stratum
+# proportions (the cuml semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "q146_stratified_split",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         ((doc_id % 4096) * 2654435761) % 4096 AS bucket
+  FROM documents
+), rk AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS g,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM r
+)
+SELECT doc_id, lang,
+       CASE WHEN g <= (4 * n) // 5 THEN 'train' ELSE 'test' END AS split
+FROM rk
+""",
+)
+def q146_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.preprocessing import (
+        stratified_split_labels,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_split_labels(
+        d, "doc_id", "lang", train_num=4, train_den=5
+    )
