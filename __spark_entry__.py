@@ -34,7 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # this dict. Rounds rotate the window so every query periodically
 # re-enters the hard gate (advisor r2). Round-12 window, in order
 # (WINDOW_r12.md has the per-query evidence trail):
-#   1. changed-code-first: q141 (NEW — IVF-PQ search: coarse cells +
+#   1. changed-code-first: q144 (NEW — DSIR importance weighting,
+#      engine-portable feature hashing, full-value oracle), q145 (NEW —
+#      binary sign-hash ANN: SRP-LSH signatures + XOR/POPCNT ranking +
+#      exact re-rank, the third quantized serving shape; q138's
+#      invariant oracle pattern), q146 (NEW — exact stratified
+#      train/test split, cuml stratify= parity, full-value oracle),
+#      then q141 (NEW — IVF-PQ search: coarse cells +
 #      PQ ADC + exact re-rank, the FAISS IVFPQ serving index; q138's
 #      invariant oracle pattern), q142 (NEW — packing-efficiency
 #      audit over q126's placements, full-value integer oracle),
@@ -48,10 +54,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q136–q140 additions; WINDOW_r11.md named them first in line;
 #   3. the r9-evidence block (every remaining query whose latest
 #      driver row is round 9), lowest number first;
-#   4. oldest r10-evidence queries, lowest number first, filling to 50.
+#   4. oldest r10-evidence queries, lowest number first, filling to 50
+#      (q01/q05/q12 displaced to 51-53 by the late q144-q146 additions —
+#      still r10-green, first in line for r13 with the r10 block).
 # Entries past position 50 are r10/r11-green and code-unchanged.
 _PRIORITY = [
     # -- (1) new or changed in round 12
+    "q144_dsir_weights",
+    "q145_signhash_ann",
+    "q146_stratified_split",
     "q141_ivfpq_search",
     "q142_packing_audit",
     "q143_seq_length_histogram",

@@ -110,6 +110,9 @@ TABLES_FOR = {
     "q141_ivfpq_search": {"embeddings"},
     "q142_packing_audit": {"documents"},
     "q143_seq_length_histogram": {"documents"},
+    "q144_dsir_weights": {"documents"},
+    "q145_signhash_ann": {"embeddings"},
+    "q146_stratified_split": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
