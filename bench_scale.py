@@ -356,6 +356,12 @@ ORACLE_NOT_COMPARABLE = {
         "probed cells, exact-re-ranks AND runs the in-query exact-kNN "
         "baseline; row records Spark-side scaling only"
     ),
+    "q145_signhash_ann": (
+        "oracle is an O(1) invariant row — the Spark side hashes the "
+        "corpus (GEMM signature kernel), Hamming-ranks, exact-re-ranks "
+        "the shortlist AND runs the in-query exact-kNN baseline for "
+        "the rank/recall checks; row records Spark-side scaling only"
+    ),
     "q128_image_decode_stats": (
         "oracle is an injected-expectation closed form — DuckDB does "
         "NO image work while Spark PNG-encodes AND -decodes every "

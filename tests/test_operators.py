@@ -2650,3 +2650,28 @@ def test_stratified_split_exact_proportions_and_partition_invariance(spark):
     assert tr.count() + te.count() == d.count()
     assert set(tr.columns) == set(d.columns)
     assert tr.join(te, "doc_id").count() == 0
+
+
+def test_q144_dsir_scores_separate_target_slice(spark):
+    """The METHOD's point, as a semantic invariant: under DSIR the
+    target slice must score higher than the pool on average — here the
+    en (target) docs' mean log importance weight strictly exceeds the
+    non-en mean (they were scored by a model trained to prefer their
+    own unigram profile). Guards against sign flips / swapped
+    numerator-denominator regressions the hash-match alone would only
+    catch as a diff, not explain."""
+    from pyspark.sql import functions as F
+
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.registry import QUERIES
+
+    scores = QUERIES["q144_dsir_weights"](spark, SF)
+    langs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    m = (
+        scores.join(langs, "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_target"))
+        .agg(F.avg("dsir_score").alias("mean_w"))
+        .collect()
+    )
+    means = {r.is_target: r.mean_w for r in m}
+    assert means[True] > means[False]

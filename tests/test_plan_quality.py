@@ -290,3 +290,34 @@ def test_q126_no_presentation_sort(spark):
     — 5 M rows at 1000x — purely for display order)."""
     plan = _plan(spark, "q126_sequence_packing")
     assert "Exchange rangepartitioning" not in plan, plan[:2000]
+
+
+def test_q144_model_maps_broadcast(spark):
+    """q144's model-state frames (vocab→bucket map, log-ratio map,
+    totals) must ride broadcast joins — a SortMergeJoin against the
+    exploded token rows would shuffle the corpus on every map lookup.
+    The only hash exchanges allowed are the bucket-keyed count pass,
+    the vocab distinct, and the final groupBy(doc_id)."""
+    plan = _plan(spark, "q144_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q146_no_stratum_sized_window(spark):
+    """q146's ranking window must partition by (stratum, bucket),
+    never by the stratum alone — one partition per stratum is exactly
+    the skew the two-level prefix sum exists to avoid. The oracle SQL
+    is the one-window formulation Spark must NOT run; this pin keeps
+    the Spark side honest."""
+    import re
+
+    plan = _plan(spark, "q146_stratified_split")
+    # every window-feeding hashpartitioning over the data must carry
+    # BOTH keys; the counts-frame window (lang-only) is fine because it
+    # partitions a strata x buckets model-state frame, which the plan
+    # shows as the post-aggregate exchange — so assert the in-bucket
+    # ranking window's clause specifically
+    m = re.findall(r"Window \[row_number\(\).*?windowspecdefinition\(([^,]+), ([^,]+),", plan)
+    assert any("_bkt" in b or "_bkt" in a for a, b in m), m
+    assert "SortMergeJoin" not in plan, plan[:2000]
