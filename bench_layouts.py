@@ -143,6 +143,7 @@ def drop_layout(spark, layout, sf):
         "grams": (T._gram_table(sf),),
         "q112": P._q112_index_tables(sf),
         "pq": V._pq_tables(sf),
+        "signs": V._sig_tables(sf),
     }[layout]
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -225,6 +226,7 @@ def bench_consumers(spark, sf, layout, consumers, out, factor=1):
             d = duck_timed(sf, name, tables)
         suffix = {
             "q02": "bucketed", "grams": "gram", "q112": "index", "pq": "pq",
+            "signs": "signs",
         }[layout]
         out[f"{name}_{suffix}_layout"] = {
             "branch": branch,
@@ -316,6 +318,13 @@ def main() -> None:
                 ("q138_pq_adc_search", ["embeddings"], None),
                 ("q141_ivfpq_search", ["embeddings"], None),
             ],
+        ),
+        # r12 second half: stored binary signature index — q145's
+        # Hamming scan reads persisted 16-byte signatures instead of
+        # re-hashing the corpus in a fresh session
+        "signs": (
+            "signs",
+            [("q145_signhash_ann", ["embeddings"], None)],
         ),
     }
     for key, (layout, consumers) in legs.items():

@@ -11,6 +11,11 @@ amortized across every query that reads it):
          3.54x -> 0.77x; write 12.7 s, amortized across consumers).
   q112   corpus LSH index (shingle sets + band buckets): per-run
          signature work drops to Theta(|new batch|).
+  signs  the stored binary signature index (r12 — FAISS
+         IndexBinaryFlat add/search split): q145's Hamming scan reads
+         the persisted 16-byte signatures instead of re-hashing the
+         corpus per session; planes are seed-derived so no model
+         sidecar is needed.
   pq     the stored PQ serving index (r12 — FAISS "build the index"):
          (vec_id, cell_id, codes) bucketBy(cell_id) + the model sidecar
          (PQ codebooks + coarse centroids); q138/q141 serve off the
@@ -39,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 #: layout name -> (writer import path, table-name fn, source files)
-_LAYOUTS = ("q02", "grams", "q112", "pq")
+_LAYOUTS = ("q02", "grams", "q112", "pq", "signs")
 
 
 def ensure_layouts(
@@ -69,7 +74,12 @@ def ensure_layouts(
         _gram_table,
         gram_layout,
     )
-    from dask_cuml_spark.queries.vector import _pq_tables, pq_layout
+    from dask_cuml_spark.queries.vector import (
+        _pq_tables,
+        _sig_tables,
+        pq_layout,
+        signature_layout,
+    )
 
     # table-name thunks, not values: layout_tag stats the source
     # parquet, so naming the grams tables on a fixture that has no
@@ -79,6 +89,7 @@ def ensure_layouts(
         "grams": (lambda: (_gram_table(sf_dir),), gram_layout),
         "q112": (lambda: _q112_index_tables(sf_dir), q112_index_layout),
         "pq": (lambda: _pq_tables(sf_dir), pq_layout),
+        "signs": (lambda: _sig_tables(sf_dir), signature_layout),
     }
     # stale-GC prefixes: everything up to the trailing fingerprint tag.
     # The r11 positioned-gram schema replaced the r8 distinct-pair one;
@@ -90,6 +101,7 @@ def ensure_layouts(
         "grams": (f"dcs_grams{_Q121_N}pos_",),
         "q112": ("dcs_q112_",),
         "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_"),
+        "signs": ("dcs_signs128s7_",),
     }
     legacy_prefixes = {"grams": (f"dcs_q121_grams{_Q121_N}_",)}
     out: dict[str, float] = {}

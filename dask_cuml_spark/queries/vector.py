@@ -1671,18 +1671,13 @@ def q145_signhash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, r in enumerate(qrows)
     ]
 
-    # signature frame memoized + checkpointed per (session, fixture) —
-    # the _fitted_ivf convention: a binary index is built ONCE and
-    # searched many times, so steady-state invocations time the
-    # XOR/POPCNT search, not a re-hash; a fresh driver session still
-    # pays and proves the full kernel path
-    ck = (spark.sparkContext.applicationId, sf_dir, _Q145_NBITS, "sigs")
-    sigs = _SIG_CACHE.get(ck)
-    if sigs is None:
-        sigs = sign_signatures(
-            _par(e), "vec_id", "embedding", planes
-        ).localCheckpoint()
-        _SIG_CACHE[ck] = sigs
+    # serve off the stored signature table when provisioned (the
+    # layouts 'signs' entry — FAISS IndexBinaryFlat posture: hash the
+    # corpus once, scan 16 bytes/row forever); otherwise the
+    # session-memoized kernel hash (the oracle path, bit-identical —
+    # planes are seed-derived so the stored and fresh bits share one
+    # derivation, pytest-pinned)
+    sigs, _from_layout = _sig_serving(spark, sf_dir, planes)
     big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
     scored = hamming_candidates(
         sigs,
@@ -1720,3 +1715,74 @@ def q145_signhash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_invariants(
         topk, exact, int(_Q145_RECALL_FLOOR * _Q145_NQ * _Q145_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# stored binary signature index (the fifth ensure_layouts entry) —
+# FAISS IndexBinaryFlat's add/search split: signature_layout() is the
+# one-time "add" (GEMM-hash the corpus, persist 16 bytes/row);
+# _sig_serving() routes q145 to the stored table when provisioned,
+# else to the session-memoized fresh hash (the driver's oracle path).
+# No bucketing: a binary index is brute-force Hamming-scanned by
+# design — the layout's whole job is that the search scan reads the
+# two packed words instead of the 64-float embedding (16 vs 256+
+# bytes/row), with the per-batch-top-k kernel bounding the exchange.
+# Planes are seed-derived model-state (binhash.hyperplanes), so stored
+# and fresh signatures share one derivation — no model sidecar needed,
+# the (nbits, seed) pair is part of the table name.
+# ---------------------------------------------------------------------------
+def _sig_tables(
+    sf_dir: str, nbits: int = 128, seed: int = 7
+) -> tuple[str]:
+    from dask_cuml_spark.operators.layout import layout_tag
+
+    tag = layout_tag(sf_dir, "embeddings.parquet")
+    return (f"dcs_signs{nbits}s{seed}_{tag}",)
+
+
+def signature_layout(
+    spark: SparkSession, sf_dir: str, nbits: int = 128, seed: int = 7
+) -> float:
+    """One-time binary signature index build. Returns write seconds."""
+    import time as _time
+
+    from dask_cuml_spark.operators.binhash import (
+        hyperplanes,
+        sign_signatures,
+    )
+    from dask_cuml_spark.operators.layout import drop_table_and_location
+
+    t0 = _time.perf_counter()
+    (tbl,) = _sig_tables(sf_dir, nbits, seed)
+    drop_table_and_location(spark, tbl)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.first()["embedding"])
+    planes = hyperplanes(nbits, dim, seed)
+    sign_signatures(_par(e), "vec_id", "embedding", planes).write.mode(
+        "overwrite"
+    ).saveAsTable(tbl)
+    return _time.perf_counter() - t0
+
+
+def _sig_serving(spark: SparkSession, sf_dir: str, planes):
+    """(signatures_df, from_layout) — stored table when provisioned,
+    else the session-memoized kernel hash (the _fitted_ivf convention:
+    build once, search many; a fresh driver session pays and proves
+    the full kernel path)."""
+    from dask_cuml_spark.operators.binhash import sign_signatures
+
+    nbits = planes.shape[0]
+    (tbl,) = _sig_tables(sf_dir, nbits)
+    if spark.catalog.tableExists(tbl):
+        return spark.table(tbl), True
+    ck = (spark.sparkContext.applicationId, sf_dir, nbits, "sigs")
+    sigs = _SIG_CACHE.get(ck)
+    if sigs is None:
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        sigs = sign_signatures(
+            _par(e), "vec_id", "embedding", planes
+        ).localCheckpoint()
+        _SIG_CACHE[ck] = sigs
+    return sigs, False

@@ -2675,3 +2675,37 @@ def test_q144_dsir_scores_separate_target_slice(spark):
     )
     means = {r.is_target: r.mean_w for r in m}
     assert means[True] > means[False]
+
+
+def test_signature_layout_branch(spark):
+    """r12: the stored binary signature index ('signs' layout).
+    Signatures read from the table must be bit-identical to the
+    in-session kernel hash (planes are seed-derived — one derivation),
+    q145 must return the same values on either branch, and the stored
+    scan must read ONLY (vec_id, sig) — 16 bytes of signature per row,
+    never the embedding column."""
+    import numpy as np
+
+    import dask_cuml_spark.queries.vector as V
+    from dask_cuml_spark.operators.binhash import hyperplanes
+
+    plain = {tuple(r) for r in V.q145_signhash_ann(spark, SF).collect()}
+    planes = hyperplanes(V._Q145_NBITS, 64)
+    fresh, from_layout = V._sig_serving(spark, SF, planes)
+    assert not from_layout
+    fresh_sigs = {r.vec_id: list(r.sig) for r in fresh.collect()}
+    V.signature_layout(spark, SF)
+    try:
+        stored, from_layout2 = V._sig_serving(spark, SF, planes)
+        assert from_layout2
+        assert fresh_sigs == {r.vec_id: list(r.sig) for r in stored.collect()}
+        assert plain == {
+            tuple(r) for r in V.q145_signhash_ann(spark, SF).collect()
+        }
+        plan = stored._jdf.queryExecution().executedPlan().toString()
+        read = plan.split("ReadSchema: ")[1].split("\n")[0]
+        assert "embedding" not in read, read
+        assert "sig" in read and "vec_id" in read, read
+    finally:
+        for t in V._sig_tables(SF):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
