@@ -150,6 +150,12 @@ def stratified_split_labels(
     ordered by (bucket, id) — deterministic and partitioning-free.
 
     Returns df's (id, stratum) plus a 'split' column ('train'/'test').
+
+    NULL strata form their own stratum (window PARTITION BY semantics,
+    matching the SQL-oracle formulation) — the internal grouping/join
+    key is null-coalesced to a sentinel because a bare equi-join would
+    silently DROP null-stratum rows (null != null), the dirty-input
+    divergence class the r11 advisor flagged on q131's size gate.
     """
     from pyspark.sql.window import Window
 
@@ -157,29 +163,33 @@ def stratified_split_labels(
         F.pmod(F.col(id_col), F.lit(buckets)) * F.lit(2654435761),
         F.lit(buckets),
     )
+    skey = F.coalesce(F.col(stratum_col).cast("string"), F.lit("\x00null"))
     rows = df.select(
-        F.col(id_col), F.col(stratum_col), bucket.alias("_bkt")
+        F.col(id_col),
+        F.col(stratum_col),
+        skey.alias("_sk"),
+        bucket.alias("_bkt"),
     )
-    counts = rows.groupBy(stratum_col, "_bkt").agg(
+    counts = rows.groupBy("_sk", "_bkt").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
     woff = (
-        Window.partitionBy(stratum_col)
+        Window.partitionBy("_sk")
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = counts.select(
-        stratum_col,
+        "_sk",
         "_bkt",
         F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
     )
-    tot = counts.groupBy(stratum_col).agg(F.sum("_cnt").alias("_n"))
-    wr = Window.partitionBy(stratum_col, "_bkt").orderBy(id_col)
+    tot = counts.groupBy("_sk").agg(F.sum("_cnt").alias("_n"))
+    wr = Window.partitionBy("_sk", "_bkt").orderBy(id_col)
     cut = F.expr(f"({train_num} * _n) div {train_den}")
     return (
         rows.withColumn("_rkb", F.row_number().over(wr))
-        .join(F.broadcast(offs), [stratum_col, "_bkt"])
-        .join(F.broadcast(tot), stratum_col)
+        .join(F.broadcast(offs), ["_sk", "_bkt"])
+        .join(F.broadcast(tot), "_sk")
         .select(
             id_col,
             stratum_col,

@@ -2742,12 +2742,22 @@ def q144_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda a, c: (a * F.lit(31) + c) % F.lit(_Q144_MOD),
     )
+    # localCheckpoint pins the VOCAB-sized map (31 rows at any fixture
+    # scale; bounded by |vocab| always) so the two consumers below do
+    # not each re-scan the corpus to rebuild it — this is model-state,
+    # not the corpus-sized persist the 256 MB rule forbids. Empty
+    # tokens (double spaces in dirty input) are safe cross-engine by
+    # construction: both engines emit the '' token from the split and
+    # both fold it to bucket 0 (Spark folds an EMPTY char array to the
+    # init 0; DuckDB folds the one-element [''] list with ascii('')=0 —
+    # verified both).
     vb = (
         d.select(F.explode(tokens()).alias("tok"))
         .distinct()
         .select(
             F.xxhash64("tok").alias("h"), (fold % _Q144_B).alias("bucket")
         )
+        .localCheckpoint()
     )
     rows = rows.join(F.broadcast(vb), "h")
     stats = rows.groupBy("bucket").agg(

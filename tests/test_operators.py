@@ -2709,3 +2709,26 @@ def test_signature_layout_branch(spark):
     finally:
         for t in V._sig_tables(SF):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stratified_split_null_stratum_kept(spark):
+    """NULL strata must form their own stratum with exact proportions,
+    not silently vanish: the internal key is null-coalesced because a
+    bare equi-join drops null keys (null != null) — the dirty-input
+    divergence class the r11 advisor flagged on q131's size gate."""
+    from dask_cuml_spark.operators.preprocessing import (
+        stratified_split_labels,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, None), (6, None),
+         (7, None)],
+        "id long, grp string",
+    )
+    out = stratified_split_labels(df, "id", "grp").collect()
+    assert len(out) == 7
+    per = {}
+    for r in out:
+        per.setdefault(r.grp, []).append(r.split)
+    assert sorted(per["a"]).count("train") == (4 * 2) // 5
+    assert sorted(per[None]).count("train") == (4 * 5) // 5
