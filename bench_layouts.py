@@ -144,6 +144,7 @@ def drop_layout(spark, layout, sf):
         "q112": P._q112_index_tables(sf),
         "pq": V._pq_tables(sf),
         "signs": V._sig_tables(sf),
+        "pack": T._pack_tables(sf),
     }[layout]
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -226,7 +227,7 @@ def bench_consumers(spark, sf, layout, consumers, out, factor=1):
             d = duck_timed(sf, name, tables)
         suffix = {
             "q02": "bucketed", "grams": "gram", "q112": "index", "pq": "pq",
-            "signs": "signs",
+            "signs": "signs", "pack": "pack",
         }[layout]
         out[f"{name}_{suffix}_layout"] = {
             "branch": branch,
@@ -325,6 +326,16 @@ def main() -> None:
         "signs": (
             "signs",
             [("q145_signhash_ann", ["embeddings"], None)],
+        ),
+        # r12 second half: stored packing manifest — q126 becomes a
+        # table scan; q142 reads the manifest instead of re-running
+        # the two-level prefix sum
+        "pack": (
+            "pack",
+            [
+                ("q126_sequence_packing", ["documents"], None),
+                ("q142_packing_audit", ["documents"], None),
+            ],
         ),
     }
     for key, (layout, consumers) in legs.items():

@@ -11,6 +11,11 @@ amortized across every query that reads it):
          3.54x -> 0.77x; write 12.7 s, amortized across consumers).
   q112   corpus LSH index (shingle sets + band buckets): per-run
          signature work drops to Theta(|new batch|).
+  pack   the stored sequence-packing manifest (r12): q126's placement
+         frame — every doc's stream offset and block span — written
+         once per corpus snapshot; q126 becomes a table scan and q142
+         reads the manifest instead of re-running the two-level
+         prefix sum per invocation.
   signs  the stored binary signature index (r12 — FAISS
          IndexBinaryFlat add/search split): q145's Hamming scan reads
          the persisted 16-byte signatures instead of re-hashing the
@@ -44,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 #: layout name -> (writer import path, table-name fn, source files)
-_LAYOUTS = ("q02", "grams", "q112", "pq", "signs")
+_LAYOUTS = ("q02", "grams", "q112", "pq", "signs", "pack")
 
 
 def ensure_layouts(
@@ -71,8 +76,11 @@ def ensure_layouts(
     )
     from dask_cuml_spark.queries.text import (
         _Q121_N,
+        _Q126_BLOCK,
         _gram_table,
+        _pack_tables,
         gram_layout,
+        pack_layout,
     )
     from dask_cuml_spark.queries.vector import (
         _pq_tables,
@@ -90,6 +98,7 @@ def ensure_layouts(
         "q112": (lambda: _q112_index_tables(sf_dir), q112_index_layout),
         "pq": (lambda: _pq_tables(sf_dir), pq_layout),
         "signs": (lambda: _sig_tables(sf_dir), signature_layout),
+        "pack": (lambda: _pack_tables(sf_dir), pack_layout),
     }
     # stale-GC prefixes: everything up to the trailing fingerprint tag.
     # The r11 positioned-gram schema replaced the r8 distinct-pair one;
@@ -102,6 +111,7 @@ def ensure_layouts(
         "q112": ("dcs_q112_",),
         "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_"),
         "signs": ("dcs_signs128s7_",),
+        "pack": (f"dcs_pack{_Q126_BLOCK}_",),
     }
     legacy_prefixes = {"grams": (f"dcs_q121_grams{_Q121_N}_",)}
     out: dict[str, float] = {}

@@ -2732,3 +2732,32 @@ def test_stratified_split_null_stratum_kept(spark):
         per.setdefault(r.grp, []).append(r.split)
     assert sorted(per["a"]).count("train") == (4 * 2) // 5
     assert sorted(per[None]).count("train") == (4 * 5) // 5
+
+
+def test_pack_layout_branch(spark):
+    """r12: the stored sequence-packing manifest ('pack' layout).
+    q126 read from the table must be value-identical to the two-level
+    prefix-sum computation, and q142 (which consumes q126's frame)
+    must return the same audit on either branch."""
+    import dask_cuml_spark.queries.text as T
+
+    plain126 = sorted(
+        tuple(r) for r in T.q126_sequence_packing(spark, SF).collect()
+    )
+    plain142 = sorted(
+        tuple(r) for r in T.q142_packing_audit(spark, SF).collect()
+    )
+    T.pack_layout(spark, SF)
+    try:
+        assert spark.catalog.tableExists(T._pack_tables(SF)[0])
+        stored126 = sorted(
+            tuple(r) for r in T.q126_sequence_packing(spark, SF).collect()
+        )
+        stored142 = sorted(
+            tuple(r) for r in T.q142_packing_audit(spark, SF).collect()
+        )
+        assert plain126 == stored126
+        assert plain142 == stored142
+    finally:
+        for t in T._pack_tables(SF):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
