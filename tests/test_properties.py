@@ -281,3 +281,53 @@ def test_hashed_shingles_jaccard_property(spark, docs, n):
     ) == pairwise(
         hashed_shingles(df, "text", n).select("doc_id", "shingles")
     )
+
+
+def test_binhash_pack_roundtrip_property():
+    """pack_bits is a bijection on bit matrices: unpacking the packed
+    int64 words (little-endian bit order) reproduces every bit, for
+    arbitrary widths that are multiples of 64."""
+    import numpy as np
+
+    from dask_cuml_spark.operators.binhash import pack_bits
+
+    rng = np.random.default_rng(11)
+    for nbits in (64, 128, 256):
+        bits = rng.integers(0, 2, size=(37, nbits)).astype(bool)
+        packed = pack_bits(bits)
+        assert packed.shape == (37, nbits // 64)
+        unpacked = np.unpackbits(
+            packed.view(np.uint8), axis=1, bitorder="little"
+        ).astype(bool)
+        assert (unpacked == bits).all()
+
+
+def test_stratified_split_proportion_property(spark):
+    """For arbitrary stratum sizes, every stratum contributes exactly
+    (num·n) div den train rows — the exact-proportion contract, under
+    several rationals."""
+    from pyspark.sql import functions as F
+
+    from dask_cuml_spark.operators.preprocessing import (
+        stratified_split_labels,
+    )
+
+    rows = []
+    sizes = {"a": 1, "b": 2, "c": 5, "d": 17, "e": 64}
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, grp string")
+    for num, den in ((4, 5), (1, 2), (9, 10), (1, 3)):
+        lab = stratified_split_labels(df, "id", "grp", num, den)
+        per = {
+            (r.grp, r.split): r.c
+            for r in lab.groupBy("grp", "split")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        for g, n in sizes.items():
+            assert per.get((g, "train"), 0) == (num * n) // den, (g, num, den)
+            assert per.get((g, "test"), 0) == n - (num * n) // den
