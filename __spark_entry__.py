@@ -205,6 +205,16 @@ _PRIORITY = [
     "q136_apply_span_dedup",
     "q139_decontaminate_spans",
     "q140_temperature_mixture",
+    # -- registered late in round 12, AFTER the window was already
+    # committed to the rotation above: every slot 12-50 holds a query
+    # whose evidence age the round's stated goal requires refreshing
+    # (nothing older than r10 afterward), so displacing any of them
+    # would break the rotation the r11 verdict prescribed. Both are
+    # pytest-oracle-proved this round (test_oracle_parity parameterizes
+    # the full registry) and run_pair-green at sf0.001/0.01/0.1 on a
+    # plain session; FIRST in line for the r13 window.
+    "q147_perplexity_buckets",
+    "q148_ngram_novelty",
 ]
 
 

@@ -113,6 +113,8 @@ TABLES_FOR = {
     "q144_dsir_weights": {"documents"},
     "q145_signhash_ann": {"embeddings"},
     "q146_stratified_split": {"documents"},
+    "q147_perplexity_buckets": {"documents"},
+    "q148_ngram_novelty": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -2826,3 +2826,207 @@ def pack_layout(spark: SparkSession, sf_dir: str) -> float:
         tbl
     )
     return _time.perf_counter() - t0
+
+
+# ---------------------------------------------------------------------------
+# q147 — perplexity-tercile bucketing (Wenzek et al. 2020 "CCNet":
+# per-language head/middle/tail corpus thirds by LM score — the
+# filtering step CCNet runs after its KenLM pass, and the standard
+# quality-stratification knob in CommonCrawl pipelines). Composes
+# q133's bigram-LM scorer UNCHANGED (its round-6 avg_logprob is
+# already proven hash-equal cross-engine on every driver run), then
+# ranks within language WITHOUT a language-sized window: the q146
+# two-level prefix sum, with the first level keyed by a RANGE bucket
+# of the score (monotone in the ranking key, so bucket order composes
+# with in-bucket order) instead of q146's hash bucket. Tercile
+# membership is pure integer arithmetic on (rank, n) — 3·g ≤ n, 3·g ≤
+# 2·n — never a float fraction.
+#
+# FULL-VALUE oracle: the equivalent ONE-window SQL (ROW_NUMBER over
+# PARTITION BY lang ORDER BY score DESC, doc_id). As with q146, the
+# agreement of the two formulations — corpus-safe two-level vs
+# textbook single-window — is itself what each driver run proves.
+#
+# Scale: scoring is q133 (measured 1.41x vs DuckDB at 1000x); the
+# bucketing adds one (lang x 64)-row counts frame (model-state,
+# broadcast back) and ranking windows over (lang, range-bucket)
+# partitions. Range buckets can skew if a language's scores
+# concentrate; at deployment scale the bucket edges come from a
+# histogram pass (the q12 shape) — the fixture curve is spread enough
+# that the fixed [-25, 0] edges hold, and correctness is
+# bucket-independent (any monotone bucketing yields the same ranks).
+# ---------------------------------------------------------------------------
+_Q147_RB = 64  # score-range buckets per language
+
+
+@register(
+    "q147_perplexity_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tok, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS vocab
+  FROM (SELECT UNNEST(t) AS tok FROM tok)
+), s AS (
+  SELECT b.doc_id,
+         ROUND(AVG(ln((c12.c12 + 1.0) / (c1.c1 + v.vocab))), 6) AS score
+  FROM big b
+  JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+  JOIN c1 ON b.w1 = c1.w1
+  CROSS JOIN v
+  GROUP BY b.doc_id
+), r AS (
+  SELECT s.doc_id, d.lang, s.score,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS g,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, score,
+       CAST(g AS BIGINT) AS lm_rank,
+       CASE WHEN 3 * g <= n THEN 'head'
+            WHEN 3 * g <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r
+""",
+)
+def q147_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q133_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("score")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # null-coalesced partition/join key (the q146 rule: a bare equi-join
+    # would silently drop null-lang rows while the oracle's PARTITION BY
+    # groups them)
+    rows = scored.join(d, "doc_id").withColumn(
+        "_sk", F.coalesce(F.col("lang").cast("string"), F.lit("\x00null"))
+    )
+    # range bucket, monotone DECREASING in score (lower _rb = better
+    # score = closer to head); correctness needs only monotonicity —
+    # the clamp folds outliers into the edge buckets where the
+    # in-bucket (score DESC, doc_id) order still ranks them exactly
+    neg = -F.col("score")
+    rows = rows.withColumn(
+        "_rb",
+        F.least(
+            F.lit(_Q147_RB - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(neg / F.lit(25.0) * F.lit(_Q147_RB)).cast("int"),
+            ),
+        ),
+    )
+    counts = rows.groupBy("_sk", "_rb").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = (
+        Window.partitionBy("_sk")
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "_sk",
+        "_rb",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+    )
+    tot = counts.groupBy("_sk").agg(F.sum("_cnt").alias("_n"))
+    wr = Window.partitionBy("_sk", "_rb").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    g = F.col("_off") + F.col("_rkb")
+    return (
+        rows.withColumn("_rkb", F.row_number().over(wr))
+        .join(F.broadcast(offs), ["_sk", "_rb"])
+        .join(F.broadcast(tot), "_sk")
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            g.cast("bigint").alias("lm_rank"),
+            F.when(3 * g <= F.col("_n"), "head")
+            .when(3 * g <= 2 * F.col("_n"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — n-gram novelty audit (the memorization/"how much of this doc
+# is new text" profile dataset audits run before mixing a source in:
+# Lee et al. 2022 §5 measure exactly this first-occurrence attribution
+# when quantifying train-set duplication; the per-doc novelty fraction
+# is the complement of q121's boilerplate fraction ATTRIBUTED to the
+# earliest occurrence instead of counted symmetrically). A gram
+# occurrence in doc d is NOVEL iff d is the smallest doc_id containing
+# that gram — min() attribution, so exactly one doc owns each distinct
+# gram and corpus-wide novelty mass equals the distinct-gram count.
+#
+# Decomposition: positioned L-gram pass (q134's frame — the stored
+# gram layout's FOURTH consumer) → first-occurrence doc per 8-byte
+# hash (one groupBy, bucket-local under the layout) → back-join
+# (bucket-local likewise) → per-doc agg. The oracle recomputes on gram
+# STRINGS (q119/q134 convention), so the hash shortcut is re-proven
+# against string truth on every driver run.
+#
+# Scale: identical shape to q134 minus the interval merge — its one
+# corpus-wide shuffle by _h disappears under the gram layout, and the
+# per-doc agg is the canonical partial+final count.
+# ---------------------------------------------------------------------------
+@register(
+    "q148_ngram_novelty",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         array_to_string(
+           toks[i + 1 : i + {_Q121_N}], ' ') AS gram
+  FROM tok,
+       UNNEST(range(0, GREATEST(len(toks) - {_Q121_N}, 0) + 1)) AS u(i)
+), f AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty_frac
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+""",
+)
+def q148_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _gram_table(sf_dir)
+    if spark.catalog.tableExists(tbl):
+        g = spark.table(tbl)
+    else:
+        g = _positioned_grams(spark, sf_dir)
+        # same persist economics as q134: reuse across the two
+        # consumers below only when the exploded frame is small enough
+        # to pin (256 MB source-bytes rule)
+        from dask_cuml_spark.io import source_size_bytes
+        from dask_cuml_spark.plans.cost import persist_for_reuse
+
+        if source_size_bytes(sf_dir, "documents") <= (256 << 20):
+            g = persist_for_reuse(g)
+    firsts = g.groupBy("_h").agg(F.min("doc_id").alias("_first"))
+    novel = (F.col("_first") == F.col("doc_id")).cast("bigint")
+    return (
+        g.join(firsts, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty_frac"),
+        )
+    )

@@ -2761,3 +2761,82 @@ def test_pack_layout_branch(spark):
     finally:
         for t in T._pack_tables(SF):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q148_gram_layout_branch(spark):
+    """q148 is the gram layout's FOURTH consumer: with the positioned
+    table registered, the first-occurrence groupBy and the back-join
+    are bucket-local — no corpus-wide gram-hash exchange survives —
+    and values are identical to the construction branch."""
+    import dask_cuml_spark.queries.text as T
+
+    plain = {tuple(r) for r in T.q148_ngram_novelty(spark, SF).collect()}
+    T.gram_layout(spark, SF, n_buckets=4)
+    try:
+        d = T.q148_ngram_novelty(spark, SF)
+        got = {tuple(r) for r in d.collect()}
+        assert got == plain and len(got) > 0
+        fin = (
+            d._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in fin, fin[:2000]
+        import re
+
+        ex = re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", fin)
+        # only the per-doc final aggregation may repartition
+        assert all(e.startswith("doc_id") for e in ex), (ex, fin[:2500])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {T._gram_table(SF)}")
+    assert not spark.catalog.tableExists(T._gram_table(SF))
+
+
+def test_q148_novelty_conservation(spark):
+    """min() attribution means exactly one doc owns each distinct gram:
+    corpus novelty mass == distinct gram count, and doc 0's grams are
+    all novel (nothing precedes the smallest doc_id)."""
+    import dask_cuml_spark.queries.text as T
+
+    out = T.q148_ngram_novelty(spark, SF)
+    total_novel = out.agg(F.sum("n_novel")).collect()[0][0]
+    distinct_grams = (
+        T._positioned_grams(spark, SF).select("_h").distinct().count()
+    )
+    assert total_novel == distinct_grams
+    first_doc = out.orderBy("doc_id").first()
+    assert first_doc.n_novel <= first_doc.n_grams
+    min_doc = out.agg(F.min("doc_id")).collect()[0][0]
+    row0 = out.filter(F.col("doc_id") == min_doc).first()
+    assert row0.novelty_frac == 1.0
+
+
+def test_q147_tercile_structure(spark):
+    """Two-level ranks are a bijection 1..n per language, tercile sizes
+    match the rational cutoffs exactly, and bucket boundaries respect
+    the (score DESC, doc_id) total order — every head row outranks
+    every middle row outranks every tail row within its language."""
+    import dask_cuml_spark.queries.text as T
+
+    pdf = T.q147_perplexity_buckets(spark, SF).toPandas()
+    for lang, grp in pdf.groupby("lang", dropna=False):
+        n = len(grp)
+        ranks = sorted(grp["lm_rank"])
+        assert ranks == list(range(1, n + 1)), lang
+        sizes = grp["ppl_bucket"].value_counts().to_dict()
+        head = sizes.get("head", 0)
+        middle = sizes.get("middle", 0)
+        assert head == n // 3
+        assert head + middle == (2 * n) // 3
+        # rank ranges must be disjoint and ordered head < middle < tail
+        by_rank = grp.sort_values("lm_rank")
+        labels = by_rank["ppl_bucket"].tolist()
+        import itertools
+
+        runs = [k for k, _ in itertools.groupby(labels)]
+        assert runs == [
+            b for b in ("head", "middle", "tail")
+            if sizes.get(b, 0) > 0
+        ], (lang, runs)
+        # scores weakly decrease with rank (ties broken by doc_id)
+        s = by_rank["score"].tolist()
+        assert all(a >= b for a, b in zip(s, s[1:])), lang
