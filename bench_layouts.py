@@ -303,6 +303,10 @@ def main() -> None:
                 # branch (it calls q134 for its spans) — the verdict
                 # asked for its own same-invocation A/B pair
                 ("q136_apply_span_dedup", ["documents"], None),
+                # r12 third stretch: novelty audit, the FOURTH direct
+                # consumer — first-occurrence groupBy + back-join go
+                # bucket-local
+                ("q148_ngram_novelty", ["documents"], None),
             ],
         ),
         # q112 stored corpus LSH index

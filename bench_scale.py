@@ -322,6 +322,12 @@ SKIP_DUCK_ABOVE = {
     # records the Spark-side curve, whose shuffle keys stay 8 bytes
     "q134_exact_substring_dedup": 100,
     "q139_decontaminate_spans": 100,
+    # q148's oracle builds the IDENTICAL 650 M gram-string frame as
+    # q134's (same g CTE; one group-by + back-join on it) — the part
+    # q134's r11 measurement showed spilling >25 GB before one timed
+    # run; beyond 100x the row records the Spark-side curve (8-byte
+    # hash keys, bucket-local under the gram layout)
+    "q148_ngram_novelty": 100,
     # measured r11: at 100x the covered/kept anti-join (65 M grams ×
     # L-token UNNEST ranges) grew DuckDB past 44 GB RSS and died in
     # OutOfMemoryException ("bad allocation") before one timed run

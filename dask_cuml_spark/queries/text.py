@@ -2909,6 +2909,17 @@ def q147_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = scored.join(d, "doc_id").withColumn(
         "_sk", F.coalesce(F.col("lang").cast("string"), F.lit("\x00null"))
     )
+    # the scored frame fans into the counts/offsets subtree AND the
+    # final ranking window — without pinning it, the whole q133
+    # pipeline (explode + two count aggs + joins) re-evaluates per
+    # consumer (the q144 duplicated-subtree class; measured 18.7 s vs
+    # q133's own 12.9 s at 100x). This is NOT a corpus-sized persist
+    # the 256 MB rule forbids: three narrow columns PER DOC (~30 B/doc,
+    # ~0.03% of source text bytes at any scale), the same
+    # output-manifest class as q126's placements.
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    rows = persist_for_reuse(rows)
     # range bucket, monotone DECREASING in score (lower _rb = better
     # score = closer to head); correctness needs only monotonicity —
     # the clamp folds outliers into the edge buckets where the
