@@ -215,6 +215,7 @@ _PRIORITY = [
     # plain session; FIRST in line for the r13 window.
     "q147_perplexity_buckets",
     "q148_ngram_novelty",
+    "q149_bloom_decontamination",
 ]
 
 

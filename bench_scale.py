@@ -115,6 +115,7 @@ TABLES_FOR = {
     "q146_stratified_split": {"documents"},
     "q147_perplexity_buckets": {"documents"},
     "q148_ngram_novelty": {"documents"},
+    "q149_bloom_decontamination": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -438,6 +439,23 @@ RATIO_CAVEATS = {
         "1000x (1.93x at 5M docs / 125M tokens), min-of-3 fresh-plan. "
         "The delta is the per-char lambda tax paid only for oracle "
         "parity"
+    ),
+    "q149_bloom_decontamination": (
+        "ratio measures the ORACLE-REPLAYABLE mode: portable ascii-fold "
+        "gram keys let DuckDB reproduce the filter bit-for-bit "
+        "(including false positives), at the cost of one per-distinct-"
+        "gram string fold — inherently corpus-sized because the scale "
+        "fixture makes cross-copy grams disjoint by design, and Spark's "
+        "interpreted fold lambdas run ~3x slower than DuckDB's "
+        "vectorized list ops (the q131 interpreter-tax class; the "
+        "first per-OCCURRENCE cut measured 129.9 s before the "
+        "per-distinct restructure). The production swap — "
+        "bloom_decontaminate(key_mode='xxhash64'): gram key = "
+        "xxhash64(slice), positions as integer exprs, zero string/fold "
+        "work — measured 2.90 s min-of-3 at 100x on the same fixture "
+        "(one narrow explode + a 65,536-int broadcast + per-doc agg), "
+        "invariants pytest-pinned; the portable mode is kept "
+        "registered because it is the oracle-exact shape"
     ),
     "q47_ivf_search_full_probe": (
         "ratio measures an ORACLE-FIDELITY configuration, not an ANN "

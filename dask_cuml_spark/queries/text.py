@@ -3041,3 +3041,297 @@ def q148_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — Bloom-filter decontamination (Bloom 1970; the bounded-memory
+# membership structure production decontamination uses when the eval
+# n-gram set outgrows an exact broadcast set — the structure behind
+# e.g. BigQuery/Spark bloom-filter joins and the "bloom filter" pass
+# in large-corpus decontamination writeups). Completes the membership
+# trio: q139 = exact broadcast hash set, q112 = stored LSH index,
+# q149 = fixed m-bit filter whose size is INDEPENDENT of corpus and
+# eval-set growth.
+#
+# Everything is exact integer arithmetic both engines state
+# identically, so the oracle reproduces the filter BIT-FOR-BIT —
+# including its false positives, which are part of Bloom semantics,
+# not noise (the q144 collision-reproduction convention):
+#   tid       = per-token ascii polyfold (the q144 fold)
+#   gram key  = fold of the 5-token tid slice mod a < 2^30 prime
+#   positions = double hashing h1 + i·h2 over m = 2^16 bits, k = 2
+#     (Kirsch & Mitzenmacher 2006: two hashes suffice)
+# Eval slice = doc_id % 97 == 0 (the q139 slice); train docs report
+# per-doc gram counts, Bloom hits, and exact-key hits. n_key_hits ≤
+# n_bloom_hits per doc BY CONSTRUCTION (no false negatives) — the
+# spread between the two columns is the measured FP audit.
+#
+# Scale: the bits table is ≤ m = 65 536 ints at ANY corpus/eval size —
+# always broadcastable, which is the operator's reason to exist. The
+# train pass is one narrow exploded projection + three broadcast LEFT
+# joins against distinct keys (no row multiplication) + the canonical
+# per-doc partial+final agg; nothing corpus-sized shuffles. The
+# per-char fold lambda is the oracle-parity tax (the q129/q144
+# adjudication): production swaps xxhash64(slice) for the gram key —
+# same plan shape, no per-char work — and keeps the m-bit layout.
+# ---------------------------------------------------------------------------
+_Q149_M = 1 << 16  # Bloom bits
+_Q149_GMOD = 999999937  # gram-key fold prime (< 2^30: products stay exact)
+
+
+@register(
+    "q149_bloom_decontamination",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tid AS (
+  SELECT doc_id,
+         list_transform(toks, t ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(t, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % {_Q144_MOD})) AS tids
+  FROM tok
+), g AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           tids[i + 1 : i + {_Q121_N}]),
+           (a, t) -> (a * 10007 + t) % {_Q149_GMOD}) AS gk
+  FROM tid,
+       UNNEST(range(0, GREATEST(len(tids) - {_Q121_N}, 0) + 1)) AS u(i)
+), keyed AS (
+  SELECT doc_id, gk,
+         gk % {_Q149_M} AS p1,
+         (gk % {_Q149_M} + 1 + gk % ({_Q149_M} - 1)) % {_Q149_M} AS p2
+  FROM g
+), bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT p1 AS p FROM keyed WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT p2 AS p FROM keyed WHERE doc_id % 97 = 0
+  )
+), ev AS (
+  SELECT DISTINCT gk FROM keyed WHERE doc_id % 97 = 0
+)
+SELECT k.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CASE WHEN e.gk IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_key_hits,
+       ROUND(CAST(SUM(CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+                  THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS bloom_frac
+FROM keyed k
+LEFT JOIN bits b1 ON k.p1 = b1.p
+LEFT JOIN bits b2 ON k.p2 = b2.p
+LEFT JOIN ev e ON k.gk = e.gk
+WHERE k.doc_id % 97 <> 0
+GROUP BY k.doc_id
+""",
+)
+def q149_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered ORACLE mode: portable ascii-fold gram keys so DuckDB
+    reproduces the filter bit-for-bit. Production mode (xxhash64 keys,
+    zero string/fold work — the scan-speed shape) is
+    ``bloom_decontaminate(..., key_mode='xxhash64')`` below; the
+    measured 100x pair is in SCALEBENCH/PLANS (the q129
+    oracle-mode-vs-production-mode adjudication class)."""
+    return bloom_decontaminate(spark, sf_dir, key_mode="portable")
+
+
+def bloom_decontaminate(
+    spark: SparkSession, sf_dir: str, key_mode: str = "xxhash64"
+) -> DataFrame:
+    # CORPUS-side work never folds characters: occurrences carry only
+    # xxhash64(token-slice) — the 8-byte JVM-codegen key every gram
+    # family uses (q121/q134). In 'portable' (oracle) mode the ascii
+    # fold runs once per DISTINCT gram and joins back by the 8-byte
+    # key; the distinct-gram frame is corpus-sized in general (the
+    # scale fixture makes cross-copy grams DISJOINT by design), so
+    # this mode pays an inherent per-string fold tax for cross-engine
+    # bit-parity — DuckDB pays the same fold on the same frame, and
+    # the first cut that folded per OCCURRENCE measured 129.9 s at
+    # 100x vs ~56 s for the per-distinct shape. In 'xxhash64'
+    # (production) mode there are NO strings and NO folds anywhere:
+    # gram key = xxhash64(slice), Bloom positions are integer exprs on
+    # it, and the whole query is one narrow explode + a 65 536-int
+    # broadcast + the canonical per-doc agg — the scan-speed shape.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from dask_cuml_spark.io import source_size_bytes
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    small = source_size_bytes(sf_dir, "documents") <= (256 << 20)
+    toks = tokens()
+    n = F.array_size(toks)
+    seq = F.sequence(F.lit(0), F.greatest(n - _Q121_N, F.lit(0)))
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(seq, lambda i: F.xxhash64(F.slice(toks, i + 1, _Q121_N)))
+        ).alias("xh"),
+    )
+    if key_mode == "xxhash64":
+        # production: positions straight off the 8-byte key — one
+        # narrow explode, no strings, no map join
+        keyed = occ.select(
+            "doc_id",
+            F.col("xh").alias("gk"),
+            F.pmod(F.col("xh"), F.lit(_Q149_M)).alias("p1"),
+            (
+                (
+                    F.pmod(F.col("xh"), F.lit(_Q149_M))
+                    + 1
+                    + F.pmod(F.col("xh"), F.lit(_Q149_M - 1))
+                )
+                % _Q149_M
+            ).alias("p2"),
+        )
+        if small:
+            keyed = persist_for_reuse(keyed)
+        ev_rows = keyed.filter(F.col("doc_id") % 97 == 0)
+        bits = (
+            ev_rows.select(F.col("p1").alias("p"))
+            .unionAll(ev_rows.select(F.col("p2").alias("p")))
+            .distinct()
+        )
+        ev = ev_rows.select("gk").distinct()
+        train = (
+            keyed.filter(F.col("doc_id") % 97 != 0)
+            .join(
+                F.broadcast(
+                    bits.select(F.col("p").alias("p1"), F.lit(1).alias("_m1"))
+                ),
+                "p1",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    bits.select(F.col("p").alias("p2"), F.lit(1).alias("_m2"))
+                ),
+                "p2",
+                "left",
+            )
+            .join(F.broadcast(ev.withColumn("_me", F.lit(1))), "gk", "left")
+            .select(
+                "doc_id",
+                (F.col("_m1").isNotNull() & F.col("_m2").isNotNull())
+                .cast("bigint")
+                .alias("_bloom"),
+                F.col("_me").isNotNull().cast("bigint").alias("_key"),
+            )
+        )
+        return _q149_doc_agg(train)
+    if key_mode != "portable":
+        raise ValueError(f"unknown key_mode: {key_mode}")
+    if small:
+        # occ feeds the eval-key resolution AND the train scan
+        occ = persist_for_reuse(occ)
+    gstr = d.select(
+        F.explode(
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    F.xxhash64(F.slice(toks, i + 1, _Q121_N)).alias("xh"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, _Q121_N)).alias(
+                        "gs"
+                    ),
+                ),
+            )
+        ).alias("g")
+    ).select("g.xh", "g.gs").distinct()
+    # the oracle folds PER-TOKEN tids then folds the tid slice;
+    # replicate exactly: fold each token of the gram, then combine
+    tid_fold = F.aggregate(
+        F.transform(
+            F.split("gs", " "),
+            lambda t: F.aggregate(
+                F.transform(
+                    F.split(t, ""), lambda c: F.ascii(c).cast("bigint")
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a, c: (a * F.lit(31) + c) % F.lit(_Q144_MOD),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, t: (a * F.lit(10007) + t) % F.lit(_Q149_GMOD),
+    )
+    gmap = gstr.select(
+        "xh",
+        tid_fold.alias("gk"),
+    ).select(
+        "xh",
+        "gk",
+        (F.col("gk") % _Q149_M).alias("p1"),
+        (
+            (F.col("gk") % _Q149_M + 1 + F.col("gk") % (_Q149_M - 1))
+            % _Q149_M
+        ).alias("p2"),
+    )
+    # the distinct-gram map feeds the eval-key resolution AND the flag
+    # computation below; without the pin the string distinct (the
+    # mode's one inherently corpus-sized leg) re-runs per consumer.
+    gmap = persist_for_reuse(gmap)
+    # membership is a property of the GRAM, not the occurrence — so
+    # resolve the Bloom bits and exact-key flags ON THE MAP
+    # (model-state-sized joins), and the corpus side stays ONE explode
+    # + one broadcast join + the canonical per-doc agg. No
+    # corpus-sized frame is ever persisted or re-consumed.
+    ev_keys = (
+        occ.filter(F.col("doc_id") % 97 == 0)
+        .select("xh")
+        .distinct()
+        .join(gmap, "xh")
+    )
+    bits = (
+        ev_keys.select(F.col("p1").alias("p"))
+        .unionAll(ev_keys.select(F.col("p2").alias("p")))
+        .distinct()
+    )
+    ev = ev_keys.select("gk").distinct()
+    flagged_map = (
+        gmap.join(
+            F.broadcast(
+                bits.select(F.col("p").alias("p1"), F.lit(1).alias("_b1"))
+            ),
+            "p1",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                bits.select(F.col("p").alias("p2"), F.lit(1).alias("_b2"))
+            ),
+            "p2",
+            "left",
+        )
+        .join(F.broadcast(ev.withColumn("_e", F.lit(1))), "gk", "left")
+        .select(
+            "xh",
+            (F.col("_b1").isNotNull() & F.col("_b2").isNotNull())
+            .cast("bigint")
+            .alias("_bloom"),
+            F.col("_e").isNotNull().cast("bigint").alias("_key"),
+        )
+    )
+    # broadcast the flagged map below the source-size gate; above it
+    # the 8-byte-key join is the q134 dup-join class and AQE picks
+    # the strategy
+    if small:
+        flagged_map = F.broadcast(flagged_map)
+    train = occ.filter(F.col("doc_id") % 97 != 0).join(flagged_map, "xh")
+    return _q149_doc_agg(train)
+
+
+def _q149_doc_agg(train: DataFrame) -> DataFrame:
+    """Shared per-doc tail: (doc_id, _bloom, _key) occurrence flags →
+    gram counts, Bloom hits, exact-key hits, hit fraction."""
+    return train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_bloom").alias("n_bloom_hits"),
+        F.sum("_key").alias("n_key_hits"),
+        F.round(
+            F.sum("_bloom").cast("double") / F.count(F.lit(1)), 6
+        ).alias("bloom_frac"),
+    )

@@ -2840,3 +2840,41 @@ def test_q147_tercile_structure(spark):
         # scores weakly decrease with rank (ties broken by doc_id)
         s = by_rank["score"].tolist()
         assert all(a >= b for a, b in zip(s, s[1:])), lang
+
+
+def test_q149_bloom_no_false_negatives(spark):
+    """Bloom semantics: every exact-key hit must also be a Bloom hit
+    (no false negatives, per doc), and the corpus-level spread
+    n_bloom >= n_key is the measured false-positive audit. Results
+    are partitioning-invariant (pure integer folds, no RNG)."""
+    import dask_cuml_spark.queries.text as T
+
+    out = T.q149_bloom_decontamination(spark, SF)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) > 0
+    assert all(r.n_key_hits <= r.n_bloom_hits for r in rows.values())
+    total_bloom = sum(r.n_bloom_hits for r in rows.values())
+    total_key = sum(r.n_key_hits for r in rows.values())
+    assert total_bloom >= total_key
+    # fixture has at least one exact contamination hit to audit against
+    assert total_key > 0
+    again = {
+        r.doc_id: r for r in T.q149_bloom_decontamination(spark, SF).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+    # production mode (xxhash64 keys, no strings/folds): same doc set
+    # and identical gram accounting — only the key space differs — and
+    # the same no-false-negative invariant holds
+    xx = {
+        r.doc_id: r
+        for r in T.bloom_decontaminate(
+            spark, SF, key_mode="xxhash64"
+        ).collect()
+    }
+    assert set(xx) == set(rows)
+    assert {k: v.n_grams for k, v in xx.items()} == {
+        k: v.n_grams for k, v in rows.items()
+    }
+    assert all(r.n_key_hits <= r.n_bloom_hits for r in xx.values())
