@@ -135,6 +135,12 @@ def stratified_split_labels(
     not in expectation like the hash-predicate split above (whose
     per-stratum counts are binomial around the rate).
 
+    PRECONDITION: ``id_col`` values must be UNIQUE (advisor r12; the
+    SQL oracle assumes the same). Duplicate ids make the row_number
+    tie order nondeterministic — breaking the partitioning-invariance
+    guarantee — and multiply rows through
+    ``stratified_train_test_split``'s label join.
+
     The ratio is a RATIONAL (num, den), never a float: the cutoff is
     (num · n) div den in pure integer arithmetic, so any SQL engine
     reproduces the assignment bit-for-bit (no floor(0.8·n) double

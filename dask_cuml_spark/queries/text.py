@@ -1198,7 +1198,10 @@ def q119_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         # grams are DISTINCT per doc (array_distinct before the
         # explode), so a plain count is COUNT(DISTINCT shared grams)
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy("doc_id")
+        # no presentation orderBy (r13): the driver hash is
+        # order-insensitive and a global sort of the per-doc output is
+        # a pure rangepartitioning exchange — plan-pinned in
+        # tests/test_plan_quality.py
     )
 
 
@@ -3141,7 +3144,10 @@ def q149_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bloom_decontaminate(
-    spark: SparkSession, sf_dir: str, key_mode: str = "xxhash64"
+    spark: SparkSession,
+    sf_dir: str,
+    key_mode: str = "xxhash64",
+    fold_strategy: str = "auto",
 ) -> DataFrame:
     # CORPUS-side work never folds characters: occurrences carry only
     # xxhash64(token-slice) — the 8-byte JVM-codegen key every gram
@@ -3243,25 +3249,40 @@ def bloom_decontaminate(
         ).alias("g")
     ).select("g.xh", "g.gs").distinct()
     # the oracle folds PER-TOKEN tids then folds the tid slice;
-    # replicate exactly: fold each token of the gram, then combine
-    tid_fold = F.aggregate(
-        F.transform(
-            F.split("gs", " "),
-            lambda t: F.aggregate(
-                F.transform(
-                    F.split(t, ""), lambda c: F.ascii(c).cast("bigint")
+    # replicate exactly: fold each token of the gram, then combine.
+    # Two bit-identical strategies (the q131/q145 size-gate pattern):
+    # 'expr' mirrors the oracle SQL as interpreted HOF lambdas — the
+    # proof path, but CodegenFallback per CHARACTER (~5 s / 10M
+    # elements, PLANS.md) — and 'kernel' runs the same recurrence as
+    # numpy column sweeps (operators/strfold.py; strategy agreement +
+    # driver-twin replay pytest-pinned). 'auto' flips at GATE_BYTES.
+    from dask_cuml_spark.operators.quantize import GATE_BYTES
+    from dask_cuml_spark.operators.strfold import fold_gram_keys
+
+    if fold_strategy == "auto":
+        big = source_size_bytes(sf_dir, "documents") > GATE_BYTES
+        fold_strategy = "kernel" if big else "expr"
+    if fold_strategy == "kernel":
+        folded = fold_gram_keys(
+            gstr, "gs", "gk", _Q144_MOD, _Q149_GMOD
+        ).select("xh", "gk")
+    else:
+        tid_fold = F.aggregate(
+            F.transform(
+                F.split("gs", " "),
+                lambda t: F.aggregate(
+                    F.transform(
+                        F.split(t, ""), lambda c: F.ascii(c).cast("bigint")
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda a, c: (a * F.lit(31) + c) % F.lit(_Q144_MOD),
                 ),
-                F.lit(0).cast("bigint"),
-                lambda a, c: (a * F.lit(31) + c) % F.lit(_Q144_MOD),
             ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda a, t: (a * F.lit(10007) + t) % F.lit(_Q149_GMOD),
-    )
-    gmap = gstr.select(
-        "xh",
-        tid_fold.alias("gk"),
-    ).select(
+            F.lit(0).cast("bigint"),
+            lambda a, t: (a * F.lit(10007) + t) % F.lit(_Q149_GMOD),
+        )
+        folded = gstr.select("xh", tid_fold.alias("gk"))
+    gmap = folded.select(
         "xh",
         "gk",
         (F.col("gk") % _Q149_M).alias("p1"),

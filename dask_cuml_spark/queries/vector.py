@@ -1662,7 +1662,8 @@ def q145_signhash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: r.vec_id,
     )
     Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in qrows])
-    planes = hyperplanes(_Q145_NBITS, Q.shape[1])
+    _seed = 7  # carried alongside planes into _sig_serving (advisor r12)
+    planes = hyperplanes(_Q145_NBITS, Q.shape[1], _seed)
     # query signatures driver-side through the SAME function the kernel
     # runs, so query and database bits share one code path
     qsigs = signatures_of(Q, planes)
@@ -1677,7 +1678,7 @@ def q145_signhash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-memoized kernel hash (the oracle path, bit-identical —
     # planes are seed-derived so the stored and fresh bits share one
     # derivation, pytest-pinned)
-    sigs, _from_layout = _sig_serving(spark, sf_dir, planes)
+    sigs, _from_layout = _sig_serving(spark, sf_dir, planes, _seed)
     big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
     scored = hamming_candidates(
         sigs,
@@ -1686,10 +1687,13 @@ def q145_signhash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="kernel" if big else "expr",
     )
     w = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    # self-match dropped BEFORE the rank cut (advisor r12): the query's
+    # own row always ranks first (ham=0), so cutting first would leave
+    # only _Q145_SHORTLIST-1 true candidates for the re-rank
     shortlist = (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _Q145_SHORTLIST)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
 
@@ -1756,7 +1760,12 @@ def signature_layout(
     (tbl,) = _sig_tables(sf_dir, nbits, seed)
     drop_table_and_location(spark, tbl)
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(e.first()["embedding"])
+    # dim probe from a NON-NULL row (advisor r12): the first row of a
+    # dirty corpus may carry a NULL embedding, the exact case
+    # sign_signatures handles downstream
+    dim = len(
+        e.filter(F.col("embedding").isNotNull()).first()["embedding"]
+    )
     planes = hyperplanes(nbits, dim, seed)
     sign_signatures(_par(e), "vec_id", "embedding", planes).write.mode(
         "overwrite"
@@ -1764,18 +1773,23 @@ def signature_layout(
     return _time.perf_counter() - t0
 
 
-def _sig_serving(spark: SparkSession, sf_dir: str, planes):
+def _sig_serving(spark: SparkSession, sf_dir: str, planes, seed: int = 7):
     """(signatures_df, from_layout) — stored table when provisioned,
     else the session-memoized kernel hash (the _fitted_ivf convention:
     build once, search many; a fresh driver session pays and proves
-    the full kernel path)."""
+    the full kernel path).
+
+    ``seed`` MUST be the seed the passed planes were derived with
+    (advisor r12): the stored-table name and the memo key both carry
+    it, so planes from a non-default seed can never silently serve
+    another seed's bits."""
     from dask_cuml_spark.operators.binhash import sign_signatures
 
     nbits = planes.shape[0]
-    (tbl,) = _sig_tables(sf_dir, nbits)
+    (tbl,) = _sig_tables(sf_dir, nbits, seed)
     if spark.catalog.tableExists(tbl):
         return spark.table(tbl), True
-    ck = (spark.sparkContext.applicationId, sf_dir, nbits, "sigs")
+    ck = (spark.sparkContext.applicationId, sf_dir, nbits, seed, "sigs")
     sigs = _SIG_CACHE.get(ck)
     if sigs is None:
         e = load_table(spark, sf_dir, "embeddings").select(

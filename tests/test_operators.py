@@ -2620,6 +2620,10 @@ def test_stratified_split_exact_proportions_and_partition_invariance(spark):
     )
 
     d = load_table(spark, SF, "documents")
+    # contract (advisor r12): id_col must be UNIQUE — duplicate ids
+    # would make the row_number tie order nondeterministic and
+    # multiply rows through the wrapper's label join
+    assert d.count() == d.select("doc_id").distinct().count()
     lab = stratified_split_labels(d, "doc_id", "lang", 4, 5)
     per = {
         (r.lang, r.split): r.n
@@ -2840,6 +2844,63 @@ def test_q147_tercile_structure(spark):
         # scores weakly decrease with rank (ties broken by doc_id)
         s = by_rank["score"].tolist()
         assert all(a >= b for a, b in zip(s, s[1:])), lang
+
+
+def test_q149_fold_strategy_agreement_and_twin_replay(spark):
+    """The portable gram-key fold's two strategies — the
+    oracle-mirroring HOF expr and the numpy column-sweep kernel
+    (operators/strfold.py) — must be BIT-IDENTICAL end-to-end (the
+    q131/adc convention: integer fold, so whole-output equality is
+    exact), and the driver-side twin must replay the expr fold exactly
+    on edge-shaped strings (short grams, repeated/empty tokens,
+    non-ascii codepoints)."""
+    import dask_cuml_spark.queries.text as T
+    from dask_cuml_spark.operators.strfold import gram_keys_of
+
+    a = {
+        r.doc_id: tuple(r)
+        for r in T.bloom_decontaminate(
+            spark, SF, key_mode="portable", fold_strategy="expr"
+        ).collect()
+    }
+    b = {
+        r.doc_id: tuple(r)
+        for r in T.bloom_decontaminate(
+            spark, SF, key_mode="portable", fold_strategy="kernel"
+        ).collect()
+    }
+    assert a == b
+    # driver-twin replay vs the expr fold on hand-built edge strings
+    cases = [
+        "alpha beta gamma delta epsilon",
+        "a",
+        "x y",
+        "same same same same same",
+        "café naïve über tōkyō motör",
+        "a  b",  # double space -> empty middle token, split-compatible
+    ]
+    expr = F.aggregate(
+        F.transform(
+            F.split("gs", " "),
+            lambda t: F.aggregate(
+                F.transform(
+                    F.split(t, ""), lambda c: F.ascii(c).cast("bigint")
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, c: (acc * F.lit(31) + c) % F.lit(T._Q144_MOD),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * F.lit(10007) + t) % F.lit(T._Q149_GMOD),
+    )
+    want = [
+        r.gk
+        for r in spark.createDataFrame([(c,) for c in cases], "gs string")
+        .select(expr.alias("gk"))
+        .collect()
+    ]
+    got = gram_keys_of(cases, T._Q144_MOD, T._Q149_GMOD).tolist()
+    assert got == want, list(zip(cases, got, want))
 
 
 def test_q149_bloom_no_false_negatives(spark):

@@ -283,6 +283,15 @@ def test_q128_q130_q131_no_data_shuffle(spark):
         )
 
 
+def test_q119_no_presentation_sort(spark):
+    """q119's per-doc contamination counts need no display order: the
+    r13 sweep removed the last leftover presentation orderBy (the
+    q126/q127/q129 class — a rangepartitioning exchange of the whole
+    per-doc output purely for display)."""
+    plan = _plan(spark, "q119_contamination_check")
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+
+
 def test_q126_no_presentation_sort(spark):
     """q126's two-level prefix sum keeps its partitioned window
     exchanges, but the r12 presentation-sort removal means no
