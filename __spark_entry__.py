@@ -32,92 +32,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-12 window, in order
-# (WINDOW_r12.md has the per-query evidence trail):
-#   1. changed-code-first: q144 (NEW — DSIR importance weighting,
-#      engine-portable feature hashing, full-value oracle), q145 (NEW —
-#      binary sign-hash ANN: SRP-LSH signatures + XOR/POPCNT ranking +
-#      exact re-rank, the third quantized serving shape; q138's
-#      invariant oracle pattern), q146 (NEW — exact stratified
-#      train/test split, cuml stratify= parity, full-value oracle),
-#      then q141 (NEW — IVF-PQ search: coarse cells +
-#      PQ ADC + exact re-rank, the FAISS IVFPQ serving index; q138's
-#      invariant oracle pattern), q142 (NEW — packing-efficiency
-#      audit over q126's placements, full-value integer oracle),
-#      q137/q138 (pq_fit now trains on a bounded deterministic
-#      hash-sample; q138 additionally serves off the stored PQ layout
-#      when provisioned and its exact baseline excludes self-matches —
-#      advisor r11), q131 (kernel path now propagates null vectors
-#      like the expr path — advisor r11), q126/q127 (presentation
-#      sorts removed, plan-pinned);
-#   2. q10/q11/q25/q31/q32 — displaced past 50 in r11 by the late
-#      q136–q140 additions; WINDOW_r11.md named them first in line;
-#   3. the r9-evidence block (every remaining query whose latest
-#      driver row is round 9), lowest number first;
-#   4. oldest r10-evidence queries, lowest number first, filling to 50
-#      (q01/q05/q12 displaced to 51-53 by the late q144-q146 additions —
-#      still r10-green, first in line for r13 with the r10 block).
-# Entries past position 50 are r10/r11-green and code-unchanged.
+# re-enters the hard gate (advisor r2). Round-13 window, in order
+# (WINDOW_r13.md has the per-query evidence trail):
+#   1. changed-code-first + never-windowed-first: q150 (NEW —
+#      paragraph-level exact dedup, RefinedWeb granularity, full-value
+#      string-truth oracle), q149 (r12 stretch, no driver row yet;
+#      portable-mode fold now runs as a size-gated Arrow kernel —
+#      strfold.py, bit-parity pytest-pinned), q148/q147 (r12 stretch,
+#      no driver row yet — registered at 51+ last round for rotation
+#      integrity, pytest + run_pair green since), q119 (presentation
+#      orderBy removed, plan-pinned — the r12 verdict's one weak),
+#      q145 (self-match now dropped before the shortlist cut; stored-
+#      signature lookup threads the plane seed — advisor r12), q146
+#      (unique-id precondition documented + asserted — advisor r12);
+#   2. q01/q05/q12 — displaced to 51-53 last round by the late
+#      q144-q146 additions; WINDOW_r12.md named them first in line;
+#   3. the r10-evidence block (every remaining query whose latest
+#      driver row is round 10), lowest number first;
+#   4. q02 — the oldest r11-evidence query — fills slot 50.
+# After this round every query has at least one driver row and none
+# is older than round 11. Entries past position 50 are r11/r12-green
+# and code-unchanged.
 _PRIORITY = [
-    # -- (1) new or changed in round 12
-    "q144_dsir_weights",
+    # -- (1) new or changed in round 13, and the three stretch
+    # queries that had never held a driver slot
+    "q150_paragraph_dedup",
+    "q149_bloom_decontamination",
+    "q148_ngram_novelty",
+    "q147_perplexity_buckets",
+    "q119_contamination_check",
     "q145_signhash_ann",
     "q146_stratified_split",
-    "q141_ivfpq_search",
-    "q142_packing_audit",
-    "q143_seq_length_histogram",
-    "q137_pq_quantization",
-    "q138_pq_adc_search",
-    "q131_int8_quantization",
-    "q126_sequence_packing",
-    "q127_pii_redaction",
-    # -- (2) displaced past 50 last round, first in line (WINDOW_r11)
-    "q10_set_ops",
-    "q11_rollup",
-    "q25_hourly_windows",
-    "q31_tfidf_top_term",
-    "q32_exact_dedup",
-    # -- (3) the r9-evidence block, lowest number first
-    "q35_jaccard_near_dup",
-    "q41_centroid_assignment",
-    "q42_lloyd_iteration",
-    "q45_cosine_near_dup",
-    "q47_ivf_search_full_probe",
-    "q48_kmeans_transform",
-    "q52_ridge_fit",
-    "q53_standard_scaler",
-    "q54_minmax_scaler",
-    "q55_corr_cov_matrix",
-    "q56_confusion_matrix",
-    "q65_ranking_windows",
-    "q78_minhash_near_dup",
-    "q82_lsh_knn",
-    "q83_logreg_predict",
-    "q87_naive_bayes_predict",
-    "q94_elasticnet_vs_ols",
-    "q96_train_test_split",
-    "q98_stream_dedup",
-    "q100_merge_schema",
-    "q101_make_classification",
-    "q102_adjusted_rand",
-    "q104_json_parse_at_ingest",
-    "q105_curation_pipeline",
-    "q106_salted_skew_join",
-    "q107_approx_aggregates",
-    "q109_stratified_sample",
-    "q112_incremental_dedup",
-    "q115_ivf_partial_probe",
-    "q116_stream_upsert_sink",
-    "q117_stream_static_enrichment",
-    "q118_knn_graph",
-    "q124_embedding_outliers",
-    "q125_semantic_dedup_auto",
-    # -- (4) oldest r10-evidence, lowest number first, filling to 50
+    # -- (2) displaced to 51-53 last round by the late q144-q146
+    # additions; WINDOW_r12.md named them first in line
     "q01_pricing_summary",
     "q05_string_ops",
     "q12_quantiles_histogram",
-    # -- positions 51+: code-unchanged. Remaining r10-evidence first
-    # (first in line for r13), lowest number first
+    # -- (3) the r10-evidence block, lowest number first (39)
     "q13_semi_anti_join",
     "q14_range_join_bands",
     "q15_global_topk",
@@ -157,8 +108,10 @@ _PRIORITY = [
     "q122_token_budget_mixture",
     "q130_chunk_documents",
     "q132_fixed_n_per_stratum",
-    # then the r11-evidence block, lowest number first
+    # -- (4) oldest r11-evidence query fills slot 50
     "q02_revenue_by_nation",
+    # ---------------- positions 51+: out of window this round
+    # -- r11-evidence block, lowest number first
     "q03_top_orders_per_customer",
     "q04_segment_stats",
     "q06_orders_by_month",
@@ -193,7 +146,6 @@ _PRIORITY = [
     "q110_gopher_rules",
     "q111_clustered_layout",
     "q113_bpe_token_accounting",
-    "q119_contamination_check",
     "q120_dbscan_blocked",
     "q121_boilerplate_ngrams",
     "q123_vocab_coverage",
@@ -205,17 +157,55 @@ _PRIORITY = [
     "q136_apply_span_dedup",
     "q139_decontaminate_spans",
     "q140_temperature_mixture",
-    # -- registered late in round 12, AFTER the window was already
-    # committed to the rotation above: every slot 12-50 holds a query
-    # whose evidence age the round's stated goal requires refreshing
-    # (nothing older than r10 afterward), so displacing any of them
-    # would break the rotation the r11 verdict prescribed. Both are
-    # pytest-oracle-proved this round (test_oracle_parity parameterizes
-    # the full registry) and run_pair-green at sf0.001/0.01/0.1 on a
-    # plain session; FIRST in line for the r13 window.
-    "q147_perplexity_buckets",
-    "q148_ngram_novelty",
-    "q149_bloom_decontamination",
+    # -- r12-evidence block, lowest number first
+    "q10_set_ops",
+    "q11_rollup",
+    "q25_hourly_windows",
+    "q31_tfidf_top_term",
+    "q32_exact_dedup",
+    "q35_jaccard_near_dup",
+    "q41_centroid_assignment",
+    "q42_lloyd_iteration",
+    "q45_cosine_near_dup",
+    "q47_ivf_search_full_probe",
+    "q48_kmeans_transform",
+    "q52_ridge_fit",
+    "q53_standard_scaler",
+    "q54_minmax_scaler",
+    "q55_corr_cov_matrix",
+    "q56_confusion_matrix",
+    "q65_ranking_windows",
+    "q78_minhash_near_dup",
+    "q82_lsh_knn",
+    "q83_logreg_predict",
+    "q87_naive_bayes_predict",
+    "q94_elasticnet_vs_ols",
+    "q96_train_test_split",
+    "q98_stream_dedup",
+    "q100_merge_schema",
+    "q101_make_classification",
+    "q102_adjusted_rand",
+    "q104_json_parse_at_ingest",
+    "q105_curation_pipeline",
+    "q106_salted_skew_join",
+    "q107_approx_aggregates",
+    "q109_stratified_sample",
+    "q112_incremental_dedup",
+    "q115_ivf_partial_probe",
+    "q116_stream_upsert_sink",
+    "q117_stream_static_enrichment",
+    "q118_knn_graph",
+    "q124_embedding_outliers",
+    "q125_semantic_dedup_auto",
+    "q126_sequence_packing",
+    "q127_pii_redaction",
+    "q131_int8_quantization",
+    "q137_pq_quantization",
+    "q138_pq_adc_search",
+    "q141_ivfpq_search",
+    "q142_packing_audit",
+    "q143_seq_length_histogram",
+    "q144_dsir_weights",
 ]
 
 

@@ -116,6 +116,7 @@ TABLES_FOR = {
     "q147_perplexity_buckets": {"documents"},
     "q148_ngram_novelty": {"documents"},
     "q149_bloom_decontamination": {"documents"},
+    "q150_paragraph_dedup": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -445,11 +446,13 @@ RATIO_CAVEATS = {
         "gram keys let DuckDB reproduce the filter bit-for-bit "
         "(including false positives), at the cost of one per-distinct-"
         "gram string fold — inherently corpus-sized because the scale "
-        "fixture makes cross-copy grams disjoint by design, and Spark's "
-        "interpreted fold lambdas run ~3x slower than DuckDB's "
-        "vectorized list ops (the q131 interpreter-tax class; the "
-        "first per-OCCURRENCE cut measured 129.9 s before the "
-        "per-distinct restructure). The production swap — "
+        "fixture makes cross-copy grams disjoint by design. The fold "
+        "ladder, all measured at 100x: 129.9 s per-OCCURRENCE -> "
+        "62.3 s per-distinct interpreted lambdas (r12) -> 33.4 s with "
+        "the size-gated strfold Arrow kernel (r13; numpy column sweeps "
+        "over char/token positions, bit-parity pytest-pinned), vs "
+        "DuckDB ~23 s paying the same per-distinct fold in vectorized "
+        "list ops. The production swap — "
         "bloom_decontaminate(key_mode='xxhash64'): gram key = "
         "xxhash64(slice), positions as integer exprs, zero string/fold "
         "work — measured 2.90 s min-of-3 at 100x on the same fixture "

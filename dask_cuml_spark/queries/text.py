@@ -3356,3 +3356,108 @@ def _q149_doc_agg(train: DataFrame) -> DataFrame:
             F.sum("_bloom").cast("double") / F.count(F.lit(1)), 6
         ).alias("bloom_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — paragraph-level exact dedup (north-star D2: the RefinedWeb /
+# SlimPajama granularity BETWEEN q134's positioned spans and q78's
+# whole-document MinHash; public method: Penedo et al. 2023 "The
+# RefinedWeb Dataset" §exact deduplication — duplicated lines /
+# paragraphs are removed keeping the FIRST occurrence in corpus order,
+# which kills boilerplate chrome (headers, footers, nav blocks) that
+# whole-doc dedup never sees and span dedup over-segments).
+# Paragraph segmentation is a PARAMETER: production corpora split on
+# the newline delimiter; the fixtures are single-line (FIXTURES.md),
+# so the registered query uses the equivalent fixed _Q150_P-token
+# blocks — the same plan, a different split expression.
+# Scale shape: one narrow explode emits (doc_id, idx, ph) where ph =
+# xxhash64(token block) — the 8-byte key every dedup family shuffles
+# on (q32/q119 collision class; equality-of-hash ≡ equality-of-string
+# at 2^-64, and the oracle recomputes first-occurrences on the STRINGS
+# so the shortcut is re-proven per driver run). First-occurrence
+# resolution is the skew-safe two-level groupBy chain, never a
+# paragraph-sized window partition: (ph, doc_id) partial-agg (map-side
+# combined, so a paragraph repeated 10M times at 100 TB arrives
+# pre-collapsed), then a min(struct) per ph on the collapsed frame,
+# then a doc_id count of the winners. n_paras is its own narrow
+# scan+agg — two scans total (the q105 two-scan shape) instead of
+# persisting a corpus-sized explode.
+# ---------------------------------------------------------------------------
+_Q150_P = 20  # tokens per paragraph block (newline split in production)
+
+
+@register(
+    "q150_paragraph_dedup",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), blocks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(
+           toks[(i*{_Q150_P}+1):(i*{_Q150_P}+{_Q150_P})], ' ') AS para
+  FROM tok,
+       UNNEST(range(0, CAST(ceil(len(toks) / {_Q150_P}.0) AS BIGINT)))
+         AS t(i)
+), ranked AS (
+  SELECT doc_id, idx,
+         ROW_NUMBER() OVER (
+           PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS kept_frac
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def q150_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = tokens()
+    n = F.array_size(toks)
+    nblocks = F.ceil(n.cast("double") / _Q150_P).cast("int")
+    seq = F.sequence(F.lit(0), nblocks - 1)
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    i.cast("bigint").alias("idx"),
+                    F.xxhash64(
+                        F.slice(toks, i * _Q150_P + 1, _Q150_P)
+                    ).alias("ph"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.idx", "b.ph")
+    # level 1: collapse to (ph, doc_id) BEFORE the per-ph min — the
+    # partial agg combines map-side, so no hot paragraph ever lands
+    # uncollapsed on one reducer (the window formulation would)
+    per_doc = occ.groupBy("ph", "doc_id").agg(
+        F.min("idx").alias("min_idx")
+    )
+    winners = per_doc.groupBy("ph").agg(
+        F.min(F.struct("doc_id", "min_idx")).alias("fo")
+    )
+    n_kept = winners.groupBy(F.col("fo.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    n_paras = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras")
+    )
+    return n_paras.join(n_kept, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0)).cast("double")
+            / F.col("n_paras"),
+            6,
+        ).alias("kept_frac"),
+    )

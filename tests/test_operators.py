@@ -2903,6 +2903,64 @@ def test_q149_fold_strategy_agreement_and_twin_replay(spark):
     assert got == want, list(zip(cases, got, want))
 
 
+def test_q150_paragraph_dedup_semantics(spark):
+    """RefinedWeb exact paragraph dedup invariants: every doc keeps at
+    most as many paragraphs as it has; the corpus-wide kept total
+    equals the number of DISTINCT paragraphs (exactly one occurrence
+    survives per distinct block — first in (doc_id, idx) order); and a
+    hand-built within-doc repeat keeps only its first occurrence."""
+    import dask_cuml_spark.queries.text as T
+
+    out = {r.doc_id: r for r in T.q150_paragraph_dedup(spark, SF).collect()}
+    assert len(out) > 0
+    # n_kept can hit 0 (every block first-occurs in an earlier doc)
+    assert all(0 <= r.n_kept <= r.n_paras for r in out.values())
+    # corpus-wide: sum of kept == distinct paragraph count (string
+    # truth via the oracle frame is proven by run_pair; here the hash
+    # formulation's own accounting must balance)
+    d = load_table(spark, SF, "documents")
+    toks = F.split(F.col("text"), " ")
+    nb = F.ceil(F.array_size(toks).cast("double") / T._Q150_P).cast("int")
+    distinct_blocks = (
+        d.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nb - 1),
+                    lambda i: F.xxhash64(
+                        F.slice(toks, i * T._Q150_P + 1, T._Q150_P)
+                    ),
+                )
+            ).alias("ph")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_kept for r in out.values()) == distinct_blocks
+    # fixture actually exercises dedup (duplicate tail blocks exist)
+    assert any(r.n_kept < r.n_paras for r in out.values())
+    # hand-built: doc 0 repeats a block; doc 1 shares it -> only the
+    # doc-0 idx-0 copy survives anywhere
+    words = " ".join(f"w{i}" for i in range(T._Q150_P))
+    tiny = spark.createDataFrame(
+        [(0, words + " " + words), (1, words)], "doc_id bigint, text string"
+    )
+    import dask_cuml_spark.io as io_mod
+
+    orig = io_mod.load_table
+    try:
+        io_mod.load_table = lambda s, sf, name: tiny  # noqa: ARG005
+        T.load_table = io_mod.load_table
+        tiny_out = {
+            r.doc_id: r
+            for r in T.q150_paragraph_dedup(spark, "ignored").collect()
+        }
+    finally:
+        io_mod.load_table = orig
+        T.load_table = orig
+    assert tiny_out[0].n_paras == 2 and tiny_out[0].n_kept == 1
+    assert tiny_out[1].n_paras == 1 and tiny_out[1].n_kept == 0
+
+
 def test_q149_bloom_no_false_negatives(spark):
     """Bloom semantics: every exact-key hit must also be a Bloom hit
     (no false negatives, per doc), and the corpus-level spread
