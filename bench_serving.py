@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Serving-only scale rows for the three quantized ANN shapes
+(q138 PQ/ADC, q141 IVF-PQ, q145 binary sign-hash) — r13 verdict
+task 3.
+
+The end-to-end SCALEBENCH rows for these queries time the WHOLE
+registered query, which deliberately carries its own certification:
+an eager exact-GEMM brute-force baseline plus the _ann_invariants
+report, run inside the same action as the search. That is the right
+shape for the correctness gate and the wrong shape for a serving
+claim — a deployed index never recomputes an exact baseline per
+request. This script measures the claim the serving stack actually
+makes:
+
+  provision the stored layouts ONCE (ensure_layouts 'pq' + 'signs',
+  timed separately — the FAISS add()/train() cost), then time ONLY
+  the search path (queries/vector.py serving surfaces: stored-layout
+  scan → shortlist → exact re-rank → collect top-k), min-of-3 with a
+  JVM GC between runs (the bench_layouts protocol). The invariant
+  certification (exact baseline + _ann_invariants — the very checks
+  the registered query performs) runs AFTER the timers and must be
+  all-green for the row to be recorded.
+
+No DuckDB column: the registered oracles for these queries are
+constant invariant rows (codebooks/planes are data-derived), so there
+is no comparable SQL to time — the reconciliation target is the
+isolated kernel A/B records in PLANS.md (ADC 1.01 s, Hamming 1.10 s
+at 1000×) plus the polluted end-to-end rows these serving rows
+replace.
+
+Usage: SPARK_DRIVER_MEMORY=24g python bench_serving.py [factor]
+       (default 1000; --only=q138_pq_adc_search,... to subset)
+Results merge into SCALEBENCH.json under "serving_{factor}x".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import dask_cuml_spark.queries  # noqa: F401 — populate registry
+from bench_scale import FACT_SHIFTS, build_scaled  # noqa: E402
+from dask_cuml_spark.io import enable_table_cache, load_table  # noqa: E402
+from dask_cuml_spark.layouts import ensure_layouts  # noqa: E402
+from dask_cuml_spark.queries.vector import (  # noqa: E402
+    SERVING_TOPK,
+    _serving_certify,
+)
+from dask_cuml_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = int(args[0]) if args else 1000
+    names = list(SERVING_TOPK)
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            names = a[len("--only="):].split(",")
+    dst = f"/tmp/graft_scale{factor}"
+    t0 = time.perf_counter()
+    build_scaled(dst, factor, {"embeddings"})
+    if time.perf_counter() - t0 > 1:
+        print(
+            f"built {factor}x dataset in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ and factor >= 300:
+        from dask_cuml_spark.plans.cost import suggest_shuffle_partitions
+
+        parts = suggest_shuffle_partitions(f"{dst}/embeddings.parquet")
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(parts)
+        print(f"shuffle partitions (rule): {parts}", file=sys.stderr)
+    spark = get_spark("dask_cuml_spark-servingbench")
+    enable_table_cache(True)
+
+    needed = sorted({ly for n in names for ly in SERVING_TOPK[n][1]})
+    t0 = time.perf_counter()
+    build_secs = ensure_layouts(spark, dst, layouts=tuple(needed))
+    print(
+        f"layout build ({'+'.join(needed)}): "
+        f"{ {k: round(v, 2) for k, v in build_secs.items()} } "
+        f"({time.perf_counter() - t0:.1f}s wall)",
+        file=sys.stderr,
+    )
+
+    rows = {}
+    e = load_table(spark, dst, "embeddings").select("vec_id", "embedding")
+    for name in names:
+        fn, _layouts, nq, k, floor = SERVING_TOPK[name]
+        fn(spark, dst).collect()  # warm (plan + codegen compile)
+        best = float("inf")
+        for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            out = fn(spark, dst).collect()
+            best = min(best, time.perf_counter() - t0)
+        assert len(out) == nq * k, (name, len(out))
+        # certification OUTSIDE the timer — the registered query's own
+        # invariant report over the very top-k the timed path returned
+        t0 = time.perf_counter()
+        cert = _serving_certify(
+            spark, e, fn(spark, dst), nq, k, floor
+        ).collect()[0]
+        cert_sec = time.perf_counter() - t0
+        # scale-invariant invariants stay HARD: full k, no dups, rank
+        # domination. Recall is RECORDED, not floor-gated: a fixed
+        # 50-candidate shortlist over a factor-x corpus decays recall
+        # by design (production scales shortlist/nprobe with corpus —
+        # see _serving_certify's docstring); the fixture-scale floor
+        # is pinned by tests/test_operators.py::test_serving_topk_*.
+        ok = (
+            cert.n_queries == nq
+            and cert.n_results == nq * k
+            and cert.n_dup_pairs == 0
+            and cert.n_rank_violations == 0
+        )
+        assert ok, (name, cert)
+        rows[name] = {
+            "spark_sec": round(best, 4),
+            "layout_build_sec": round(
+                sum(build_secs.get(ly, 0.0) for ly in _layouts), 2
+            ),
+            "certify_sec_untimed": round(cert_sec, 2),
+            "invariants_ok": 1,
+            "recall_at_k": round(cert.n_recall_hits / (nq * k), 3),
+            "note": (
+                "serving path only (stored layout scan -> shortlist -> "
+                "exact re-rank -> collect top-k); structural invariant "
+                "certification (full k, no dups, rank domination) ran "
+                "after the timer and was all-green; recall@k recorded "
+                "at the registered FIXED shortlist, which decays with "
+                "corpus growth by design"
+            ),
+        }
+        print(name, json.dumps(rows[name]), file=sys.stderr)
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALEBENCH.json"
+    )
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    results.setdefault(f"serving_{factor}x", {}).update(rows)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps({"serving_factor": factor, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

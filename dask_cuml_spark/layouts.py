@@ -107,7 +107,7 @@ def ensure_layouts(
     # drop via the never-matching keep_tag below).
     prefixes = {
         "q02": ("dcs_q02_orders_", "dcs_q02_lineitem_"),
-        "grams": (f"dcs_grams{_Q121_N}pos_",),
+        "grams": (f"dcs_grams{_Q121_N}pos_", f"dcs_gramsmf{_Q121_N}_"),
         "q112": ("dcs_q112_",),
         "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_"),
         "signs": ("dcs_signs128s7_",),
@@ -119,13 +119,26 @@ def ensure_layouts(
         tables_fn, writer = spec[name]
         tables = tables_fn()
         tag = tables[0].rsplit("_", 1)[1]
+        inc = None
+        if name == "grams" and not all(
+            spark.catalog.tableExists(t) for t in tables
+        ):
+            # append-only incremental refresh (Θ(|new batch|) instead
+            # of a full rebuild) MUST run before the stale-GC below:
+            # the GC keyed on the NEW tag would drop the very old-tag
+            # table the refresh appends to and renames
+            from dask_cuml_spark.queries.text import gram_layout_refresh
+
+            inc = gram_layout_refresh(spark, sf_dir)
         if drop_stale:
             for p in prefixes[name]:
                 drop_stale_layouts(spark, p, tag)
             for p in legacy_prefixes.get(name, ()):
                 # retired schema: no keep_tag can match "\0" → drop all
                 drop_stale_layouts(spark, p, "\0")
-        if all(spark.catalog.tableExists(t) for t in tables):
+        if inc is not None:
+            out[name] = inc
+        elif all(spark.catalog.tableExists(t) for t in tables):
             out[name] = 0.0
         else:
             out[name] = writer(spark, sf_dir)

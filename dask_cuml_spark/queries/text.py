@@ -1258,13 +1258,19 @@ def _q121_hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(grams).alias("_h"))
 
 
-def _positioned_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _positioned_grams(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
     """One exploded pass: (doc_id, pos, _h) — every L-gram occurrence
     WITH its token offset and multiplicity kept (q134's construction).
     The superset representation: distinct (doc_id, _h) pairs (q121/
     q119's frame) derive from it by an in-partition dedup, so ONE
-    layout serves boilerplate, contamination, and substring dedup."""
-    d = load_table(spark, sf_dir, "documents").repartition(
+    layout serves boilerplate, contamination, and substring dedup.
+    ``d`` overrides the source frame (the incremental refresh passes
+    ONLY the appended files' docs through the same construction)."""
+    if d is None:
+        d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(
         spark.sparkContext.defaultParallelism
     )
     toks = tokens()
@@ -1294,6 +1300,114 @@ def _gram_table(sf_dir: str) -> str:
 
     tag = layout_tag(sf_dir, "documents.parquet")
     return f"dcs_grams{_Q121_N}pos_{tag}"
+
+
+def _source_files(
+    sf_dir: str, name: str = "documents.parquet"
+) -> dict[str, tuple[int, int]]:
+    """relpath -> (size, mtime_ns) for every file backing the source
+    table — the per-file fingerprint the incremental refresh compares
+    (layout_tag folds the same stats into one hash; this keeps them
+    separable so 'strictly grew' is distinguishable from 'changed')."""
+    import os
+
+    p = os.path.join(sf_dir, name)
+    if os.path.isfile(p):
+        st = os.stat(p)
+        return {name: (st.st_size, st.st_mtime_ns)}
+    out: dict[str, tuple[int, int]] = {}
+    for dirpath, _dirs, files in os.walk(p):
+        for fn in files:
+            fp = os.path.join(dirpath, fn)
+            st = os.stat(fp)
+            out[os.path.relpath(fp, sf_dir)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _gram_manifest_table(tag: str) -> str:
+    return f"dcs_gramsmf{_Q121_N}_{tag}"
+
+
+def _write_gram_manifest(spark: SparkSession, sf_dir: str, tag: str) -> None:
+    """Persist the source-file manifest next to the gram table — the
+    incremental refresh's append-only detector reads it on the NEXT
+    provisioning call (a few rows: one per source part file)."""
+    rows = [
+        (f, s, m) for f, (s, m) in sorted(_source_files(sf_dir).items())
+    ]
+    spark.createDataFrame(
+        rows, "file string, size bigint, mtime_ns bigint"
+    ).write.mode("overwrite").saveAsTable(_gram_manifest_table(tag))
+
+
+def gram_layout_refresh(spark: SparkSession, sf_dir: str) -> float | None:
+    """Append-only incremental refresh of the positioned-gram layout
+    (r13 verdict task 4 — the q112 Θ(|new batch|) posture generalized
+    to the layout with the most consumers: q119/q121/q134/q136/q148).
+
+    A daily-ingest corpus appends part files; rebuilding the whole
+    inverted index per ingest is Θ(corpus) when the new work is
+    Θ(batch). Detection is strictly conservative: the stored manifest
+    (per-file size + mtime_ns) must be a SUBSET of the current file
+    set with every old file bit-unchanged — any mutation of an
+    existing file (including a rewritten _SUCCESS marker) disqualifies
+    the fast path and falls back to the full rebuild, so correctness
+    never depends on the detector. On a hit: ONLY the new parquet
+    files' docs run the positioned-gram construction, appended into
+    the bucketed table (Spark appends per-bucket files — the bucket
+    spec, pruning, and exchange-free clustering all survive,
+    spike-verified + pytest-pinned), then the table is renamed to the
+    new source fingerprint tag so every catalog-gated consumer picks
+    it up unchanged.
+
+    Returns write seconds on an incremental refresh, None when not
+    applicable (caller falls back to the full gram_layout build).
+    MUST run before ensure_layouts' stale-GC — the GC would drop the
+    very table this appends to."""
+    import os
+    import time as _time
+
+    new_tbl = _gram_table(sf_dir)
+    new_tag = new_tbl.rsplit("_", 1)[1]
+    if spark.catalog.tableExists(new_tbl):
+        return 0.0
+    cur = _source_files(sf_dir)
+    prefix = f"dcs_grams{_Q121_N}pos_"
+    for t in spark.catalog.listTables():
+        if not t.name.startswith(prefix) or t.name.endswith(new_tag):
+            continue
+        old_tag = t.name.rsplit("_", 1)[1]
+        mf = _gram_manifest_table(old_tag)
+        if not spark.catalog.tableExists(mf):
+            continue
+        old = {
+            r.file: (r.size, r.mtime_ns) for r in spark.table(mf).collect()
+        }
+        if not set(old) <= set(cur) or len(old) == len(cur):
+            continue
+        if any(cur[f] != old[f] for f in old):
+            continue  # an existing file changed — full rebuild territory
+        new_files = [
+            os.path.join(sf_dir, f)
+            for f in sorted(set(cur) - set(old))
+            if f.endswith(".parquet")
+        ]
+        t0 = _time.perf_counter()
+        if new_files:
+            batch = spark.read.parquet(*new_files).select("doc_id", "text")
+            (
+                _positioned_grams(spark, sf_dir, d=batch)
+                .repartition(_Q121_BUCKETS, F.col("_h"))
+                .write.mode("append")
+                .bucketBy(_Q121_BUCKETS, "_h")
+                .sortBy("_h")
+                .saveAsTable(t.name)
+            )
+        spark.sql(f"ALTER TABLE {t.name} RENAME TO {new_tbl}")
+        _write_gram_manifest(spark, sf_dir, new_tag)
+        spark.sql(f"DROP TABLE IF EXISTS {mf}")
+        return _time.perf_counter() - t0
+    return None
 
 
 def gram_layout(
@@ -1326,6 +1440,9 @@ def gram_layout(
         .sortBy("_h")
         .saveAsTable(tbl)
     )
+    # manifest sidecar: the append-only detector's baseline for the
+    # NEXT provisioning call (gram_layout_refresh above)
+    _write_gram_manifest(spark, sf_dir, tbl.rsplit("_", 1)[1])
     return _time.perf_counter() - t0
 
 

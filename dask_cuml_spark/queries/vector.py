@@ -1800,3 +1800,203 @@ def _sig_serving(spark: SparkSession, sf_dir: str, planes, seed: int = 7):
         ).localCheckpoint()
         _SIG_CACHE[ck] = sigs
     return sigs, False
+
+
+# ---------------------------------------------------------------------------
+# Serving-only surfaces (r13 verdict task 3). The SCALEBENCH
+# end-to-end rows for q138/q141/q145 time the whole query — including
+# the in-query invariant machinery (the eager exact-GEMM baseline +
+# _ann_invariants) that exists to make the driver oracle
+# self-certifying, not to serve traffic. These functions assemble the
+# SEARCH PATH ALONE — the plan a deployed index actually runs per
+# query batch: stored-layout scan → shortlist → exact re-rank —
+# mirroring the query bodies line-for-line (q138/q141/q145 above),
+# with one deliberate divergence: the self-match is dropped BEFORE the
+# shortlist cut everywhere (the advisor-r12 q145 fix, applied
+# uniformly here so every serving shortlist holds its full candidate
+# budget). bench_serving.py provisions the pq/signs layouts and times
+# these; `invariants=True` re-runs the query's own certification
+# (exact baseline + _ann_invariants) OUTSIDE any timer, and
+# tests/test_operators.py pins all three green at fixture scale.
+# ---------------------------------------------------------------------------
+def _serving_rerank(e, shortlist, nq: int, k: int):
+    """Exact re-rank + top-k over a (query_id, neighbor_id) shortlist
+    — the shared refine step (candidate-sized work)."""
+    qf = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    w2 = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        shortlist.join(F.broadcast(qf), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", l2_sq("qv", "cv").alias("dist"))
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _serving_shortlist(scored, order_col: str, shortlist_n: int):
+    w = Window.partitionBy("query_id").orderBy(order_col, "neighbor_id")
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist_n)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _serving_certify(spark, e, topk, nq: int, k: int, floor: float):
+    """The query's own invariant report over a serving top-k (exact
+    brute-force baseline + _ann_invariants) — run OUTSIDE timers.
+    Adds an ``n_recall_hits`` column (absolute exact-neighbor hits) so
+    callers at non-fixture scales can RECORD recall rather than gate
+    on the fixture-scale floor: a FIXED 50-candidate shortlist over a
+    1000x corpus decays recall by design (the q138 docstring's
+    near-orthogonal worst case — production scales shortlist/nprobe
+    with corpus), while full-k / no-dups / rank-domination are
+    scale-invariant and stay hard assertions everywhere."""
+    from dask_cuml_spark.operators.knn import brute_force_knn
+
+    qf = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    exact = brute_force_knn(
+        qf, _par(cv), k=k, strategy="expr", exclude_same_id=True
+    ).localCheckpoint()
+    t = topk.localCheckpoint()
+    hits = t.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).agg(F.count(F.lit(1)).alias("n_recall_hits"))
+    return _ann_invariants(t, exact, int(floor * nq * k)).crossJoin(hits)
+
+
+def pq_adc_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q138's search path alone: LUT build (model-state) → ADC
+    shortlist over the stored codes → exact re-rank."""
+    import numpy as np
+
+    from dask_cuml_spark.operators.quantize import GATE_BYTES, adc_candidates
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebooks, _centers, coded, _from_layout = _pq_serving(spark, sf_dir)
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _Q138_NQ).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cb = np.stack(codebooks)
+    big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
+    scored = adc_candidates(
+        coded.select("vec_id", "codes"),
+        [(qid, lut, None) for qid, lut in _pq_luts(qrows, cb)],
+        shortlist=_Q138_SHORTLIST,
+        strategy="kernel" if big else "expr",
+    )
+    shortlist = _serving_shortlist(scored, "adist", _Q138_SHORTLIST)
+    return _serving_rerank(e, shortlist, _Q138_NQ, _Q138_K)
+
+
+def ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q141's search path alone: driver-side coarse routing → literal
+    cell_id IN bucket-pruned ADC inside probed cells → exact re-rank."""
+    import numpy as np
+
+    from dask_cuml_spark.operators.quantize import GATE_BYTES, adc_candidates
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebooks, centers, coded, _from_layout = _pq_serving(spark, sf_dir)
+    cb = np.stack(codebooks)
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _Q141_NQ).collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in qrows])
+    d2 = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    nprobe = min(_Q141_NPROBE, len(centers))
+    lut_by_id = dict(_pq_luts(qrows, cb))
+    lut_rows = []
+    for qi, r in enumerate(qrows):
+        order = np.lexsort((np.arange(len(centers)), d2[qi]))[:nprobe]
+        lut_rows.append(
+            (int(r.vec_id), lut_by_id[r.vec_id], [int(c) for c in order])
+        )
+    probed_cells = sorted({c for _q, _l, cells in lut_rows for c in cells})
+    big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
+    scored = adc_candidates(
+        coded.filter(F.col("cell_id").isin(probed_cells)),
+        lut_rows,
+        shortlist=_Q141_SHORTLIST,
+        cell_col="cell_id",
+        strategy="kernel" if big else "expr",
+    )
+    shortlist = _serving_shortlist(scored, "adist", _Q141_SHORTLIST)
+    return _serving_rerank(e, shortlist, _Q141_NQ, _Q141_K)
+
+
+def signhash_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q145's search path alone: query signatures driver-side →
+    XOR+POPCNT Hamming shortlist over the stored signs → exact
+    re-rank."""
+    import numpy as np
+
+    from dask_cuml_spark.operators.binhash import (
+        hamming_candidates,
+        hyperplanes,
+        signatures_of,
+    )
+    from dask_cuml_spark.operators.quantize import GATE_BYTES
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _Q145_NQ).collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in qrows])
+    seed = 7
+    planes = hyperplanes(_Q145_NBITS, Q.shape[1], seed)
+    qsigs = signatures_of(Q, planes)
+    queries = [
+        (int(r.vec_id), [int(w) for w in qsigs[i]])
+        for i, r in enumerate(qrows)
+    ]
+    sigs, _from_layout = _sig_serving(spark, sf_dir, planes, seed)
+    big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
+    scored = hamming_candidates(
+        sigs,
+        queries,
+        shortlist=_Q145_SHORTLIST,
+        strategy="kernel" if big else "expr",
+    )
+    shortlist = _serving_shortlist(scored, "ham", _Q145_SHORTLIST)
+    return _serving_rerank(e, shortlist, _Q145_NQ, _Q145_K)
+
+
+SERVING_TOPK = {
+    "q138_pq_adc_search": (
+        pq_adc_serving_topk,
+        ("pq",),
+        _Q138_NQ,
+        _Q138_K,
+        _Q138_RECALL_FLOOR,
+    ),
+    "q141_ivfpq_search": (
+        ivfpq_serving_topk,
+        ("pq",),
+        _Q141_NQ,
+        _Q141_K,
+        _Q141_RECALL_FLOOR,
+    ),
+    "q145_signhash_ann": (
+        signhash_serving_topk,
+        ("signs",),
+        _Q145_NQ,
+        _Q145_K,
+        _Q145_RECALL_FLOOR,
+    ),
+}

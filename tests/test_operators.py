@@ -1031,6 +1031,63 @@ def test_ensure_layouts_idempotent_and_stale_gc(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {tbl2}")
 
 
+def test_gram_layout_incremental_refresh(spark, tmp_path):
+    """r13 (verdict task 4): an APPEND-ONLY source change (new part
+    files, old files bit-unchanged) refreshes the grams layout by
+    writing ONLY the new docs' positioned grams into the existing
+    bucketed table and renaming it to the new fingerprint tag —
+    Θ(|new batch|), the q112 posture. Stored ≡ plain must hold on the
+    incremental table exactly as on a full build, and the bucket spec
+    must survive the append (consumers stay exchange-free)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.text as T
+    from dask_cuml_spark.layouts import ensure_layouts
+
+    sf = str(tmp_path / "sf")
+    ddir = os.path.join(sf, "documents.parquet")
+    os.makedirs(ddir)
+    t = pq_mod.read_table(f"{SF}/documents.parquet")
+    pq_mod.write_table(t.slice(0, 300), os.path.join(ddir, "part-0.parquet"))
+
+    first = ensure_layouts(spark, sf, layouts=("grams",))
+    assert first["grams"] > 0.0
+    tbl1 = T._gram_table(sf)
+    assert spark.catalog.tableExists(tbl1)
+
+    # append-only ingest: a NEW part file, part-0 untouched
+    pq_mod.write_table(
+        t.slice(300), os.path.join(ddir, "part-1.parquet")
+    )
+    tbl2 = T._gram_table(sf)
+    assert tbl2 != tbl1 and not spark.catalog.tableExists(tbl2)
+    inc = ensure_layouts(spark, sf, layouts=("grams",))
+    assert inc["grams"] > 0.0
+    assert spark.catalog.tableExists(tbl2)  # renamed to the new tag
+    assert not spark.catalog.tableExists(tbl1)
+    # stored ≡ plain on the incremental table (bit-identity, the same
+    # pin every layout carries on full builds)
+    stored = sorted(map(tuple, spark.table(tbl2).collect()))
+    fresh = sorted(map(tuple, T._positioned_grams(spark, sf).collect()))
+    assert stored == fresh and len(stored) > 0
+    # bucket spec survived the append + rename
+    spec = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE EXTENDED {tbl2}").collect()
+    }
+    assert spec.get("Num Buckets") == str(T._Q121_BUCKETS)
+    # consumer frame identical through the layout branch
+    via_layout = sorted(map(tuple, T._gram_pairs(spark, sf).collect()))
+    plain = sorted(map(tuple, T._q121_hashed_grams(spark, sf).collect()))
+    assert via_layout == plain
+    # idempotent after refresh
+    assert ensure_layouts(spark, sf, layouts=("grams",))["grams"] == 0.0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl2}")
+    spark.sql(f"DROP TABLE IF EXISTS {T._gram_manifest_table(tbl2.rsplit('_', 1)[1])}")
+
+
 # ---------------------------------------------------------------------------
 # langid operators (round 5): sampled-profile determinism + classify
 # contract (operators/langid.py).
@@ -2901,6 +2958,29 @@ def test_q149_fold_strategy_agreement_and_twin_replay(spark):
     ]
     got = gram_keys_of(cases, T._Q144_MOD, T._Q149_GMOD).tolist()
     assert got == want, list(zip(cases, got, want))
+
+
+def test_serving_topk_invariants(spark):
+    """The serving-only surfaces (bench_serving's timed paths — search
+    with NO in-query invariant machinery) must still pass the queries'
+    own certification when it is run afterwards: full k per query, no
+    dup neighbors, rank domination vs exact, recall floor. Pins that
+    the serving assembly mirrors the certified query plans."""
+    from dask_cuml_spark.queries.vector import (
+        SERVING_TOPK,
+        _serving_certify,
+    )
+    from dask_cuml_spark.io import load_table as lt
+
+    e = lt(spark, SF, "embeddings").select("vec_id", "embedding")
+    for name, (fn, _layouts, nq, k, floor) in SERVING_TOPK.items():
+        topk = fn(spark, SF)
+        row = _serving_certify(spark, e, topk, nq, k, floor).collect()[0]
+        assert row.n_queries == nq, name
+        assert row.n_results == nq * k, name
+        assert row.n_dup_pairs == 0, name
+        assert row.n_rank_violations == 0, name
+        assert row.recall_ok == 1, name
 
 
 def test_q150_paragraph_dedup_semantics(spark):
