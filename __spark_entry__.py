@@ -34,7 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # this dict. Rounds rotate the window so every query periodically
 # re-enters the hard gate (advisor r2). Round-13 window, in order
 # (WINDOW_r13.md has the per-query evidence trail):
-#   1. changed-code-first + never-windowed-first: q150 (NEW —
+#   1. changed-code-first + never-windowed-first: q151 (NEW —
+#      paragraph-level MinHash near-dedup: q150's granularity crossed
+#      with q78's machinery, OR-construction banding + exact verify,
+#      full-value string-truth oracle), q150 (NEW —
 #      paragraph-level exact dedup, RefinedWeb granularity, full-value
 #      string-truth oracle), q149 (r12 stretch, no driver row yet;
 #      portable-mode fold now runs as a size-gated Arrow kernel —
@@ -48,14 +51,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. q01/q05/q12 — displaced to 51-53 last round by the late
 #      q144-q146 additions; WINDOW_r12.md named them first in line;
 #   3. the r10-evidence block (every remaining query whose latest
-#      driver row is round 10), lowest number first;
-#   4. q02 — the oldest r11-evidence query — fills slot 50.
+#      driver row is round 10), lowest number first, filling to 50
+#      (q02 — briefly the slot-50 filler — was displaced to 51 by the
+#      late q151 addition; it is r11-green, so the rotation goal is
+#      unaffected).
 # After this round every query has at least one driver row and none
 # is older than round 11. Entries past position 50 are r11/r12-green
 # and code-unchanged.
 _PRIORITY = [
     # -- (1) new or changed in round 13, and the three stretch
     # queries that had never held a driver slot
+    "q151_paragraph_near_dup",
     "q150_paragraph_dedup",
     "q149_bloom_decontamination",
     "q148_ngram_novelty",
@@ -108,9 +114,10 @@ _PRIORITY = [
     "q122_token_budget_mixture",
     "q130_chunk_documents",
     "q132_fixed_n_per_stratum",
-    # -- (4) oldest r11-evidence query fills slot 50
-    "q02_revenue_by_nation",
     # ---------------- positions 51+: out of window this round
+    # (q02 — the slot-50 filler — was displaced by the late q151
+    # addition; it is r11-green, so the rotation goal still holds)
+    "q02_revenue_by_nation",
     # -- r11-evidence block, lowest number first
     "q03_top_orders_per_customer",
     "q04_segment_stats",

@@ -117,6 +117,7 @@ TABLES_FOR = {
     "q148_ngram_novelty": {"documents"},
     "q149_bloom_decontamination": {"documents"},
     "q150_paragraph_dedup": {"documents"},
+    "q151_paragraph_near_dup": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -297,6 +298,12 @@ _GC_FACTOR_AT_LEAST = None
 # recursive CTE): 16.7 s at 1× and Θ(n²·d) → ≥ 28 min at 10×.
 SKIP_DUCK_ABOVE = {
     "q45_cosine_near_dup": 10,
+    # the oracle's candidate stage is an ALL shared-shingle pairwise
+    # join (the inter CTE) — measured at 100x: the DuckDB process was
+    # OOM-killed at 107 GB RSS building the (pa, pb) group table while
+    # Spark's banded+verified side sat at 5.7 GB. 30x is the last
+    # comparable point; beyond it the rows record the Spark-side curve
+    "q151_paragraph_near_dup": 30,
     "q77_dbscan": 1,
     # same all-pairs recursive-CTE oracle shape as q77: Θ(n²) pair
     # candidates (4e8 distance evals at 10×) — the 1× row is the

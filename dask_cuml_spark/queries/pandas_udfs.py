@@ -947,3 +947,191 @@ def q128_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no presentation orderBy (the r10 rule: the driver's compare is
     # order-insensitive; a sort of the full witness stream is pure
     # display cost — plan-pinned shuffle-free by test_plan_quality)
+
+
+# ---------------------------------------------------------------------------
+# q151 — paragraph-level MinHash NEAR-dedup (round 13; the r12
+# verdict's suggested shape: q150's RefinedWeb granularity crossed
+# with q78's MinHash machinery — SlimPajama (Cerebras 2023) dedups
+# with MinHash-LSH at Jaccard 0.8 precisely because boilerplate
+# passages are NEAR copies, not byte copies; τ=0.8 here is that
+# published threshold). A paragraph (q150's fixed 20-token block;
+# newline split in production) is near-dup when an EARLIER paragraph —
+# global (doc_id, idx) order — has bigram-shingle Jaccard ≥ 0.8; the
+# query reports per-doc counts and the near-dup fraction.
+#
+# Spark shape (everything reused from operators/dedup.py, applied at
+# paragraph granularity via a composite pid = doc_id·2^32 + idx — the
+# pid ORDER is exactly the (doc_id, idx) order):
+#   paragraphs → distinct bigram hashes (8-byte, the q32/q119
+#   collision class; the oracle recomputes Jaccard on the STRINGS,
+#   re-proving the shortcut per run) → minhash_signatures(pre_hashed)
+#   → banding → bucket-join candidates → EXACT Jaccard verify
+#   (candidate-sized work) → later-pid flags → per-doc agg.
+#
+# Parameter provenance (all three measured on the fixtures, not
+# guessed):
+#   shingles = BIGRAMS within the block — unigrams degenerate on the
+#     fixture's ~30-word vocabulary (the global min word hash lands in
+#     ~2% of ALL paragraphs, so every banding scheme buckets Θ(n²)
+#     candidates; measured 20.7M candidate pairs from 15.8k paragraphs
+#     before the fix);
+#   τ = 0.8 — SlimPajama's threshold; ALSO the fixture's measured true
+#     pair spectrum is continuous down to exactly J=0.5 (pairs AT the
+#     0.5 boundary), so a τ=0.5 gate cannot be met by any AND-banding
+#     and the OR-construction (r=1) re-degenerates to Θ(n²) on this
+#     vocabulary (measured: the 100× leg filled the disk);
+#   b=18, r=2 — knee at J=(1/18)^(1/2·...)≈0.23, and at the WEAKEST
+#     possible true pair (exactly J=0.8) the miss probability is
+#     (1−0.8²)^18 = 0.36^18 ≈ 1.0e−8 — four orders tighter than the
+#     accepted q78 margin (p=0.9998), with junk pairs (measured
+#     J≈0.01 between random fixture paragraphs) colliding at ~18·J²
+#     ≈ 2e−3 per pair, so the candidate frame stays near-true-sized.
+# Precision is 1 by construction (exact verify). The driver oracle
+# re-proves full recall against string truth on every run.
+# ---------------------------------------------------------------------------
+_Q151_P = 20
+_Q151_TAU = 0.8
+_Q151_HASHES = 36
+
+
+@register(
+    "q151_paragraph_near_dup",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), blocks AS (
+  SELECT doc_id, i AS idx,
+         toks[(i*{_Q151_P}+1):(i*{_Q151_P}+{_Q151_P})] AS bt
+  FROM tok,
+       UNNEST(range(0, CAST(ceil(len(toks) / {_Q151_P}.0) AS BIGINT)))
+         AS t(i)
+), sh AS (
+  SELECT DISTINCT doc_id, idx,
+         UNNEST(list_transform(range(1, GREATEST(len(bt) - 1, 1) + 1),
+                               j -> array_to_string(bt[j:j+1], ' ')))
+           AS shingle
+  FROM blocks
+), sizes AS (
+  SELECT doc_id, idx, COUNT(*) AS n FROM sh GROUP BY 1, 2
+), inter AS (
+  SELECT a.doc_id AS da, a.idx AS ia, b.doc_id AS db, b.idx AS ib,
+         COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.idx < b.idx))
+  GROUP BY 1, 2, 3, 4
+), dup AS (
+  SELECT DISTINCT i.db AS doc_id, i.ib AS idx
+  FROM inter i
+  JOIN sizes sa ON i.da = sa.doc_id AND i.ia = sa.idx
+  JOIN sizes sb ON i.db = sb.doc_id AND i.ib = sb.idx
+  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {_Q151_TAU}
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n_paras FROM blocks GROUP BY 1
+), nd AS (
+  SELECT doc_id, COUNT(*) AS n_near_dup FROM dup GROUP BY 1
+)
+SELECT c.doc_id, CAST(c.n_paras AS BIGINT) AS n_paras,
+       CAST(COALESCE(nd.n_near_dup, 0) AS BIGINT) AS n_near_dup,
+       ROUND(COALESCE(nd.n_near_dup, 0)::DOUBLE / c.n_paras, 6)
+         AS near_dup_frac
+FROM counts c LEFT JOIN nd ON c.doc_id = nd.doc_id
+""",
+)
+def q151_paragraph_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.array_size(toks)
+    nblocks = F.ceil(n.cast("double") / _Q151_P).cast("int")
+    blocks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nblocks - 1),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("idx"),
+                    # bigram shingles WITHIN the block (2-token slices
+                    # of the doc token array, truncating at the block
+                    # edge exactly like the oracle's bt[j:j+1] slice);
+                    # unigram shingles degenerate on the fixture's
+                    # ~30-word vocabulary — the global min word hash
+                    # lands in most paragraphs and r=1 banding then
+                    # buckets Θ(n²) candidate pairs (measured: the
+                    # sf0.1 drive ran away). Bigrams disperse the min
+                    # over a vocab² space; the oracle uses the SAME
+                    # bigram shingles, so semantics stay string-true.
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(
+                                F.lit(0),
+                                F.greatest(
+                                    F.least(
+                                        n - i * _Q151_P, F.lit(_Q151_P)
+                                    )
+                                    - 2,
+                                    F.lit(0),
+                                ),
+                            ),
+                            lambda j: F.xxhash64(
+                                F.slice(toks, i * _Q151_P + j + 1, 2)
+                            ),
+                        )
+                    ).alias("sh"),
+                ),
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        F.col("b.idx").alias("idx"),
+        (F.col("doc_id") * F.lit(1 << 32) + F.col("b.idx")).alias("pid"),
+        F.col("b.sh").alias("sh"),
+    )
+    sigs = minhash_signatures(
+        blocks.select("pid", "sh"),
+        id_col="pid",
+        shingle_col="sh",
+        num_hashes=_Q151_HASHES,
+        pre_hashed=True,
+    )
+    cand = minhash_lsh_candidates(
+        sigs, id_col="pid", bands=18, rows_per_band=2
+    )
+    # exact verify on the 8-byte shingle-hash arrays — candidate-sized
+    # work only (operators/dedup.jaccard_verify, q78's verify stage)
+    verified = jaccard_verify(
+        cand,
+        blocks.select("pid", "sh"),
+        id_col="pid",
+        shingle_col="sh",
+        threshold=_Q151_TAU,
+    )
+    flagged = verified.select(
+        F.greatest("id_a", "id_b").alias("pid")
+    ).distinct()
+    # pid order ≡ (doc_id, idx) order, so greatest() flags the LATER
+    # paragraph of each verified pair — first occurrence survives
+    per_doc = blocks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras")
+    )
+    nd = flagged.select(
+        # exact integer div — pid = doc_id·2^32 + idx stays in bigint
+        F.expr("pid div 4294967296").alias("doc_id")
+    ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_near_dup"))
+    return per_doc.join(nd, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_near_dup", F.lit(0)).alias("n_near_dup"),
+        F.round(
+            F.coalesce("n_near_dup", F.lit(0)).cast("double")
+            / F.col("n_paras"),
+            6,
+        ).alias("near_dup_frac"),
+    )

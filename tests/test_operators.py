@@ -3041,6 +3041,45 @@ def test_q150_paragraph_dedup_semantics(spark):
     assert tiny_out[1].n_paras == 1 and tiny_out[1].n_kept == 0
 
 
+def test_q151_paragraph_near_dup_semantics(spark):
+    """Near-dup invariants at paragraph granularity: counts bounded;
+    every EXACT duplicate paragraph (q150's relation, J=1) must be
+    flagged by the near-dup pass too (near-dup ⊇ exact-dup at any τ —
+    banding recall would have to fail for this to break, which is the
+    regression this guards); identical hand-built blocks across docs
+    flag only the later occurrence."""
+    import dask_cuml_spark.queries.pandas_udfs as P
+    import dask_cuml_spark.queries.text as T
+
+    near = {r.doc_id: r for r in P.q151_paragraph_near_dup(spark, SF).collect()}
+    exact = {r.doc_id: r for r in T.q150_paragraph_dedup(spark, SF).collect()}
+    assert set(near) == set(exact)
+    for d, r in near.items():
+        assert 0 <= r.n_near_dup <= r.n_paras
+        assert r.n_paras == exact[d].n_paras
+        # exact duplicates (dropped by q150) are J=1 pairs — the
+        # near-dup flag set must cover them (τ=0.5 < 1)
+        assert r.n_near_dup >= exact[d].n_paras - exact[d].n_kept, d
+    assert any(r.n_near_dup > 0 for r in near.values())
+    # hand-built: doc 0 repeats a block; doc 1 shares it -> exactly the
+    # two later occurrences are near-dup-flagged
+    words = " ".join(f"w{i}" for i in range(P._Q151_P))
+    tiny = spark.createDataFrame(
+        [(0, words + " " + words), (1, words)], "doc_id bigint, text string"
+    )
+    orig = P.load_table
+    try:
+        P.load_table = lambda s, sf, name: tiny  # noqa: ARG005
+        out = {
+            r.doc_id: r
+            for r in P.q151_paragraph_near_dup(spark, "ignored").collect()
+        }
+    finally:
+        P.load_table = orig
+    assert out[0].n_paras == 2 and out[0].n_near_dup == 1
+    assert out[1].n_paras == 1 and out[1].n_near_dup == 1
+
+
 def test_q149_bloom_no_false_negatives(spark):
     """Bloom semantics: every exact-key hit must also be a Bloom hit
     (no false negatives, per doc), and the corpus-level spread
