@@ -110,7 +110,7 @@ def ensure_layouts(
         "grams": (f"dcs_grams{_Q121_N}pos_", f"dcs_gramsmf{_Q121_N}_"),
         "q112": ("dcs_q112_",),
         "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_"),
-        "signs": ("dcs_signs128s7_",),
+        "signs": ("dcs_signs128s7_", "dcs_signsmf128s7_"),
         "pack": (f"dcs_pack{_Q126_BLOCK}_",),
     }
     legacy_prefixes = {"grams": (f"dcs_q121_grams{_Q121_N}_",)}
@@ -120,16 +120,25 @@ def ensure_layouts(
         tables = tables_fn()
         tag = tables[0].rsplit("_", 1)[1]
         inc = None
-        if name == "grams" and not all(
+        if name in ("grams", "signs") and not all(
             spark.catalog.tableExists(t) for t in tables
         ):
             # append-only incremental refresh (Θ(|new batch|) instead
             # of a full rebuild) MUST run before the stale-GC below:
             # the GC keyed on the NEW tag would drop the very old-tag
             # table the refresh appends to and renames
-            from dask_cuml_spark.queries.text import gram_layout_refresh
+            if name == "grams":
+                from dask_cuml_spark.queries.text import (
+                    gram_layout_refresh,
+                )
 
-            inc = gram_layout_refresh(spark, sf_dir)
+                inc = gram_layout_refresh(spark, sf_dir)
+            else:
+                from dask_cuml_spark.queries.vector import (
+                    signature_layout_refresh,
+                )
+
+                inc = signature_layout_refresh(spark, sf_dir)
         if drop_stale:
             for p in prefixes[name]:
                 drop_stale_layouts(spark, p, tag)

@@ -152,3 +152,101 @@ def row_groups_touched(
             elif not (st.max < lo or st.min > hi):
                 touched += 1
     return touched, total
+
+
+def source_files(sf_dir: str, name: str) -> dict[str, tuple[int, int]]:
+    """relpath -> (size, mtime_ns) for every file backing a source
+    table — the per-file fingerprint incremental refreshes compare
+    (layout_tag folds the same stats into one hash; this keeps them
+    separable so 'strictly grew' is distinguishable from 'changed')."""
+    import os
+
+    p = os.path.join(sf_dir, name)
+    if os.path.isfile(p):
+        st = os.stat(p)
+        return {name: (st.st_size, st.st_mtime_ns)}
+    out: dict[str, tuple[int, int]] = {}
+    for dirpath, _dirs, files in os.walk(p):
+        for fn in files:
+            fp = os.path.join(dirpath, fn)
+            st = os.stat(fp)
+            out[os.path.relpath(fp, sf_dir)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def write_layout_manifest(
+    spark, sf_dir: str, source_name: str, manifest_table: str
+) -> None:
+    """Persist the source-file manifest next to a layout table — the
+    append-only detector's baseline for the NEXT provisioning call (a
+    few rows: one per source part file)."""
+    rows = [
+        (f, s, m)
+        for f, (s, m) in sorted(source_files(sf_dir, source_name).items())
+    ]
+    spark.createDataFrame(
+        rows, "file string, size bigint, mtime_ns bigint"
+    ).write.mode("overwrite").saveAsTable(manifest_table)
+
+
+def incremental_refresh(
+    spark,
+    sf_dir: str,
+    source_name: str,
+    table_prefix: str,
+    manifest_for,
+    new_table: str,
+    append_fn,
+) -> float | None:
+    """Generic append-only incremental layout refresh (the grams/signs
+    shared mechanism — r13; the q112 Θ(|new batch|) posture applied to
+    stored layouts).
+
+    Detection is strictly conservative: a previous-tag table under
+    ``table_prefix`` qualifies only if its stored manifest is a
+    strict SUBSET of the current source file set with every old file
+    bit-unchanged (size + mtime_ns) — any mutation of an existing
+    file disqualifies the fast path and the caller falls back to a
+    full rebuild, so correctness never depends on the detector. On a
+    hit, ``append_fn(spark, new_parquet_paths, old_table)`` writes
+    ONLY the new files' derived rows into the existing table (Spark
+    appends preserve bucket specs), the table is renamed to the new
+    fingerprint tag, and the manifest sidecar follows.
+
+    Returns write seconds on a refresh, None when not applicable.
+    MUST run before the stale-GC keyed on the new tag — the GC would
+    drop the very table this appends to."""
+    import os
+    import time as _time
+
+    new_tag = new_table.rsplit("_", 1)[1]
+    if spark.catalog.tableExists(new_table):
+        return 0.0
+    cur = source_files(sf_dir, source_name)
+    for t in spark.catalog.listTables():
+        if not t.name.startswith(table_prefix) or t.name.endswith(new_tag):
+            continue
+        old_tag = t.name.rsplit("_", 1)[1]
+        mf = manifest_for(old_tag)
+        if not spark.catalog.tableExists(mf):
+            continue
+        old = {
+            r.file: (r.size, r.mtime_ns) for r in spark.table(mf).collect()
+        }
+        if not set(old) <= set(cur) or len(old) == len(cur):
+            continue
+        if any(cur[f] != old[f] for f in old):
+            continue  # an existing file changed — full-rebuild territory
+        new_files = [
+            os.path.join(sf_dir, f)
+            for f in sorted(set(cur) - set(old))
+            if f.endswith(".parquet")
+        ]
+        t0 = _time.perf_counter()
+        if new_files:
+            append_fn(spark, new_files, t.name)
+        spark.sql(f"ALTER TABLE {t.name} RENAME TO {new_table}")
+        write_layout_manifest(spark, sf_dir, source_name, manifest_for(new_tag))
+        spark.sql(f"DROP TABLE IF EXISTS {mf}")
+        return _time.perf_counter() - t0
+    return None

@@ -1302,42 +1302,8 @@ def _gram_table(sf_dir: str) -> str:
     return f"dcs_grams{_Q121_N}pos_{tag}"
 
 
-def _source_files(
-    sf_dir: str, name: str = "documents.parquet"
-) -> dict[str, tuple[int, int]]:
-    """relpath -> (size, mtime_ns) for every file backing the source
-    table — the per-file fingerprint the incremental refresh compares
-    (layout_tag folds the same stats into one hash; this keeps them
-    separable so 'strictly grew' is distinguishable from 'changed')."""
-    import os
-
-    p = os.path.join(sf_dir, name)
-    if os.path.isfile(p):
-        st = os.stat(p)
-        return {name: (st.st_size, st.st_mtime_ns)}
-    out: dict[str, tuple[int, int]] = {}
-    for dirpath, _dirs, files in os.walk(p):
-        for fn in files:
-            fp = os.path.join(dirpath, fn)
-            st = os.stat(fp)
-            out[os.path.relpath(fp, sf_dir)] = (st.st_size, st.st_mtime_ns)
-    return out
-
-
 def _gram_manifest_table(tag: str) -> str:
     return f"dcs_gramsmf{_Q121_N}_{tag}"
-
-
-def _write_gram_manifest(spark: SparkSession, sf_dir: str, tag: str) -> None:
-    """Persist the source-file manifest next to the gram table — the
-    incremental refresh's append-only detector reads it on the NEXT
-    provisioning call (a few rows: one per source part file)."""
-    rows = [
-        (f, s, m) for f, (s, m) in sorted(_source_files(sf_dir).items())
-    ]
-    spark.createDataFrame(
-        rows, "file string, size bigint, mtime_ns bigint"
-    ).write.mode("overwrite").saveAsTable(_gram_manifest_table(tag))
 
 
 def gram_layout_refresh(spark: SparkSession, sf_dir: str) -> float | None:
@@ -1347,67 +1313,36 @@ def gram_layout_refresh(spark: SparkSession, sf_dir: str) -> float | None:
 
     A daily-ingest corpus appends part files; rebuilding the whole
     inverted index per ingest is Θ(corpus) when the new work is
-    Θ(batch). Detection is strictly conservative: the stored manifest
-    (per-file size + mtime_ns) must be a SUBSET of the current file
-    set with every old file bit-unchanged — any mutation of an
-    existing file (including a rewritten _SUCCESS marker) disqualifies
-    the fast path and falls back to the full rebuild, so correctness
-    never depends on the detector. On a hit: ONLY the new parquet
-    files' docs run the positioned-gram construction, appended into
-    the bucketed table (Spark appends per-bucket files — the bucket
-    spec, pruning, and exchange-free clustering all survive,
-    spike-verified + pytest-pinned), then the table is renamed to the
-    new source fingerprint tag so every catalog-gated consumer picks
-    it up unchanged.
+    Θ(batch). Detection/rename/manifest mechanics live in
+    operators/layout.incremental_refresh (shared with the signs
+    layout): strictly conservative (any existing-file mutation falls
+    back to the full rebuild), appends survive the bucket spec
+    (spike-verified + pytest-pinned), and the rename moves the table
+    to the new source-fingerprint tag so every catalog-gated consumer
+    picks it up unchanged. Returns write seconds on a refresh, None
+    when not applicable."""
+    from dask_cuml_spark.operators.layout import incremental_refresh
 
-    Returns write seconds on an incremental refresh, None when not
-    applicable (caller falls back to the full gram_layout build).
-    MUST run before ensure_layouts' stale-GC — the GC would drop the
-    very table this appends to."""
-    import os
-    import time as _time
+    def append(spark_, new_files, old_tbl):
+        batch = spark_.read.parquet(*new_files).select("doc_id", "text")
+        (
+            _positioned_grams(spark_, sf_dir, d=batch)
+            .repartition(_Q121_BUCKETS, F.col("_h"))
+            .write.mode("append")
+            .bucketBy(_Q121_BUCKETS, "_h")
+            .sortBy("_h")
+            .saveAsTable(old_tbl)
+        )
 
-    new_tbl = _gram_table(sf_dir)
-    new_tag = new_tbl.rsplit("_", 1)[1]
-    if spark.catalog.tableExists(new_tbl):
-        return 0.0
-    cur = _source_files(sf_dir)
-    prefix = f"dcs_grams{_Q121_N}pos_"
-    for t in spark.catalog.listTables():
-        if not t.name.startswith(prefix) or t.name.endswith(new_tag):
-            continue
-        old_tag = t.name.rsplit("_", 1)[1]
-        mf = _gram_manifest_table(old_tag)
-        if not spark.catalog.tableExists(mf):
-            continue
-        old = {
-            r.file: (r.size, r.mtime_ns) for r in spark.table(mf).collect()
-        }
-        if not set(old) <= set(cur) or len(old) == len(cur):
-            continue
-        if any(cur[f] != old[f] for f in old):
-            continue  # an existing file changed — full rebuild territory
-        new_files = [
-            os.path.join(sf_dir, f)
-            for f in sorted(set(cur) - set(old))
-            if f.endswith(".parquet")
-        ]
-        t0 = _time.perf_counter()
-        if new_files:
-            batch = spark.read.parquet(*new_files).select("doc_id", "text")
-            (
-                _positioned_grams(spark, sf_dir, d=batch)
-                .repartition(_Q121_BUCKETS, F.col("_h"))
-                .write.mode("append")
-                .bucketBy(_Q121_BUCKETS, "_h")
-                .sortBy("_h")
-                .saveAsTable(t.name)
-            )
-        spark.sql(f"ALTER TABLE {t.name} RENAME TO {new_tbl}")
-        _write_gram_manifest(spark, sf_dir, new_tag)
-        spark.sql(f"DROP TABLE IF EXISTS {mf}")
-        return _time.perf_counter() - t0
-    return None
+    return incremental_refresh(
+        spark,
+        sf_dir,
+        "documents.parquet",
+        f"dcs_grams{_Q121_N}pos_",
+        _gram_manifest_table,
+        _gram_table(sf_dir),
+        append,
+    )
 
 
 def gram_layout(
@@ -1442,7 +1377,14 @@ def gram_layout(
     )
     # manifest sidecar: the append-only detector's baseline for the
     # NEXT provisioning call (gram_layout_refresh above)
-    _write_gram_manifest(spark, sf_dir, tbl.rsplit("_", 1)[1])
+    from dask_cuml_spark.operators.layout import write_layout_manifest
+
+    write_layout_manifest(
+        spark,
+        sf_dir,
+        "documents.parquet",
+        _gram_manifest_table(tbl.rsplit("_", 1)[1]),
+    )
     return _time.perf_counter() - t0
 
 

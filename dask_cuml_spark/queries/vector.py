@@ -1770,7 +1770,68 @@ def signature_layout(
     sign_signatures(_par(e), "vec_id", "embedding", planes).write.mode(
         "overwrite"
     ).saveAsTable(tbl)
+    # manifest sidecar: the append-only detector's baseline for the
+    # NEXT provisioning call (signature_layout_refresh below)
+    from dask_cuml_spark.operators.layout import write_layout_manifest
+
+    write_layout_manifest(
+        spark,
+        sf_dir,
+        "embeddings.parquet",
+        _sig_manifest_table(tbl.rsplit("_", 1)[1], nbits, seed),
+    )
     return _time.perf_counter() - t0
+
+
+def _sig_manifest_table(tag: str, nbits: int = 128, seed: int = 7) -> str:
+    return f"dcs_signsmf{nbits}s{seed}_{tag}"
+
+
+def signature_layout_refresh(
+    spark: SparkSession, sf_dir: str, nbits: int = 128, seed: int = 7
+) -> float | None:
+    """Append-only incremental refresh of the binary signature index
+    (r13 — the grams mechanism generalized via
+    operators/layout.incremental_refresh): a vector-ingest pipeline
+    appends embeddings part files; only the NEW vectors are GEMM-
+    hashed and appended (planes are seed-derived model-state, so old
+    and new signatures share one derivation by construction — no
+    model sidecar to reconcile). Returns write seconds on a refresh,
+    None when not applicable (caller falls back to the full build)."""
+    from dask_cuml_spark.operators.layout import incremental_refresh
+
+    (tbl,) = _sig_tables(sf_dir, nbits, seed)
+
+    def append(spark_, new_files, old_tbl):
+        from dask_cuml_spark.operators.binhash import (
+            hyperplanes,
+            sign_signatures,
+        )
+
+        batch = spark_.read.parquet(*new_files).select(
+            "vec_id", "embedding"
+        )
+        # dim probe from the FULL source (the original rows are always
+        # present and non-null there) — an all-null appended batch
+        # still appends its rows (null sigs), the dirty-input class
+        e = load_table(spark_, sf_dir, "embeddings")
+        dim = len(
+            e.filter(F.col("embedding").isNotNull()).first()["embedding"]
+        )
+        planes = hyperplanes(nbits, dim, seed)
+        sign_signatures(_par(batch), "vec_id", "embedding", planes).write.mode(
+            "append"
+        ).saveAsTable(old_tbl)
+
+    return incremental_refresh(
+        spark,
+        sf_dir,
+        "embeddings.parquet",
+        f"dcs_signs{nbits}s{seed}_",
+        lambda tag: _sig_manifest_table(tag, nbits, seed),
+        tbl,
+        append,
+    )
 
 
 def _sig_serving(spark: SparkSession, sf_dir: str, planes, seed: int = 7):

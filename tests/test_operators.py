@@ -1088,6 +1088,66 @@ def test_gram_layout_incremental_refresh(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {T._gram_manifest_table(tbl2.rsplit('_', 1)[1])}")
 
 
+def test_signs_layout_incremental_refresh(spark, tmp_path):
+    """The grams incremental mechanism generalized (r13): an
+    append-only embeddings ingest refreshes the binary signature index
+    by GEMM-hashing ONLY the new vectors and appending — stored ≡
+    fresh bit-identity must hold on the incremental table (planes are
+    seed-derived, so old and new rows share one derivation by
+    construction)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.vector as V
+    from dask_cuml_spark.layouts import ensure_layouts
+    from dask_cuml_spark.operators.binhash import (
+        hyperplanes,
+        sign_signatures,
+    )
+    from dask_cuml_spark.io import load_table as lt
+
+    sf = str(tmp_path / "sf")
+    edir = os.path.join(sf, "embeddings.parquet")
+    os.makedirs(edir)
+    t = pq_mod.read_table(f"{SF}/embeddings.parquet")
+    pq_mod.write_table(t.slice(0, 300), os.path.join(edir, "part-0.parquet"))
+
+    first = ensure_layouts(spark, sf, layouts=("signs",))
+    assert first["signs"] > 0.0
+    (tbl1,) = V._sig_tables(sf)
+    assert spark.catalog.tableExists(tbl1)
+
+    pq_mod.write_table(t.slice(300), os.path.join(edir, "part-1.parquet"))
+    (tbl2,) = V._sig_tables(sf)
+    assert tbl2 != tbl1 and not spark.catalog.tableExists(tbl2)
+    inc = ensure_layouts(spark, sf, layouts=("signs",))
+    assert inc["signs"] > 0.0
+    assert spark.catalog.tableExists(tbl2)
+    assert not spark.catalog.tableExists(tbl1)
+    # stored ≡ fresh on the full corpus, bit-identical
+    e = lt(spark, sf, "embeddings").select("vec_id", "embedding")
+    dim = len(e.filter(F.col("embedding").isNotNull()).first()["embedding"])
+    fresh = sorted(
+        map(
+            tuple,
+            sign_signatures(
+                e, "vec_id", "embedding", hyperplanes(128, dim, 7)
+            ).collect(),
+        )
+    )
+    stored = sorted(map(tuple, spark.table(tbl2).collect()))
+    assert [(r[0], list(r[1])) for r in stored] == [
+        (r[0], list(r[1])) for r in fresh
+    ] and len(stored) > 0
+    # idempotent after refresh
+    assert ensure_layouts(spark, sf, layouts=("signs",))["signs"] == 0.0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl2}")
+    spark.sql(
+        f"DROP TABLE IF EXISTS {V._sig_manifest_table(tbl2.rsplit('_', 1)[1])}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # langid operators (round 5): sampled-profile determinism + classify
 # contract (operators/langid.py).

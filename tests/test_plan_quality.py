@@ -292,6 +292,18 @@ def test_q119_no_presentation_sort(spark):
     assert "Exchange rangepartitioning" not in plan, plan[:2000]
 
 
+def test_q150_q151_no_presentation_sort_no_single_partition_window(spark):
+    """The round-13 paragraph-dedup pair must keep their skew-safe
+    shapes: no global sort (per-doc outputs need no display order) and
+    no single-partition window (first-occurrence resolution is the
+    two-level groupBy chain / banded candidates, never a
+    paragraph-sized window partition)."""
+    for name in ("q150_paragraph_dedup", "q151_paragraph_near_dup"):
+        plan = _plan(spark, name)
+        assert "Exchange rangepartitioning" not in plan, name
+        assert "Window [" not in plan or "SinglePartition" not in plan, name
+
+
 def test_q126_no_presentation_sort(spark):
     """q126's two-level prefix sum keeps its partitioned window
     exchanges, but the r12 presentation-sort removal means no
