@@ -109,7 +109,7 @@ def ensure_layouts(
         "q02": ("dcs_q02_orders_", "dcs_q02_lineitem_"),
         "grams": (f"dcs_grams{_Q121_N}pos_", f"dcs_gramsmf{_Q121_N}_"),
         "q112": ("dcs_q112_",),
-        "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_"),
+        "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_", "dcs_pqmf8x16_"),
         "signs": ("dcs_signs128s7_", "dcs_signsmf128s7_"),
         "pack": (f"dcs_pack{_Q126_BLOCK}_",),
     }
@@ -120,7 +120,7 @@ def ensure_layouts(
         tables = tables_fn()
         tag = tables[0].rsplit("_", 1)[1]
         inc = None
-        if name in ("grams", "signs") and not all(
+        if name in ("grams", "signs", "pq") and not all(
             spark.catalog.tableExists(t) for t in tables
         ):
             # append-only incremental refresh (Θ(|new batch|) instead
@@ -133,12 +133,18 @@ def ensure_layouts(
                 )
 
                 inc = gram_layout_refresh(spark, sf_dir)
-            else:
+            elif name == "signs":
                 from dask_cuml_spark.queries.vector import (
                     signature_layout_refresh,
                 )
 
                 inc = signature_layout_refresh(spark, sf_dir)
+            else:
+                from dask_cuml_spark.queries.vector import (
+                    pq_layout_refresh,
+                )
+
+                inc = pq_layout_refresh(spark, sf_dir)
         if drop_stale:
             for p in prefixes[name]:
                 drop_stale_layouts(spark, p, tag)

@@ -184,6 +184,11 @@ def write_layout_manifest(
         (f, s, m)
         for f, (s, m) in sorted(source_files(sf_dir, source_name).items())
     ]
+    # drop-through first (the r9 LOCATION_ALREADY_EXISTS class): a
+    # manifest dir left in the warehouse by a PREVIOUS session has no
+    # catalog entry in this one, and overwrite-saveAsTable refuses the
+    # orphaned location
+    drop_table_and_location(spark, manifest_table)
     spark.createDataFrame(
         rows, "file string, size bigint, mtime_ns bigint"
     ).write.mode("overwrite").saveAsTable(manifest_table)
@@ -197,6 +202,7 @@ def incremental_refresh(
     manifest_for,
     new_table: str,
     append_fn,
+    sibling_renames=None,
 ) -> float | None:
     """Generic append-only incremental layout refresh (the grams/signs
     shared mechanism — r13; the q112 Θ(|new batch|) posture applied to
@@ -246,6 +252,16 @@ def incremental_refresh(
         if new_files:
             append_fn(spark, new_files, t.name)
         spark.sql(f"ALTER TABLE {t.name} RENAME TO {new_table}")
+        # multi-table layouts (pq: codes + model sidecar) carry their
+        # sibling tables to the new tag in the same refresh — the
+        # sidecar's CONTENT is untouched (FAISS add() never retrains)
+        for sib_prefix in sibling_renames or ():
+            old_sib, new_sib = (
+                f"{sib_prefix}{old_tag}",
+                f"{sib_prefix}{new_tag}",
+            )
+            if spark.catalog.tableExists(old_sib):
+                spark.sql(f"ALTER TABLE {old_sib} RENAME TO {new_sib}")
         write_layout_manifest(spark, sf_dir, source_name, manifest_for(new_tag))
         spark.sql(f"DROP TABLE IF EXISTS {mf}")
         return _time.perf_counter() - t0

@@ -1415,7 +1415,97 @@ def pq_layout(
     spark.createDataFrame(
         rows, "kind string, s int, j int, center array<double>"
     ).write.mode("overwrite").saveAsTable(model_tbl)
+    # manifest sidecar: the append-only detector's baseline for the
+    # NEXT provisioning call (pq_layout_refresh below — FAISS add())
+    from dask_cuml_spark.operators.layout import write_layout_manifest
+
+    write_layout_manifest(
+        spark,
+        sf_dir,
+        "embeddings.parquet",
+        _pq_manifest_table(codes_tbl.rsplit("_", 1)[1], m, k),
+    )
     return _time.perf_counter() - t0
+
+
+def _pq_manifest_table(tag: str, m: int = 8, k: int = 16) -> str:
+    return f"dcs_pqmf{m}x{k}_{tag}"
+
+
+def pq_layout_refresh(
+    spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16
+) -> float | None:
+    """Append-only incremental refresh of the PQ serving index — the
+    literal FAISS ``IndexIVFPQ.add()`` semantics: NEW vectors are
+    encoded with the EXISTING codebooks and coarse centroids (read
+    from the stored model sidecar — add() never retrains) and appended
+    into the bucketed codes table; the model sidecar rides along to
+    the new fingerprint tag unchanged. The pin is therefore
+    incremental-codes ≡ same-model encode of the new rows (pytest),
+    NOT ≡ a from-scratch rebuild — a rebuild refits on the grown
+    corpus, which is retraining, not adding. Returns write seconds on
+    a refresh, None when not applicable."""
+    from dask_cuml_spark.operators.layout import incremental_refresh
+
+    codes_tbl, _model_tbl = _pq_tables(sf_dir, m, k)
+    model_prefix = f"dcs_pqmodel{m}x{k}_"
+
+    def append(spark_, new_files, old_codes_tbl):
+        import numpy as np
+
+        from dask_cuml_spark.operators.quantize import (
+            _assignment_expr_on,
+            pq_encode,
+        )
+
+        old_tag = old_codes_tbl.rsplit("_", 1)[1]
+        mr = spark_.table(f"{model_prefix}{old_tag}").collect()
+        pq = sorted(
+            (r for r in mr if r.kind == "pq"), key=lambda r: (r.s, r.j)
+        )
+        iv = sorted((r for r in mr if r.kind == "ivf"), key=lambda r: r.j)
+        codebooks = [
+            np.array([r.center for r in pq if r.s == s])
+            for s in range(max(r.s for r in pq) + 1)
+        ]
+        centers = np.array([r.center for r in iv])
+        n_buckets = int(
+            next(
+                r.data_type
+                for r in spark_.sql(
+                    f"DESCRIBE EXTENDED {old_codes_tbl}"
+                ).collect()
+                if r.col_name == "Num Buckets"
+            )
+        )
+        batch = spark_.read.parquet(*new_files).select(
+            "vec_id", "embedding"
+        )
+        coded = pq_encode(_par(batch), codebooks).select(
+            "vec_id",
+            _assignment_expr_on(F.col("embedding"), centers).alias(
+                "cell_id"
+            ),
+            "codes",
+        )
+        (
+            coded.repartition(n_buckets, F.col("cell_id"))
+            .write.mode("append")
+            .bucketBy(n_buckets, "cell_id")
+            .sortBy("cell_id")
+            .saveAsTable(old_codes_tbl)
+        )
+
+    return incremental_refresh(
+        spark,
+        sf_dir,
+        "embeddings.parquet",
+        f"dcs_pqcodes{m}x{k}_",
+        lambda tag: _pq_manifest_table(tag, m, k),
+        codes_tbl,
+        append,
+        sibling_renames=(model_prefix,),
+    )
 
 
 def _pq_serving(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16):

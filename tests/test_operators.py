@@ -1148,6 +1148,80 @@ def test_signs_layout_incremental_refresh(spark, tmp_path):
     )
 
 
+def test_pq_layout_incremental_refresh(spark, tmp_path):
+    """FAISS IndexIVFPQ.add() semantics (r13): an append-only
+    embeddings ingest encodes ONLY the new vectors with the EXISTING
+    codebooks/centroids from the stored model sidecar (add() never
+    retrains) and appends into the bucketed codes table; the sidecar
+    rides to the new tag with its content untouched. Pin: the
+    refreshed table ≡ same-model encode of the full corpus (NOT a
+    from-scratch rebuild, which would refit), and the bucket spec
+    survives."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.vector as V
+    from dask_cuml_spark.io import load_table as lt
+    from dask_cuml_spark.layouts import ensure_layouts
+    from dask_cuml_spark.operators.quantize import (
+        _assignment_expr_on,
+        pq_encode,
+    )
+
+    sf = str(tmp_path / "sf")
+    edir = os.path.join(sf, "embeddings.parquet")
+    os.makedirs(edir)
+    t = pq_mod.read_table(f"{SF}/embeddings.parquet")
+    pq_mod.write_table(t.slice(0, 300), os.path.join(edir, "part-0.parquet"))
+
+    first = ensure_layouts(spark, sf, layouts=("pq",))
+    assert first["pq"] > 0.0
+    codes1, model1 = V._pq_tables(sf)
+    assert spark.catalog.tableExists(codes1)
+    # the model snapshot BEFORE the ingest — add() must not change it
+    model_rows = sorted(map(tuple, spark.table(model1).collect()))
+
+    pq_mod.write_table(t.slice(300), os.path.join(edir, "part-1.parquet"))
+    codes2, model2 = V._pq_tables(sf)
+    assert codes2 != codes1 and not spark.catalog.tableExists(codes2)
+    inc = ensure_layouts(spark, sf, layouts=("pq",))
+    assert inc["pq"] > 0.0
+    assert spark.catalog.tableExists(codes2)
+    assert spark.catalog.tableExists(model2)
+    assert not spark.catalog.tableExists(codes1)
+    assert not spark.catalog.tableExists(model1)
+    # sidecar content untouched by the refresh
+    assert sorted(map(tuple, spark.table(model2).collect())) == model_rows
+    # stored-incremental ≡ same-model encode of the FULL corpus
+    mr = spark.table(model2).collect()
+    pqr = sorted((r for r in mr if r.kind == "pq"), key=lambda r: (r.s, r.j))
+    iv = sorted((r for r in mr if r.kind == "ivf"), key=lambda r: r.j)
+    codebooks = [
+        np.array([r.center for r in pqr if r.s == s])
+        for s in range(max(r.s for r in pqr) + 1)
+    ]
+    centers = np.array([r.center for r in iv])
+    e = lt(spark, sf, "embeddings").select("vec_id", "embedding")
+    fresh = (
+        pq_encode(e, codebooks)
+        .select(
+            "vec_id",
+            _assignment_expr_on(F.col("embedding"), centers).alias(
+                "cell_id"
+            ),
+            "codes",
+        )
+        .collect()
+    )
+    norm = lambda rows: sorted((r.vec_id, r.cell_id, tuple(r.codes)) for r in rows)  # noqa: E731
+    assert norm(spark.table(codes2).collect()) == norm(fresh)
+    assert ensure_layouts(spark, sf, layouts=("pq",))["pq"] == 0.0
+    for tbl in (codes2, model2, V._pq_manifest_table(codes2.rsplit("_", 1)[1])):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 # ---------------------------------------------------------------------------
 # langid operators (round 5): sampled-profile determinism + classify
 # contract (operators/langid.py).
