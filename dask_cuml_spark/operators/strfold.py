@@ -40,25 +40,44 @@ TOK_MUL = 10007
 
 def _token_folds(tokens: np.ndarray, char_mod: int) -> np.ndarray:
     """Per-token char fold a=(a*31+cp)%char_mod over a 1-D object
-    array of token strings — one vectorized sweep per char position."""
+    array of token strings — one vectorized sweep per char position.
+
+    NUL guard: the padded-codepoint-matrix trick cannot distinguish a
+    literal U+0000 INSIDE a token from its own zero padding (lens
+    would undercount and positions shift), so tokens containing NUL
+    take the exact per-string ord() fold instead — same integers, the
+    vectorized path just doesn't apply. Vanishingly rare in real text;
+    correctness must not depend on that."""
     if len(tokens) == 0:
         return np.zeros(0, dtype=np.int64)
-    u = np.array(tokens.tolist(), dtype=np.str_)
-    if u.dtype.itemsize == 0:  # every token empty
-        return np.zeros(len(tokens), dtype=np.int64)
+    nul = np.array(["\x00" in t for t in tokens], dtype=bool)
+    acc = np.zeros(len(tokens), dtype=np.int64)
+    if nul.any():
+        for i in np.flatnonzero(nul):
+            a = 0
+            for ch in tokens[i]:
+                a = (a * CHAR_MUL + ord(ch)) % char_mod
+            acc[i] = a
+        if nul.all():
+            return acc
+    clean = np.flatnonzero(~nul)
+    u = np.array([tokens[i] for i in clean], dtype=np.str_)
+    if u.dtype.itemsize == 0:  # every clean token empty
+        return acc
     mat = (
         u.view(np.uint32)
-        .reshape(len(tokens), -1)
+        .reshape(len(clean), -1)
         .astype(np.int64, copy=False)
     )
     lens = (mat > 0).sum(axis=1)
-    acc = np.zeros(len(tokens), dtype=np.int64)
+    sub = np.zeros(len(clean), dtype=np.int64)
     for j in range(mat.shape[1]):
         live = j < lens
         if not live.any():
             break
-        step = (acc * CHAR_MUL + mat[:, j]) % char_mod
-        acc = np.where(live, step, acc)
+        step = (sub * CHAR_MUL + mat[:, j]) % char_mod
+        sub = np.where(live, step, sub)
+    acc[clean] = sub
     return acc
 
 

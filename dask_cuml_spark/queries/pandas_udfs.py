@@ -961,8 +961,12 @@ def q128_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query reports per-doc counts and the near-dup fraction.
 #
 # Spark shape (everything reused from operators/dedup.py, applied at
-# paragraph granularity via a composite pid = doc_id·2^32 + idx — the
-# pid ORDER is exactly the (doc_id, idx) order):
+# paragraph granularity via a composite pid = doc_id·2^20 + idx — the
+# pid ORDER is exactly the (doc_id, idx) order; the 20-bit shift
+# supports doc_id < 2^43 (≈8.8e12 docs — comfortably past a 100 TB
+# corpus) and ≤2^20 blocks/doc (20M tokens), asserted-safe in int64;
+# the first cut's 2^32 shift would have silently wrapped at
+# doc_id ≥ 2^31, inside real-corpus range):
 #   paragraphs → distinct bigram hashes (8-byte, the q32/q119
 #   collision class; the oracle recomputes Jaccard on the STRINGS,
 #   re-proving the shortcut per run) → minhash_signatures(pre_hashed)
@@ -1091,7 +1095,7 @@ def q151_paragraph_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("b.idx").alias("idx"),
-        (F.col("doc_id") * F.lit(1 << 32) + F.col("b.idx")).alias("pid"),
+        (F.col("doc_id") * F.lit(1 << 20) + F.col("b.idx")).alias("pid"),
         F.col("b.sh").alias("sh"),
     )
     sigs = minhash_signatures(
@@ -1122,8 +1126,8 @@ def q151_paragraph_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_paras")
     )
     nd = flagged.select(
-        # exact integer div — pid = doc_id·2^32 + idx stays in bigint
-        F.expr("pid div 4294967296").alias("doc_id")
+        # exact integer div — pid = doc_id·2^20 + idx stays in bigint
+        F.expr("pid div 1048576").alias("doc_id")
     ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_near_dup"))
     return per_doc.join(nd, "doc_id", "left").select(
         "doc_id",

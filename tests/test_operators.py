@@ -3069,6 +3069,7 @@ def test_q149_fold_strategy_agreement_and_twin_replay(spark):
         "same same same same same",
         "café naïve über tōkyō motör",
         "a  b",  # double space -> empty middle token, split-compatible
+        "nul\x00inside plain",  # NUL inside a token -> per-string path
     ]
     expr = F.aggregate(
         F.transform(
