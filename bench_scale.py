@@ -815,7 +815,13 @@ def main() -> None:
     spark.stop()
 
     def med(label):
-        rs = sorted(v["ratio"] for v in results[label].values() if v["ratio"])
+        # .get: auxiliary rows (q118's sqrt-cells record, duck-skipped
+        # Spark-only rows) carry no ratio and must not crash the summary
+        rs = sorted(
+            v["ratio"]
+            for v in results[label].values()
+            if v.get("ratio")
+        )
         return rs[len(rs) // 2]
 
     with open(out_path, "w") as f:
