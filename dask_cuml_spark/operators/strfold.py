@@ -50,8 +50,23 @@ def _token_folds(tokens: np.ndarray, char_mod: int) -> np.ndarray:
     correctness must not depend on that."""
     if len(tokens) == 0:
         return np.zeros(0, dtype=np.int64)
-    nul = np.array(["\x00" in t for t in tokens], dtype=bool)
     acc = np.zeros(len(tokens), dtype=np.int64)
+    u = np.array(tokens.tolist(), dtype=np.str_)
+    if u.dtype.itemsize == 0:  # every token empty
+        return acc
+    mat = (
+        u.view(np.uint32)
+        .reshape(len(tokens), -1)
+        .astype(np.int64, copy=False)
+    )
+    lens = (mat > 0).sum(axis=1)
+    # NUL detection stays vectorized (a per-token Python containment
+    # scan would tax the hot path the kernel exists to avoid): a row
+    # whose padding-derived length disagrees with its true character
+    # count hides an interior U+0000 — only those rows take the exact
+    # per-string fold
+    true_len = np.char.str_len(u)
+    nul = lens != true_len
     if nul.any():
         for i in np.flatnonzero(nul):
             a = 0
@@ -60,24 +75,15 @@ def _token_folds(tokens: np.ndarray, char_mod: int) -> np.ndarray:
             acc[i] = a
         if nul.all():
             return acc
-    clean = np.flatnonzero(~nul)
-    u = np.array([tokens[i] for i in clean], dtype=np.str_)
-    if u.dtype.itemsize == 0:  # every clean token empty
-        return acc
-    mat = (
-        u.view(np.uint32)
-        .reshape(len(clean), -1)
-        .astype(np.int64, copy=False)
-    )
-    lens = (mat > 0).sum(axis=1)
-    sub = np.zeros(len(clean), dtype=np.int64)
+    sub = np.zeros(len(tokens), dtype=np.int64)
     for j in range(mat.shape[1]):
         live = j < lens
         if not live.any():
             break
         step = (sub * CHAR_MUL + mat[:, j]) % char_mod
         sub = np.where(live, step, sub)
-    acc[clean] = sub
+    clean = ~nul
+    acc[clean] = sub[clean]
     return acc
 
 
