@@ -455,10 +455,11 @@ RATIO_CAVEATS = {
         "gram string fold — inherently corpus-sized because the scale "
         "fixture makes cross-copy grams disjoint by design. The fold "
         "ladder, all measured at 100x: 129.9 s per-OCCURRENCE -> "
-        "62.3 s per-distinct interpreted lambdas (r12) -> 33.4 s with "
-        "the size-gated strfold Arrow kernel (r13; numpy column sweeps "
-        "over char/token positions, bit-parity pytest-pinned), vs "
-        "DuckDB ~23 s paying the same per-distinct fold in vectorized "
+        "62.3 s per-distinct interpreted lambdas (r12) -> 26.2 s / "
+        "1.25x with the size-gated strfold Arrow kernel (r13 final, "
+        "vectorized-NUL-guard build; numpy column sweeps over "
+        "char/token positions, bit-parity pytest-pinned), vs DuckDB "
+        "~21-23 s paying the same per-distinct fold in vectorized "
         "list ops. The production swap — "
         "bloom_decontaminate(key_mode='xxhash64'): gram key = "
         "xxhash64(slice), positions as integer exprs, zero string/fold "
