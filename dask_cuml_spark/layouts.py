@@ -106,7 +106,7 @@ def ensure_layouts(
     # (their tag matches the source but no query reads them anymore —
     # drop via the never-matching keep_tag below).
     prefixes = {
-        "q02": ("dcs_q02_orders_", "dcs_q02_lineitem_"),
+        "q02": ("dcs_q02_orders_", "dcs_q02_lineitem_", "dcs_q02mf_"),
         "grams": (f"dcs_grams{_Q121_N}pos_", f"dcs_gramsmf{_Q121_N}_"),
         "q112": ("dcs_q112_",),
         "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_", "dcs_pqmf8x16_"),
@@ -120,7 +120,7 @@ def ensure_layouts(
         tables = tables_fn()
         tag = tables[0].rsplit("_", 1)[1]
         inc = None
-        if name in ("grams", "signs", "pq") and not all(
+        if name in ("grams", "signs", "pq", "q02") and not all(
             spark.catalog.tableExists(t) for t in tables
         ):
             # append-only incremental refresh (Θ(|new batch|) instead
@@ -139,12 +139,18 @@ def ensure_layouts(
                 )
 
                 inc = signature_layout_refresh(spark, sf_dir)
-            else:
+            elif name == "pq":
                 from dask_cuml_spark.queries.vector import (
                     pq_layout_refresh,
                 )
 
                 inc = pq_layout_refresh(spark, sf_dir)
+            else:
+                from dask_cuml_spark.queries.relational import (
+                    q02_layout_refresh,
+                )
+
+                inc = q02_layout_refresh(spark, sf_dir)
         if drop_stale:
             for p in prefixes[name]:
                 drop_stale_layouts(spark, p, tag)

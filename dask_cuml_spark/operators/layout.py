@@ -154,13 +154,21 @@ def row_groups_touched(
     return touched, total
 
 
-def source_files(sf_dir: str, name: str) -> dict[str, tuple[int, int]]:
+def source_files(sf_dir: str, name) -> dict[str, tuple[int, int]]:
     """relpath -> (size, mtime_ns) for every file backing a source
     table — the per-file fingerprint incremental refreshes compare
     (layout_tag folds the same stats into one hash; this keeps them
-    separable so 'strictly grew' is distinguishable from 'changed')."""
+    separable so 'strictly grew' is distinguishable from 'changed').
+    ``name`` may be a tuple for multi-source layouts (q02's
+    orders+lineitem pair share one fingerprint tag): the union keyed
+    on sf_dir-relative paths is naturally collision-free."""
     import os
 
+    if isinstance(name, (tuple, list)):
+        out: dict[str, tuple[int, int]] = {}
+        for n in name:
+            out.update(source_files(sf_dir, n))
+        return out
     p = os.path.join(sf_dir, name)
     if os.path.isfile(p):
         st = os.stat(p)

@@ -132,6 +132,66 @@ def _q02_bucket_tables(sf_dir: str) -> tuple[str, str]:
     return f"dcs_q02_orders_{tag}", f"dcs_q02_lineitem_{tag}"
 
 
+def _q02_manifest_table(tag: str) -> str:
+    return f"dcs_q02mf_{tag}"
+
+
+def q02_layout_refresh(spark: SparkSession, sf_dir: str) -> float | None:
+    """Append-only incremental refresh of the co-located fact layout
+    (r13 — the fourth consumer of operators/layout.incremental_refresh,
+    and the simplest: the derived rows ARE the source rows). A daily
+    fact ingest appends orders/lineitem part files; only those files'
+    rows are appended into the matching bucketed table (per-bucket
+    append files — the Exchange-free join plan is unchanged), then
+    both tables rename to the new combined fingerprint tag. Detection
+    is the shared conservative manifest check over BOTH sources; any
+    existing-file mutation falls back to the full rebuild."""
+    from dask_cuml_spark.operators.layout import incremental_refresh
+
+    bo, _bl = _q02_bucket_tables(sf_dir)
+
+    def append(spark_, new_files, old_orders_tbl):
+        old_tag = old_orders_tbl.rsplit("_", 1)[1]
+        for src_name, tbl, key in (
+            ("orders", old_orders_tbl, "o_orderkey"),
+            ("lineitem", f"dcs_q02_lineitem_{old_tag}", "l_orderkey"),
+        ):
+            marker = f"{src_name}.parquet"
+            files = [
+                f
+                for f in new_files
+                if f"/{marker}/" in f or f.endswith(f"/{marker}")
+            ]
+            if not files:
+                continue
+            n_buckets = int(
+                next(
+                    r.data_type
+                    for r in spark_.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+                    if r.col_name == "Num Buckets"
+                )
+            )
+            (
+                spark_.read.parquet(*files)
+                .repartition(n_buckets, F.col(key))
+                .write.mode("append")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+
+    return incremental_refresh(
+        spark,
+        sf_dir,
+        ("orders.parquet", "lineitem.parquet"),
+        "dcs_q02_orders_",
+        _q02_manifest_table,
+        bo,
+        append,
+        sibling_renames=("dcs_q02_lineitem_",),
+    )
+
+
 def q02_bucketed_layout(
     spark: SparkSession, sf_dir: str, n_buckets: int = _Q02_BUCKETS
 ) -> float:
@@ -173,6 +233,16 @@ def q02_bucketed_layout(
             .sortBy(key)
             .saveAsTable(tbl)
         )
+    # manifest sidecar over BOTH sources: the append-only detector's
+    # baseline for the NEXT provisioning call (q02_layout_refresh)
+    from dask_cuml_spark.operators.layout import write_layout_manifest
+
+    write_layout_manifest(
+        spark,
+        sf_dir,
+        ("orders.parquet", "lineitem.parquet"),
+        _q02_manifest_table(bo.rsplit("_", 1)[1]),
+    )
     return _time.perf_counter() - t0
 # The pruned 2-column customer map is ~1/10 of the full-table estimate;
 # 1 GiB of customer ≈ a ~100 MB broadcast build — the upper end of

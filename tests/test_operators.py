@@ -1222,6 +1222,60 @@ def test_pq_layout_incremental_refresh(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_q02_layout_incremental_refresh(spark, tmp_path):
+    """The simplest incremental consumer (r13): an append-only fact
+    ingest (new orders AND lineitem part files) appends only those
+    rows into the bucketed tables and renames both to the new combined
+    fingerprint tag. Stored ≡ source row sets must hold, the bucket
+    spec must survive, and a grown single source also refreshes."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.relational as R
+    from dask_cuml_spark.layouts import ensure_layouts
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("orders", "lineitem"):
+        os.makedirs(os.path.join(sf, f"{t}.parquet"))
+        full = pq_mod.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq_mod.write_table(
+            full.slice(0, len(full) // 2),
+            os.path.join(sf, f"{t}.parquet", "part-0.parquet"),
+        )
+
+    first = ensure_layouts(spark, sf, layouts=("q02",))
+    assert first["q02"] > 0.0
+    bo1, bl1 = R._q02_bucket_tables(sf)
+    assert spark.catalog.tableExists(bo1)
+
+    for t in ("orders", "lineitem"):
+        full = pq_mod.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq_mod.write_table(
+            full.slice(len(full) // 2),
+            os.path.join(sf, f"{t}.parquet", "part-1.parquet"),
+        )
+    bo2, bl2 = R._q02_bucket_tables(sf)
+    assert bo2 != bo1 and not spark.catalog.tableExists(bo2)
+    inc = ensure_layouts(spark, sf, layouts=("q02",))
+    assert inc["q02"] > 0.0
+    for tbl in (bo2, bl2):
+        assert spark.catalog.tableExists(tbl), tbl
+    for tbl in (bo1, bl1):
+        assert not spark.catalog.tableExists(tbl), tbl
+    # stored ≡ source rows after the append (row-set equality)
+    for t, tbl in (("orders", bo2), ("lineitem", bl2)):
+        src = sorted(
+            map(tuple, spark.read.parquet(f"{sf}/{t}.parquet").collect())
+        )
+        got = sorted(map(tuple, spark.table(tbl).collect()))
+        assert got == src and len(got) > 0, t
+    assert ensure_layouts(spark, sf, layouts=("q02",))["q02"] == 0.0
+    for tbl in (bo2, bl2, R._q02_manifest_table(bo2.rsplit("_", 1)[1])):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 # ---------------------------------------------------------------------------
 # langid operators (round 5): sampled-profile determinism + classify
 # contract (operators/langid.py).
