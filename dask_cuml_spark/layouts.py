@@ -111,7 +111,7 @@ def ensure_layouts(
         "q112": ("dcs_q112_",),
         "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_", "dcs_pqmf8x16_"),
         "signs": ("dcs_signs128s7_", "dcs_signsmf128s7_"),
-        "pack": (f"dcs_pack{_Q126_BLOCK}_",),
+        "pack": (f"dcs_pack{_Q126_BLOCK}_", f"dcs_packmf{_Q126_BLOCK}_"),
     }
     legacy_prefixes = {"grams": (f"dcs_q121_grams{_Q121_N}_",)}
     out: dict[str, float] = {}
@@ -120,7 +120,7 @@ def ensure_layouts(
         tables = tables_fn()
         tag = tables[0].rsplit("_", 1)[1]
         inc = None
-        if name in ("grams", "signs", "pq", "q02") and not all(
+        if name in ("grams", "signs", "pq", "q02", "pack") and not all(
             spark.catalog.tableExists(t) for t in tables
         ):
             # append-only incremental refresh (Θ(|new batch|) instead
@@ -145,12 +145,18 @@ def ensure_layouts(
                 )
 
                 inc = pq_layout_refresh(spark, sf_dir)
-            else:
+            elif name == "q02":
                 from dask_cuml_spark.queries.relational import (
                     q02_layout_refresh,
                 )
 
                 inc = q02_layout_refresh(spark, sf_dir)
+            else:
+                from dask_cuml_spark.queries.text import (
+                    pack_layout_refresh,
+                )
+
+                inc = pack_layout_refresh(spark, sf_dir)
         if drop_stale:
             for p in prefixes[name]:
                 drop_stale_layouts(spark, p, tag)

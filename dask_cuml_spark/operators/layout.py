@@ -202,6 +202,15 @@ def write_layout_manifest(
     ).write.mode("overwrite").saveAsTable(manifest_table)
 
 
+class IncrementalNotApplicable(Exception):
+    """Raised by an append_fn BEFORE it writes anything when a
+    layout-specific precondition fails (e.g. the pack manifest needs
+    appended doc_ids to sort strictly after every existing one so the
+    token stream grows as a suffix) — the caller falls back to the
+    full rebuild. Raising after a write would corrupt the layout; the
+    contract is check-first."""
+
+
 def incremental_refresh(
     spark,
     sf_dir: str,
@@ -258,7 +267,10 @@ def incremental_refresh(
         ]
         t0 = _time.perf_counter()
         if new_files:
-            append_fn(spark, new_files, t.name)
+            try:
+                append_fn(spark, new_files, t.name)
+            except IncrementalNotApplicable:
+                return None  # precondition failed pre-write → rebuild
         spark.sql(f"ALTER TABLE {t.name} RENAME TO {new_table}")
         # multi-table layouts (pq: codes + model sidecar) carry their
         # sibling tables to the new tag in the same refresh — the

@@ -1687,8 +1687,18 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _placements_plain(spark, sf_dir)
 
 
-def _placements_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def _placements_plain(
+    spark: SparkSession,
+    sf_dir: str,
+    d: DataFrame | None = None,
+    base: int = 0,
+) -> DataFrame:
+    # ``d``/``base`` serve the incremental manifest refresh: ONLY the
+    # appended docs run the prefix sum, with every stream offset
+    # shifted by the tokens already packed (the suffix-extension case
+    # pack_layout_refresh gates on)
+    if d is None:
+        d = load_table(spark, sf_dir, "documents")
     per_doc = d.select(
         "doc_id",
         F.array_size(tokens()).cast("long").alias("n_tokens"),
@@ -1724,7 +1734,9 @@ def _placements_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = local.join(F.broadcast(carry), "_bk").select(
         "doc_id",
         "n_tokens",
-        (F.col("_carry") + F.col("_local")).alias("seq_start"),
+        (F.col("_carry") + F.col("_local") + F.lit(base)).alias(
+            "seq_start"
+        ),
     )
     # `div` is exact integer floor division on BIGINTs (all offsets are
     # non-negative) — no double rounding at 100-TB stream offsets
@@ -2875,11 +2887,18 @@ def _pack_tables(sf_dir: str) -> tuple[str]:
     return (f"dcs_pack{_Q126_BLOCK}_{tag}",)
 
 
+def _pack_manifest_table(tag: str) -> str:
+    return f"dcs_packmf{_Q126_BLOCK}_{tag}"
+
+
 def pack_layout(spark: SparkSession, sf_dir: str) -> float:
     """One-time packing-manifest build. Returns write seconds."""
     import time as _time
 
-    from dask_cuml_spark.operators.layout import drop_table_and_location
+    from dask_cuml_spark.operators.layout import (
+        drop_table_and_location,
+        write_layout_manifest,
+    )
 
     t0 = _time.perf_counter()
     (tbl,) = _pack_tables(sf_dir)
@@ -2887,7 +2906,57 @@ def pack_layout(spark: SparkSession, sf_dir: str) -> float:
     _placements_plain(spark, sf_dir).write.mode("overwrite").saveAsTable(
         tbl
     )
+    write_layout_manifest(
+        spark,
+        sf_dir,
+        "documents.parquet",
+        _pack_manifest_table(tbl.rsplit("_", 1)[1]),
+    )
     return _time.perf_counter() - t0
+
+
+def pack_layout_refresh(spark: SparkSession, sf_dir: str) -> float | None:
+    """Append-only incremental refresh of the packing manifest (r13 —
+    the fifth incremental layout). The manifest is a GLOBAL prefix sum
+    in doc_id order, so appends are suffix-stable ONLY when every new
+    doc_id sorts strictly after every packed one — then old placements
+    are untouched by construction and the new docs' placements are the
+    batch's own prefix sum shifted by the tokens already packed. The
+    id condition is CHECKED FIRST (IncrementalNotApplicable → full
+    rebuild) so interleaved ingests can never corrupt offsets; the
+    gate re-proves stored ≡ plain on every driver run regardless."""
+    from dask_cuml_spark.operators.layout import (
+        IncrementalNotApplicable,
+        incremental_refresh,
+    )
+
+    (tbl,) = _pack_tables(sf_dir)
+
+    def append(spark_, new_files, old_tbl):
+        batch = spark_.read.parquet(*new_files).select("doc_id", "text")
+        old = spark_.table(old_tbl).agg(
+            F.max("doc_id").alias("max_id"),
+            F.max(F.col("seq_start") + F.col("n_tokens")).alias("total"),
+        ).collect()[0]
+        new_min = batch.agg(F.min("doc_id")).collect()[0][0]
+        if new_min is None or old.max_id is None or new_min <= old.max_id:
+            raise IncrementalNotApplicable(
+                f"appended ids start at {new_min}, packed ids reach "
+                f"{old.max_id} — stream order is not suffix-stable"
+            )
+        _placements_plain(
+            spark_, sf_dir, d=batch, base=int(old.total)
+        ).write.mode("append").saveAsTable(old_tbl)
+
+    return incremental_refresh(
+        spark,
+        sf_dir,
+        "documents.parquet",
+        f"dcs_pack{_Q126_BLOCK}_",
+        _pack_manifest_table,
+        tbl,
+        append,
+    )
 
 
 # ---------------------------------------------------------------------------

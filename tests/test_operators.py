@@ -1276,6 +1276,82 @@ def test_q02_layout_incremental_refresh(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_pack_layout_incremental_refresh_and_interleave_fallback(
+    spark, tmp_path
+):
+    """The packing manifest is a global prefix sum in doc_id order, so
+    the r13 incremental path applies ONLY when appended ids sort
+    strictly after every packed one (stream grows as a suffix): then
+    old placements are untouched and new ones are the batch's prefix
+    sum shifted by the packed-token total — stored ≡ plain full
+    recompute, bit-for-bit. Interleaved ids must fall back to the full
+    rebuild (IncrementalNotApplicable is raised BEFORE any write)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.text as T
+    from dask_cuml_spark.layouts import ensure_layouts
+
+    t = pq_mod.read_table(f"{SF}/documents.parquet").sort_by("doc_id")
+
+    # --- suffix-stable append: incremental
+    sf = str(tmp_path / "sf")
+    ddir = os.path.join(sf, "documents.parquet")
+    os.makedirs(ddir)
+    pq_mod.write_table(t.slice(0, 300), os.path.join(ddir, "part-0.parquet"))
+    assert ensure_layouts(spark, sf, layouts=("pack",))["pack"] > 0.0
+    (tbl1,) = T._pack_tables(sf)
+    rows_before = {
+        r.doc_id: tuple(r) for r in spark.table(tbl1).collect()
+    }
+    pq_mod.write_table(t.slice(300), os.path.join(ddir, "part-1.parquet"))
+    (tbl2,) = T._pack_tables(sf)
+    assert tbl2 != tbl1
+    assert ensure_layouts(spark, sf, layouts=("pack",))["pack"] > 0.0
+    assert spark.catalog.tableExists(tbl2)
+    assert not spark.catalog.tableExists(tbl1)
+    stored = {r.doc_id: tuple(r) for r in spark.table(tbl2).collect()}
+    # old placements bit-unchanged, and the whole table equals a plain
+    # full recompute on the grown corpus
+    for d, row in rows_before.items():
+        assert stored[d] == row, d
+    fresh = {
+        r.doc_id: tuple(r)
+        for r in T._placements_plain(spark, sf).collect()
+    }
+    assert stored == fresh
+    assert ensure_layouts(spark, sf, layouts=("pack",))["pack"] == 0.0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl2}")
+    spark.sql(
+        f"DROP TABLE IF EXISTS {T._pack_manifest_table(tbl2.rsplit('_', 1)[1])}"
+    )
+
+    # --- interleaved ids: precondition fails pre-write → full rebuild
+    sf2 = str(tmp_path / "sf2")
+    ddir2 = os.path.join(sf2, "documents.parquet")
+    os.makedirs(ddir2)
+    pq_mod.write_table(
+        t.slice(300), os.path.join(ddir2, "part-0.parquet")
+    )  # HIGH ids first
+    assert ensure_layouts(spark, sf2, layouts=("pack",))["pack"] > 0.0
+    pq_mod.write_table(
+        t.slice(0, 300), os.path.join(ddir2, "part-1.parquet")
+    )  # then LOW ids appended — interleaves the stream order
+    assert ensure_layouts(spark, sf2, layouts=("pack",))["pack"] > 0.0
+    (tbl3,) = T._pack_tables(sf2)
+    got = {r.doc_id: tuple(r) for r in spark.table(tbl3).collect()}
+    want = {
+        r.doc_id: tuple(r)
+        for r in T._placements_plain(spark, sf2).collect()
+    }
+    assert got == want and len(got) == t.num_rows
+    spark.sql(f"DROP TABLE IF EXISTS {tbl3}")
+    spark.sql(
+        f"DROP TABLE IF EXISTS {T._pack_manifest_table(tbl3.rsplit('_', 1)[1])}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # langid operators (round 5): sampled-profile determinism + classify
 # contract (operators/langid.py).
