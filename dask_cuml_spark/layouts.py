@@ -163,9 +163,18 @@ def ensure_layouts(
             for p in legacy_prefixes.get(name, ()):
                 # retired schema: no keep_tag can match "\0" → drop all
                 drop_stale_layouts(spark, p, "\0")
-        if inc is not None:
+        # honor the refresh result only if the layout is now COMPLETE
+        # (advisor r13): incremental_refresh's 0.0 early-return attests
+        # only the PRIMARY table, so a partially built multi-table
+        # layout (pq codes present, model sidecar missing after an
+        # interrupted build; q02 orders without lineitem) must fall
+        # through to the full writer to heal, as the pre-refresh code
+        # guaranteed — otherwise consumers silently take the plain
+        # branch forever
+        complete = all(spark.catalog.tableExists(t) for t in tables)
+        if inc is not None and complete:
             out[name] = inc
-        elif all(spark.catalog.tableExists(t) for t in tables):
+        elif complete:
             out[name] = 0.0
         else:
             out[name] = writer(spark, sf_dir)

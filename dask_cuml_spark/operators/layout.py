@@ -238,7 +238,10 @@ def incremental_refresh(
 
     Returns write seconds on a refresh, None when not applicable.
     MUST run before the stale-GC keyed on the new tag — the GC would
-    drop the very table this appends to."""
+    drop the very table this appends to. The 0.0 early-return attests
+    only that the PRIMARY ``new_table`` exists — a multi-table caller
+    (ensure_layouts) re-verifies the sibling tables and falls through
+    to the full writer when the layout is partially built."""
     import os
     import time as _time
 
@@ -260,9 +263,21 @@ def incremental_refresh(
             continue
         if any(cur[f] != old[f] for f in old):
             continue  # an existing file changed — full-rebuild territory
+        new_rel = sorted(set(cur) - set(old))
+        # only write-markers (_SUCCESS, .crc dotfiles) may be skipped:
+        # a new non-marker file we don't append from would be recorded
+        # as consumed by the manifest below yet never processed —
+        # silently excluded from the layout forever (advisor r13).
+        # Unknown file kinds are full-rebuild territory, not skips.
+        if any(
+            not f.endswith(".parquet")
+            and not os.path.basename(f).startswith(("_", "."))
+            for f in new_rel
+        ):
+            return None
         new_files = [
             os.path.join(sf_dir, f)
-            for f in sorted(set(cur) - set(old))
+            for f in new_rel
             if f.endswith(".parquet")
         ]
         t0 = _time.perf_counter()

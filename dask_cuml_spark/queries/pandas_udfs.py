@@ -964,7 +964,9 @@ def q128_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # paragraph granularity via a composite pid = doc_id·2^20 + idx — the
 # pid ORDER is exactly the (doc_id, idx) order; the 20-bit shift
 # supports doc_id < 2^43 (≈8.8e12 docs — comfortably past a 100 TB
-# corpus) and ≤2^20 blocks/doc (20M tokens), asserted-safe in int64;
+# corpus) and <2^20 blocks/doc (20M tokens), enforced in-plan by a
+# raise_error guard on the pid expression (r14 — advisor asked that
+# the bound be asserted, not just documented);
 # the first cut's 2^32 shift would have silently wrapped at
 # doc_id ≥ 2^31, inside real-corpus range):
 #   paragraphs → distinct bigram hashes (8-byte, the q32/q119
@@ -1095,7 +1097,26 @@ def q151_paragraph_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("b.idx").alias("idx"),
-        (F.col("doc_id") * F.lit(1 << 20) + F.col("b.idx")).alias("pid"),
+        # the int64-safety bound is ENFORCED, not just documented
+        # (advisor r13): out-of-range ids would silently corrupt pid
+        # ordering and the `pid div 2^20` doc_id recovery, so the plan
+        # raises instead. Two integer comparisons per paragraph row —
+        # negligible, and not prunable because pid is always consumed.
+        F.when(
+            (F.col("doc_id") >= 0)
+            & (F.col("doc_id") < F.lit(1 << 43))
+            & (F.col("b.idx") < F.lit(1 << 20)),
+            F.col("doc_id") * F.lit(1 << 20) + F.col("b.idx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "q151 pid packing needs 0 <= doc_id < 2^43 and "
+                    "< 2^20 blocks/doc"
+                )
+            )
+        )
+        .alias("pid"),
         F.col("b.sh").alias("sh"),
     )
     sigs = minhash_signatures(

@@ -1246,17 +1246,25 @@ def q138_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_cuml_spark.operators.quantize import GATE_BYTES, adc_candidates
 
     big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
+    # shortlist+1 at the kernel: each batch emits its top-(n+1), so the
+    # union provably contains the global top-50 NON-SELF candidates
+    # even when the query's own row (adist≈0, always rank 1) occupies a
+    # per-batch slot — one spare row per (batch, query), not corpus work
     scored = adc_candidates(
         codes,
         [(qid, lut, None) for qid, lut in _pq_luts(qrows, cb)],
-        shortlist=_Q138_SHORTLIST,
+        shortlist=_Q138_SHORTLIST + 1,
         strategy="kernel" if big else "expr",
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    # self-match dropped BEFORE the rank cut (r14 — the advisor-r12
+    # q145 fix applied here): cutting first spent one of the 50
+    # shortlist slots on the trivial self row, leaving 49 true
+    # candidates for the re-rank against a documented budget of 50
     shortlist = (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _Q138_SHORTLIST)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
 
@@ -1661,18 +1669,23 @@ def q141_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_cuml_spark.operators.quantize import GATE_BYTES, adc_candidates
 
     big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
+    # shortlist+1 at the kernel — q138's union argument: the self row
+    # can occupy one per-batch slot, the spare keeps the global
+    # non-self top-50 provably inside the emitted union
     scored = adc_candidates(
         coded.filter(F.col("cell_id").isin(probed_cells)),
         lut_rows,
-        shortlist=_Q141_SHORTLIST,
+        shortlist=_Q141_SHORTLIST + 1,
         cell_col="cell_id",
         strategy="kernel" if big else "expr",
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    # self-match dropped BEFORE the rank cut (r14, the q145 fix) so the
+    # re-rank sees the full 50-candidate budget, not 49
     shortlist = (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _Q141_SHORTLIST)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
 
@@ -1773,7 +1786,9 @@ def q145_signhash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = hamming_candidates(
         sigs,
         queries,
-        shortlist=_Q145_SHORTLIST,
+        # +1: the self row can hold one per-batch kernel slot — the
+        # spare keeps the global non-self top-50 inside the union
+        shortlist=_Q145_SHORTLIST + 1,
         strategy="kernel" if big else "expr",
     )
     w = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
@@ -1961,11 +1976,11 @@ def _sig_serving(spark: SparkSession, sf_dir: str, planes, seed: int = 7):
 # self-certifying, not to serve traffic. These functions assemble the
 # SEARCH PATH ALONE — the plan a deployed index actually runs per
 # query batch: stored-layout scan → shortlist → exact re-rank —
-# mirroring the query bodies line-for-line (q138/q141/q145 above),
-# with one deliberate divergence: the self-match is dropped BEFORE the
-# shortlist cut everywhere (the advisor-r12 q145 fix, applied
-# uniformly here so every serving shortlist holds its full candidate
-# budget). bench_serving.py provisions the pq/signs layouts and times
+# mirroring the query bodies line-for-line (q138/q141/q145 above;
+# since r14 the bodies too drop the self-match BEFORE the shortlist
+# cut, so there is no divergence left — every shortlist holds its
+# full candidate budget). bench_serving.py provisions the pq/signs
+# layouts and times
 # these; `invariants=True` re-runs the query's own certification
 # (exact baseline + _ann_invariants) OUTSIDE any timer, and
 # tests/test_operators.py pins all three green at fixture scale.
@@ -2046,7 +2061,9 @@ def pq_adc_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = adc_candidates(
         coded.select("vec_id", "codes"),
         [(qid, lut, None) for qid, lut in _pq_luts(qrows, cb)],
-        shortlist=_Q138_SHORTLIST,
+        # +1: q138's kernel-union argument — the self row may hold one
+        # per-batch slot; _serving_shortlist filters it pre-cut
+        shortlist=_Q138_SHORTLIST + 1,
         strategy="kernel" if big else "expr",
     )
     shortlist = _serving_shortlist(scored, "adist", _Q138_SHORTLIST)
@@ -2082,7 +2099,8 @@ def ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = adc_candidates(
         coded.filter(F.col("cell_id").isin(probed_cells)),
         lut_rows,
-        shortlist=_Q141_SHORTLIST,
+        # +1: same kernel-union spare as the query body
+        shortlist=_Q141_SHORTLIST + 1,
         cell_col="cell_id",
         strategy="kernel" if big else "expr",
     )
@@ -2121,7 +2139,8 @@ def signhash_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = hamming_candidates(
         sigs,
         queries,
-        shortlist=_Q145_SHORTLIST,
+        # +1: same kernel-union spare as the query body
+        shortlist=_Q145_SHORTLIST + 1,
         strategy="kernel" if big else "expr",
     )
     shortlist = _serving_shortlist(scored, "ham", _Q145_SHORTLIST)

@@ -3323,7 +3323,7 @@ def test_q151_paragraph_near_dup_semantics(spark):
         assert 0 <= r.n_near_dup <= r.n_paras
         assert r.n_paras == exact[d].n_paras
         # exact duplicates (dropped by q150) are J=1 pairs — the
-        # near-dup flag set must cover them (τ=0.5 < 1)
+        # near-dup flag set must cover them (τ=0.8 < 1)
         assert r.n_near_dup >= exact[d].n_paras - exact[d].n_kept, d
     assert any(r.n_near_dup > 0 for r in near.values())
     # hand-built: doc 0 repeats a block; doc 1 shares it -> exactly the
