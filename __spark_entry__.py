@@ -59,66 +59,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # is older than round 11. Entries past position 50 are r11/r12-green
 # and code-unchanged.
 _PRIORITY = [
-    # -- (1) new or changed in round 13, and the three stretch
-    # queries that had never held a driver slot
+    # -- (1) new or changed in round 14: q152 (NEW — perceptual-hash
+    #    image near-dedup, first driver row), q138/q141 (self-match now
+    #    dropped BEFORE the shortlist cut — the r13 verdict's deferred
+    #    defect), q151 (pid-packing bound now enforced in-plan by a
+    #    raise_error guard — advisor r14). q145 also changed but only
+    #    in the kernel strategy's shortlist slop (+1), which the expr
+    #    path the driver runs provably ignores — it is r13-green and
+    #    re-proved by run_pair this round; it leads the r15 window.
+    "q152_phash_image_near_dup",
+    "q138_pq_adc_search",
+    "q141_ivfpq_search",
     "q151_paragraph_near_dup",
-    "q150_paragraph_dedup",
-    "q149_bloom_decontamination",
-    "q148_ngram_novelty",
-    "q147_perplexity_buckets",
-    "q119_contamination_check",
-    "q145_signhash_ann",
-    "q146_stratified_split",
-    # -- (2) displaced to 51-53 last round by the late q144-q146
-    # additions; WINDOW_r12.md named them first in line
-    "q01_pricing_summary",
-    "q05_string_ops",
-    "q12_quantiles_histogram",
-    # -- (3) the r10-evidence block, lowest number first (39)
-    "q13_semi_anti_join",
-    "q14_range_join_bands",
-    "q15_global_topk",
-    "q16_project_cast_case",
-    "q17_rolling_avg",
-    "q18_lag_lead",
-    "q20_sessionization",
-    "q21_funnel",
-    "q22_json_extract",
-    "q23_retention",
-    "q57_metrics",
-    "q58_gram_matrix",
-    "q60_asof_join",
-    "q61_cube",
-    "q62_partitioned_write",
-    "q63_multiformat_roundtrip",
-    "q64_map_functions",
-    "q66_language_id",
-    "q67_token_count",
-    "q68_knn_regressor",
-    "q72_map_partitions",
-    "q73_grouped_normalize",
-    "q74_grouped_agg_udf",
-    "q75_pivot",
-    "q76_kmeans_fit",
-    "q80_range_window",
-    "q81_one_hot",
-    "q84_merge_upsert",
-    "q85_grouping_sets",
-    "q86_profile_table",
-    "q88_group_quantiles",
-    "q89_unpivot_melt",
-    "q92_interval_join",
-    "q99_kmeans_parallel_fit",
-    "q108_semantic_dedup",
-    "q114_ngram_language_id",
-    "q122_token_budget_mixture",
-    "q130_chunk_documents",
-    "q132_fixed_n_per_stratum",
-    # ---------------- positions 51+: out of window this round
-    # (q02 — the slot-50 filler — was displaced by the late q151
-    # addition; it is r11-green, so the rotation goal still holds)
+    # -- (2) the full r11-evidence block (46 queries — every query
+    #    whose latest driver row is round 11), lowest number first;
+    #    fills slots 5-50 exactly. After this round no query's driver
+    #    evidence is older than round 12.
     "q02_revenue_by_nation",
-    # -- r11-evidence block, lowest number first
     "q03_top_orders_per_customer",
     "q04_segment_stats",
     "q06_orders_by_month",
@@ -164,7 +121,8 @@ _PRIORITY = [
     "q136_apply_span_dedup",
     "q139_decontaminate_spans",
     "q140_temperature_mixture",
-    # -- r12-evidence block, lowest number first
+    # ---------------- positions 51+: out of window this round
+    # -- r12-evidence block, lowest number first (q138/q141 moved up)
     "q10_set_ops",
     "q11_rollup",
     "q25_hourly_windows",
@@ -208,11 +166,59 @@ _PRIORITY = [
     "q127_pii_redaction",
     "q131_int8_quantization",
     "q137_pq_quantization",
-    "q138_pq_adc_search",
-    "q141_ivfpq_search",
     "q142_packing_audit",
     "q143_seq_length_histogram",
     "q144_dsir_weights",
+    # -- r13-evidence block, lowest number first (q151 moved up)
+    "q01_pricing_summary",
+    "q05_string_ops",
+    "q12_quantiles_histogram",
+    "q13_semi_anti_join",
+    "q14_range_join_bands",
+    "q15_global_topk",
+    "q16_project_cast_case",
+    "q17_rolling_avg",
+    "q18_lag_lead",
+    "q20_sessionization",
+    "q21_funnel",
+    "q22_json_extract",
+    "q23_retention",
+    "q57_metrics",
+    "q58_gram_matrix",
+    "q60_asof_join",
+    "q61_cube",
+    "q62_partitioned_write",
+    "q63_multiformat_roundtrip",
+    "q64_map_functions",
+    "q66_language_id",
+    "q67_token_count",
+    "q68_knn_regressor",
+    "q72_map_partitions",
+    "q73_grouped_normalize",
+    "q74_grouped_agg_udf",
+    "q75_pivot",
+    "q76_kmeans_fit",
+    "q80_range_window",
+    "q81_one_hot",
+    "q84_merge_upsert",
+    "q85_grouping_sets",
+    "q86_profile_table",
+    "q88_group_quantiles",
+    "q89_unpivot_melt",
+    "q92_interval_join",
+    "q99_kmeans_parallel_fit",
+    "q108_semantic_dedup",
+    "q114_ngram_language_id",
+    "q119_contamination_check",
+    "q122_token_budget_mixture",
+    "q130_chunk_documents",
+    "q132_fixed_n_per_stratum",
+    "q145_signhash_ann",
+    "q146_stratified_split",
+    "q147_perplexity_buckets",
+    "q148_ngram_novelty",
+    "q149_bloom_decontamination",
+    "q150_paragraph_dedup",
 ]
 
 

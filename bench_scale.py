@@ -118,6 +118,7 @@ TABLES_FOR = {
     "q149_bloom_decontamination": {"documents"},
     "q150_paragraph_dedup": {"documents"},
     "q151_paragraph_near_dup": {"documents"},
+    "q152_phash_image_near_dup": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -384,6 +385,12 @@ ORACLE_NOT_COMPARABLE = {
         "NO image work while Spark PNG-encodes AND -decodes every "
         "payload through the real codec; row records Spark-side "
         "decode throughput scaling only"
+    ),
+    "q152_phash_image_near_dup": (
+        "oracle computes the GENERATIVE truth (a window min over the "
+        "closed-form img_key) — DuckDB does no image work while Spark "
+        "PNG-encodes, strict-decodes, dHashes, bands, and verifies "
+        "every payload; row records Spark-side pipeline scaling only"
     ),
     "q76_kmeans_fit": (
         "oracle is an O(1) invariant check — ratio not meaningful; "

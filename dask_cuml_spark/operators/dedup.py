@@ -366,9 +366,6 @@ def simhash_near_dup(
     join is on a small integer bucket key (one shuffle), never all
     pairs. Identical texts hash identically (hamming 0), so exact
     duplicates are always candidates at any banding."""
-    if 64 % bands:
-        raise ValueError("bands must divide 64")
-    width = 64 // bands
     # Both sides of the bucket self-join descend from the signature
     # aggregate; without a cache the tokenize+agg (the only heavy stage
     # — everything downstream is signature-sized) computes TWICE.
@@ -379,26 +376,60 @@ def simhash_near_dup(
     sigs = persist_for_reuse(
         simhash(df.select(id_col, text_col), text_col, id_col)
     )
+    return banded_hamming_pairs(
+        sigs, id_col=id_col, sig_col="simhash", bands=bands,
+        max_hamming=max_hamming,
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Exact Hamming-distance pair join over 64-bit signatures via the
+    pigeonhole banding (r14: extracted from simhash_near_dup so the
+    perceptual-hash image dedup shares it). Returns
+    (id_a, id_b, hamming), id_a < id_b, COMPLETE for
+    hamming <= min(max_hamming, bands - 1): a pair differing in at
+    most bands-1 bits leaves some band untouched, so the band-bucket
+    self-join (small integer keys, one shuffle — never all pairs)
+    surfaces every such pair and the bit_count verify is exact.
+    ``max_hamming >= bands`` would silently lose pairs, so it raises.
+
+    Callers whose ``sigs`` frame is derived (an aggregate, a decode
+    pass) should persist it first — both sides of the self-join
+    re-evaluate the input otherwise."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got {bands}) for the pigeonhole recall guarantee"
+        )
+    width = 64 // bands
     mask = (1 << width) - 1
     slices = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), i * width)
+            F.shiftrightunsigned(F.col(sig_col), i * width)
             .bitwiseAND(F.lit(mask))
             for i in range(bands)
         ]
     )
     banded = sigs.select(
-        id_col, "simhash", F.posexplode(slices).alias("band", "slice")
+        id_col, sig_col, F.posexplode(slices).alias("band", "slice")
     )
     a = banded.select(
         F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("sig_a"),
+        F.col(sig_col).alias("sig_a"),
         "band",
         "slice",
     )
     b = banded.select(
         F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sig_b"),
+        F.col(sig_col).alias("sig_b"),
         "band",
         "slice",
     )

@@ -446,3 +446,70 @@ def resize_images(
             rows = []
 
     return df.select(id_col, binary_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sig", LongType()),
+    ]
+)
+
+
+def _dhash_of(img: np.ndarray) -> int:
+    """64-bit dHash (difference hash — the standard perceptual hash:
+    Krawetz 2013 "Kind of Like That"): area-reduce to a 9-wide x 8-tall
+    grid, then bit (r, c) = grid[r][c] > grid[r][c+1], row-major.
+
+    The reduction compares block MEANS via the integer cross-multiply
+    S_l * N_r > S_r * N_l (block sum x other block's pixel count) — the
+    house rational-arithmetic rule — so the hash is bit-deterministic
+    on every engine with no float rounding, for ANY dims >= 9x8. Two
+    provable invariances the q152 oracle leans on: a constant
+    brightness offset shifts every block mean equally (all comparisons
+    preserved — dHash is gradient-based by design), and a pixel-
+    replication upscale by (sy, sx) scales every block sum by sy*sx
+    (order preserved). Returns a SIGNED int64 (two's complement view of
+    the 64 bits) so it stores in a Spark long; XOR + bit_count on the
+    signed value counts differing bits exactly."""
+    h, w = img.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash needs an image >= 9x8, got {w}x{h}")
+    a = img.astype(np.int64)
+    rb = (np.arange(8) * h) // 8
+    cb = (np.arange(9) * w) // 9
+    S = np.add.reduceat(np.add.reduceat(a, rb, axis=0), cb, axis=1)
+    rn = np.diff(np.append(rb, h))
+    cn = np.diff(np.append(cb, w))
+    N = rn[:, None] * cn[None, :]
+    bits = (S[:, :8] * N[:, 1:]) > (S[:, 1:] * N[:, :8])
+    raw = np.packbits(bits.flatten(), bitorder="little").tobytes()
+    u = int.from_bytes(raw, "little")
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def dhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    decode_mode: str = "auto",
+) -> DataFrame:
+    """(doc_id, sig) 64-bit dHash per image payload — decode + hash in
+    one Arrow-batched narrow map (binary in, 8 bytes out, no shuffle);
+    the image-side analogue of operators/dedup.simhash. Feed the
+    result into dedup.banded_hamming_pairs for near-dup candidate
+    pairs with the pigeonhole recall guarantee."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = resolve_decoder(decode_mode)
+        for pdf in it:
+            rows = [
+                {
+                    "doc_id": int(doc_id),
+                    "sig": _dhash_of(decode(bytes(payload))),
+                }
+                for doc_id, payload in zip(pdf[id_col], pdf[binary_col])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "sig"])
+
+    return df.select(id_col, binary_col).mapInPandas(batches, DHASH_SCHEMA)

@@ -2043,13 +2043,19 @@ def _serving_certify(spark, e, topk, nq: int, k: int, floor: float):
     return _ann_invariants(t, exact, int(floor * nq * k)).crossJoin(hits)
 
 
-def pq_adc_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_adc_serving_topk(
+    spark: SparkSession, sf_dir: str, shortlist: int | None = None
+) -> DataFrame:
     """q138's search path alone: LUT build (model-state) → ADC
-    shortlist over the stored codes → exact re-rank."""
+    shortlist over the stored codes → exact re-rank. ``shortlist``
+    overrides the registered fixed budget — the recall-held serving
+    rows (bench_serving --held-recall, r14) scale it with the corpus
+    the way a production index does."""
     import numpy as np
 
     from dask_cuml_spark.operators.quantize import GATE_BYTES, adc_candidates
 
+    n = _Q138_SHORTLIST if shortlist is None else shortlist
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebooks, _centers, coded, _from_layout = _pq_serving(spark, sf_dir)
     qrows = sorted(
@@ -2063,20 +2069,30 @@ def pq_adc_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, lut, None) for qid, lut in _pq_luts(qrows, cb)],
         # +1: q138's kernel-union argument — the self row may hold one
         # per-batch slot; _serving_shortlist filters it pre-cut
-        shortlist=_Q138_SHORTLIST + 1,
+        shortlist=n + 1,
         strategy="kernel" if big else "expr",
     )
-    shortlist = _serving_shortlist(scored, "adist", _Q138_SHORTLIST)
-    return _serving_rerank(e, shortlist, _Q138_NQ, _Q138_K)
+    short = _serving_shortlist(scored, "adist", n)
+    return _serving_rerank(e, short, _Q138_NQ, _Q138_K)
 
 
-def ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_serving_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    shortlist: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
     """q141's search path alone: driver-side coarse routing → literal
-    cell_id IN bucket-pruned ADC inside probed cells → exact re-rank."""
+    cell_id IN bucket-pruned ADC inside probed cells → exact re-rank.
+    ``shortlist``/``nprobe`` override the registered fixed operating
+    point — the recall-held serving rows (bench_serving --held-recall,
+    r14) scale both with the corpus the way a production IVF index
+    does."""
     import numpy as np
 
     from dask_cuml_spark.operators.quantize import GATE_BYTES, adc_candidates
 
+    n = _Q141_SHORTLIST if shortlist is None else shortlist
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebooks, centers, coded, _from_layout = _pq_serving(spark, sf_dir)
     cb = np.stack(codebooks)
@@ -2086,11 +2102,13 @@ def ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in qrows])
     d2 = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    nprobe = min(_Q141_NPROBE, len(centers))
+    np_ = min(
+        _Q141_NPROBE if nprobe is None else nprobe, len(centers)
+    )
     lut_by_id = dict(_pq_luts(qrows, cb))
     lut_rows = []
     for qi, r in enumerate(qrows):
-        order = np.lexsort((np.arange(len(centers)), d2[qi]))[:nprobe]
+        order = np.lexsort((np.arange(len(centers)), d2[qi]))[:np_]
         lut_rows.append(
             (int(r.vec_id), lut_by_id[r.vec_id], [int(c) for c in order])
         )
@@ -2100,18 +2118,22 @@ def ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coded.filter(F.col("cell_id").isin(probed_cells)),
         lut_rows,
         # +1: same kernel-union spare as the query body
-        shortlist=_Q141_SHORTLIST + 1,
+        shortlist=n + 1,
         cell_col="cell_id",
         strategy="kernel" if big else "expr",
     )
-    shortlist = _serving_shortlist(scored, "adist", _Q141_SHORTLIST)
-    return _serving_rerank(e, shortlist, _Q141_NQ, _Q141_K)
+    short = _serving_shortlist(scored, "adist", n)
+    return _serving_rerank(e, short, _Q141_NQ, _Q141_K)
 
 
-def signhash_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def signhash_serving_topk(
+    spark: SparkSession, sf_dir: str, shortlist: int | None = None
+) -> DataFrame:
     """q145's search path alone: query signatures driver-side →
     XOR+POPCNT Hamming shortlist over the stored signs → exact
-    re-rank."""
+    re-rank. ``shortlist`` overrides the registered fixed budget — the
+    recall-held serving rows (bench_serving --held-recall, r14) scale
+    it with the corpus the way a production index does."""
     import numpy as np
 
     from dask_cuml_spark.operators.binhash import (
@@ -2135,16 +2157,17 @@ def signhash_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, r in enumerate(qrows)
     ]
     sigs, _from_layout = _sig_serving(spark, sf_dir, planes, seed)
+    n = _Q145_SHORTLIST if shortlist is None else shortlist
     big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
     scored = hamming_candidates(
         sigs,
         queries,
         # +1: same kernel-union spare as the query body
-        shortlist=_Q145_SHORTLIST + 1,
+        shortlist=n + 1,
         strategy="kernel" if big else "expr",
     )
-    shortlist = _serving_shortlist(scored, "ham", _Q145_SHORTLIST)
-    return _serving_rerank(e, shortlist, _Q145_NQ, _Q145_K)
+    short = _serving_shortlist(scored, "ham", n)
+    return _serving_rerank(e, short, _Q145_NQ, _Q145_K)
 
 
 SERVING_TOPK = {

@@ -1148,6 +1148,99 @@ def test_signs_layout_incremental_refresh(spark, tmp_path):
     )
 
 
+def test_ensure_layouts_heals_partial_multitable(spark, tmp_path):
+    """advisor r13 (medium): a multi-table layout left PARTIALLY built
+    (pq codes present, model sidecar missing — an interrupted build)
+    must be healed by the full writer on the next ensure_layouts call.
+    The incremental detector's 0.0 early-return attests only the
+    primary table, so honoring it blindly left the layout broken
+    forever with consumers silently on the plain branch."""
+    import os
+    import shutil
+
+    import dask_cuml_spark.queries.vector as V
+    from dask_cuml_spark.layouts import ensure_layouts
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        f"{sf}/embeddings.parquet",
+    )
+
+    first = ensure_layouts(spark, sf, layouts=("pq",))
+    assert first["pq"] > 0.0
+    codes_tbl, model_tbl = V._pq_tables(sf)
+    assert spark.catalog.tableExists(codes_tbl)
+    assert spark.catalog.tableExists(model_tbl)
+
+    # simulate the interrupted build: sidecar gone, codes present
+    spark.sql(f"DROP TABLE {model_tbl}")
+    healed = ensure_layouts(spark, sf, layouts=("pq",))
+    assert healed["pq"] > 0.0  # NOT 0.0 — the writer re-ran
+    assert spark.catalog.tableExists(codes_tbl)
+    assert spark.catalog.tableExists(model_tbl)
+    # the healed layout actually serves: stored codes come back
+    _cb, _ct, coded, from_layout = V._pq_serving(spark, sf)
+    assert from_layout and coded.count() > 0
+    for t in (codes_tbl, model_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(
+        "DROP TABLE IF EXISTS "
+        + V._pq_manifest_table(codes_tbl.rsplit("_", 1)[1])
+    )
+
+
+def test_incremental_refresh_unknown_append_rebuilds(spark, tmp_path):
+    """advisor r13: an appended source file WITHOUT the .parquet suffix
+    (Spark's reader picks up any non-marker file, extension or not)
+    must force a full rebuild — the old fast path skipped it from the
+    append list while the manifest recorded it as consumed, silently
+    and permanently excluding its rows from the layout. Write markers
+    (_SUCCESS, .crc dotfiles) must NOT force a rebuild."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.text as T
+    from dask_cuml_spark.layouts import ensure_layouts
+
+    sf = str(tmp_path / "sf")
+    ddir = os.path.join(sf, "documents.parquet")
+    os.makedirs(ddir)
+    t = pq_mod.read_table(f"{SF}/documents.parquet")
+    pq_mod.write_table(t.slice(0, 300), os.path.join(ddir, "part-0.parquet"))
+    first = ensure_layouts(spark, sf, layouts=("grams",))
+    assert first["grams"] > 0.0
+
+    # marker-only append: the incremental path still applies (no data)
+    open(os.path.join(ddir, "_SUCCESS"), "w").close()
+    tbl_m = T._gram_table(sf)
+    inc = T.gram_layout_refresh(spark, sf)
+    assert inc is not None  # markers tolerated, not rebuild territory
+    assert spark.catalog.tableExists(tbl_m)
+
+    # data append WITHOUT the .parquet suffix: parquet bytes Spark will
+    # read, invisible to the suffix-filtered append list → must refuse
+    # the fast path so the rebuild picks the rows up
+    pq_mod.write_table(t.slice(300, 100), os.path.join(ddir, "part-1.data"))
+    assert T.gram_layout_refresh(spark, sf) is None
+    rebuilt = ensure_layouts(spark, sf, layouts=("grams",))
+    assert rebuilt["grams"] > 0.0
+    tbl2 = T._gram_table(sf)
+    stored = sorted(map(tuple, spark.table(tbl2).collect()))
+    fresh = sorted(map(tuple, T._positioned_grams(spark, sf).collect()))
+    # the .data rows are IN the layout (old behavior lost them forever)
+    assert stored == fresh and len(stored) > 0
+    n_docs = load_table(spark, sf, "documents").count()
+    assert n_docs == 400  # Spark read the extension-less part too
+    spark.sql(f"DROP TABLE IF EXISTS {tbl2}")
+    spark.sql(
+        "DROP TABLE IF EXISTS "
+        + T._gram_manifest_table(tbl2.rsplit("_", 1)[1])
+    )
+
+
 def test_pq_layout_incremental_refresh(spark, tmp_path):
     """FAISS IndexIVFPQ.add() semantics (r13): an append-only
     embeddings ingest encodes ONLY the new vectors with the EXISTING
@@ -3381,3 +3474,102 @@ def test_q149_bloom_no_false_negatives(spark):
         k: v.n_grams for k, v in rows.items()
     }
     assert all(r.n_key_hits <= r.n_bloom_hits for r in xx.values())
+
+
+def test_dhash_invariance_and_margins():
+    """The two provable invariances q152's generative oracle leans on
+    (numpy-level, no Spark): a constant brightness offset and a pixel-
+    replication upscale both preserve the dHash exactly (gradient
+    comparisons survive a monotone shift; block sums scale by sy*sx),
+    and the 17 base patterns' signatures sit >= 20 Hamming bits apart
+    (the measured margin the tau=6 gate rides on) while several cross
+    pairs DO share a band — the verify-REJECT path is exercised, not
+    vacuous."""
+    import itertools
+
+    import dask_cuml_spark.queries.pandas_udfs as P
+    from dask_cuml_spark.operators.multimodal import _dhash_of
+
+    M = (1 << 64) - 1
+    bases = [P._q152_base(k) for k in range(P._Q152_KEYS)]
+    sigs = [_dhash_of(b.astype(np.uint8)) for b in bases]
+    assert len(set(sigs)) == P._Q152_KEYS
+    for k in (0, 5, 16):
+        for sy, sx, off in ((2, 3, 54), (3, 1, 9), (1, 2, 27)):
+            img = (
+                np.repeat(np.repeat(bases[k], sy, axis=0), sx, axis=1) + off
+            ).astype(np.uint8)
+            assert int(img.max()) <= 245  # clip-free by construction
+            assert _dhash_of(img) == sigs[k], (k, sy, sx, off)
+    u = [s & M for s in sigs]
+    dists = [
+        bin(u[a] ^ u[b]).count("1")
+        for a, b in itertools.combinations(range(P._Q152_KEYS), 2)
+    ]
+    assert min(dists) >= 20 > P._Q152_TAU  # pinned measured margin
+    width = 64 // P._Q152_BANDS
+    mask = (1 << width) - 1
+    share = sum(
+        1
+        for a, b in itertools.combinations(range(P._Q152_KEYS), 2)
+        if any(
+            ((u[a] >> (width * i)) & mask) == ((u[b] >> (width * i)) & mask)
+            for i in range(P._Q152_BANDS)
+        )
+    )
+    assert share > 0  # cross-key candidates exist and get rejected
+
+
+def test_banded_hamming_pairs_guards_and_completeness(spark):
+    """The extracted pigeonhole pair join: exact pair set on hand-built
+    signatures (every pair within max_hamming found, none beyond), and
+    the two misuse guards raise (bands not dividing 64; max_hamming
+    too large for the recall guarantee)."""
+    import pytest as _pytest
+
+    from dask_cuml_spark.operators.dedup import banded_hamming_pairs
+
+    rows = [(0, 0b0), (1, 0b111), (2, (1 << 40) | 0b111), (3, -1)]
+    sigs = spark.createDataFrame(rows, "doc_id bigint, sig bigint")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in banded_hamming_pairs(
+            sigs, sig_col="sig", bands=8, max_hamming=6
+        ).collect()
+    }
+    # ham(0,1)=3  ham(1,2)=1  ham(0,2)=4; doc 3 (all 64 bits set) is
+    # 60-64 bits from everything — never a surviving pair
+    assert got == {(0, 1): 3, (1, 2): 1, (0, 2): 4}
+    with _pytest.raises(ValueError):
+        banded_hamming_pairs(sigs, sig_col="sig", bands=4, max_hamming=4)
+    with _pytest.raises(ValueError):
+        banded_hamming_pairs(sigs, sig_col="sig", bands=7, max_hamming=3)
+
+
+def test_q152_hand_built_truth(spark):
+    """End-to-end on engineered doc_ids: 0/17/34 share img_key 0 (three
+    renders at different scales and brightness), 1/18 share key 1, 2 is
+    alone — the pipeline must flag exactly the later occurrences and
+    point canon_id at each group's earliest doc."""
+    import dask_cuml_spark.queries.pandas_udfs as P
+
+    tiny = spark.createDataFrame(
+        [(i,) for i in (0, 17, 34, 1, 18, 2)], "doc_id bigint"
+    )
+    orig = P.load_table
+    try:
+        P.load_table = lambda s, sf, name: tiny  # noqa: ARG005
+        out = {
+            r.doc_id: (r.canon_id, r.is_near_dup)
+            for r in P.q152_phash_image_near_dup(spark, "ignored").collect()
+        }
+    finally:
+        P.load_table = orig
+    assert out == {
+        0: (0, 0),
+        17: (0, 1),
+        34: (0, 1),
+        1: (1, 0),
+        18: (1, 1),
+        2: (2, 0),
+    }

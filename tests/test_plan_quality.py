@@ -304,6 +304,17 @@ def test_q150_q151_no_presentation_sort_no_single_partition_window(spark):
         assert "Window [" not in plan or "SinglePartition" not in plan, name
 
 
+def test_q152_no_presentation_sort_no_single_partition_ops(spark):
+    """q152 image near-dedup keeps the replica-safe shape: the corpus
+    never self-joins (only DISTINCT signatures enter the banded pair
+    join, after a map-side-combinable exact-sig collapse), so the plan
+    must carry no rangepartitioning exchange, no single-partition
+    window, and no window at all over the corpus-sized frames."""
+    plan = _plan(spark, "q152_phash_image_near_dup")
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
 def test_q126_no_presentation_sort(spark):
     """q126's two-level prefix sum keeps its partitioned window
     exchanges, but the r12 presentation-sort removal means no
