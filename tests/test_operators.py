@@ -3573,3 +3573,137 @@ def test_q152_hand_built_truth(spark):
         18: (1, 1),
         2: (2, 0),
     }
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path):
+    """r13 verdict task 5 — the daily-ingest posture as ONE pipeline: a
+    foreachBatch stream appends parquet micro-batches to the corpus
+    tables and every stored layout refreshes INCREMENTALLY mid-stream
+    (the full writers are poisoned for the duration, so a silent
+    fallback to rebuild fails loudly). After the stream: stored grams
+    and signs equal a from-scratch derivation bit-for-bit, stored PQ
+    codes equal a same-model encode of the grown corpus, and the PQ
+    model sidecar is content-untouched (FAISS add() never retrains)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.relational as R
+    import dask_cuml_spark.queries.text as T
+    import dask_cuml_spark.queries.vector as V
+    from dask_cuml_spark.io import load_table as lt
+    from dask_cuml_spark.layouts import ensure_layouts
+    from dask_cuml_spark.operators.binhash import hyperplanes, sign_signatures
+    from dask_cuml_spark.operators.quantize import pq_encode
+    from dask_cuml_spark.streaming.ingest import (
+        run_ingest_stream,
+        synth_staging_files,
+    )
+
+    sf = str(tmp_path / "sf")
+    ddir, edir = f"{sf}/documents.parquet", f"{sf}/embeddings.parquet"
+    os.makedirs(ddir), os.makedirs(edir)
+    td = pq_mod.read_table("/root/testdata/sf0.001/documents.parquet")
+    te = pq_mod.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    pq_mod.write_table(td, os.path.join(ddir, "part-0.parquet"))
+    pq_mod.write_table(te, os.path.join(edir, "part-0.parquet"))
+
+    layouts = ("grams", "signs", "pq")
+    first = ensure_layouts(spark, sf, layouts=layouts)
+    assert all(first[n] > 0.0 for n in layouts)
+    model_before = sorted(
+        map(tuple, spark.table(V._pq_tables(sf)[1]).collect())
+    )
+
+    start = 1 + max(
+        td.column("doc_id").to_pylist() + te.column("vec_id").to_pylist()
+    )
+    staging = str(tmp_path / "staging")
+    synth_staging_files(staging, n_batches=3, rows_per_batch=40,
+                        start_doc_id=start)
+
+    # poison the full writers: any rebuild during the stream = failure
+    def _boom(*_a, **_k):
+        raise AssertionError("full rebuild ran during the ingest stream")
+
+    saved = (T.gram_layout, V.signature_layout, V.pq_layout)
+    T.gram_layout, V.signature_layout, V.pq_layout = _boom, _boom, _boom
+    try:
+        stats = run_ingest_stream(
+            spark, sf, staging, str(tmp_path / "ckpt"), layouts=layouts
+        )
+    finally:
+        T.gram_layout, V.signature_layout, V.pq_layout = saved
+
+    assert [s["rows"] for s in stats] == [40, 40, 40]
+    for s in stats:
+        assert set(s["refresh_sec"]) == set(layouts)
+
+    # corpus grew through the stream
+    assert lt(spark, sf, "documents").count() == td.num_rows + 120
+    assert lt(spark, sf, "embeddings").count() == te.num_rows + 120
+
+    # grams: stored ≡ fresh derivation over the GROWN corpus
+    (gt,) = (T._gram_table(sf),)
+    stored = sorted(map(tuple, spark.table(gt).collect()))
+    fresh = sorted(map(tuple, T._positioned_grams(spark, sf).collect()))
+    assert stored == fresh and len(stored) > 0
+
+    # signs: stored ≡ fresh GEMM hash of the grown corpus
+    (st,) = V._sig_tables(sf)
+    e = lt(spark, sf, "embeddings").select("vec_id", "embedding")
+    dim = len(e.filter(F.col("embedding").isNotNull()).first()["embedding"])
+    fresh_sigs = sorted(
+        (r[0], list(r[1]))
+        for r in sign_signatures(
+            e, "vec_id", "embedding", hyperplanes(128, dim, 7)
+        ).collect()
+    )
+    stored_sigs = sorted(
+        (r[0], list(r[1])) for r in spark.table(st).collect()
+    )
+    assert stored_sigs == fresh_sigs and len(stored_sigs) > 0
+
+    # pq: sidecar content untouched; codes ≡ same-model encode
+    codes_tbl, model_tbl = V._pq_tables(sf)
+    model_after = sorted(map(tuple, spark.table(model_tbl).collect()))
+    assert model_after == model_before
+    cb = [r for r in model_before if r[0] == "pq"]
+    m = 1 + max(r[1] for r in cb)
+    k = 1 + max(r[2] for r in cb)
+    codebooks = [
+        np.stack(
+            [
+                np.asarray(
+                    next(r[3] for r in cb if r[1] == s and r[2] == j)
+                )
+                for j in range(k)
+            ]
+        )
+        for s in range(m)
+    ]
+    fresh_codes = sorted(
+        (r["vec_id"], list(r["codes"]))
+        for r in pq_encode(e, codebooks).select("vec_id", "codes").collect()
+    )
+    stored_codes = sorted(
+        (r["vec_id"], list(r["codes"]))
+        for r in spark.table(codes_tbl).select("vec_id", "codes").collect()
+    )
+    assert stored_codes == fresh_codes and len(stored_codes) > 0
+
+    # a consumer mid-contract: the serving entry reads the refreshed
+    # stored index (from_layout=True) without any rebuild
+    _cb, _ct, coded, from_layout = V._pq_serving(spark, sf)
+    assert from_layout and coded.count() == te.num_rows + 120
+
+    for t in (gt, st, codes_tbl, model_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for fn, tag_tbl in (
+        (T._gram_manifest_table, gt),
+        (V._sig_manifest_table, st),
+        (V._pq_manifest_table, codes_tbl),
+    ):
+        spark.sql(
+            "DROP TABLE IF EXISTS " + fn(tag_tbl.rsplit("_", 1)[1])
+        )
