@@ -122,6 +122,10 @@ _PRIORITY = [
     "q139_decontaminate_spans",
     "q140_temperature_mixture",
     # ---------------- positions 51+: out of window this round
+    # -- q153 (NEW in r14, registered late — every slot 1-50 is
+    #    rotation-mandated): deterministic shuffle+shard. Rotation
+    #    discipline: it LEADS the r15 window (the q147-q149 precedent)
+    "q153_shuffle_shard",
     # -- r12-evidence block, lowest number first (q138/q141 moved up)
     "q10_set_ops",
     "q11_rollup",

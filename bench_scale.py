@@ -119,6 +119,7 @@ TABLES_FOR = {
     "q150_paragraph_dedup": {"documents"},
     "q151_paragraph_near_dup": {"documents"},
     "q152_phash_image_near_dup": {"documents"},
+    "q153_shuffle_shard": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -619,3 +619,79 @@ def q111_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — deterministic corpus shuffle + sharding (round 14; the
+# training-data "shuffle and shard" step every LLM pipeline runs after
+# curation: break crawl/source locality, split into S balanced training
+# files). The 100-TB-correct formulation is NOT a random sort (a full
+# corpus range shuffle on an RNG column) but a STATELESS KEYED
+# PERMUTATION — the trick tf.data/Grain-style input pipelines use for
+# reshufflable, resumable epochs: shuffle_key = π(doc_id) for a
+# bijective π, so the "shuffle" is reproducible from ids alone, needs
+# no stored RNG state, and any engine recomputes the identical order.
+#
+# π here is the minstd affine permutation k = (doc_id · 48271) mod
+# (2^31 − 1) (Park–Miller; bijective on [0, 2^31−1), intermediate
+# product < 2^46 so the arithmetic is int64-exact and SQL-expressible —
+# measured shard imbalance over 500k ids: ±0.01 %). The id bound is
+# ENFORCED in-plan (raise_error, the q151 guard pattern); corpora past
+# 2^31 docs upgrade π to a multi-round Feistel over 64 bits — same
+# plan, different key expression. Known limit, documented: an LCG is a
+# weak shuffle (sequential ids land A apart mod P) — it breaks
+# locality and balances shards, which is what the sharding step needs;
+# crypto-grade mixing is the Feistel upgrade, not a different operator.
+#
+# Spark shape: one narrow projection (key, shard = k mod S) → ONE hash
+# exchange on shard → per-shard row_number ordered by (k, doc_id) —
+# the window partition is a SHARD (corpus/S rows), which is exactly
+# the unit a shard writer sorts locally before emitting one training
+# file, so the partition size is the file size the deployment already
+# chose. No global sort, no SinglePartition.
+# Full-value oracle: DuckDB runs the identical integer arithmetic and
+# window — both engines derive the same permutation independently.
+# ---------------------------------------------------------------------------
+_Q153_SHARDS = 16
+_Q153_A = 48271
+_Q153_P = 2147483647
+
+
+@register(
+    "q153_shuffle_shard",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, (doc_id * {_Q153_A}) % {_Q153_P} AS k FROM documents
+)
+SELECT doc_id,
+       CAST(k % {_Q153_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY k % {_Q153_SHARDS} ORDER BY k, doc_id
+            ) - 1 AS BIGINT) AS pos
+FROM keyed
+""",
+)
+def q153_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # in-plan bound enforcement (the q151 pattern): ids at or past the
+    # modulus would collide keys and silently break the permutation
+    k = F.when(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") < F.lit(_Q153_P)),
+        (F.col("doc_id") * F.lit(_Q153_A)) % F.lit(_Q153_P),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"q153 minstd permutation needs 0 <= doc_id < {_Q153_P}"
+                " — upgrade the key to a 64-bit Feistel past that"
+            )
+        )
+    )
+    keyed = d.select("doc_id", k.alias("k")).withColumn(
+        "shard", F.pmod("k", F.lit(_Q153_SHARDS)).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

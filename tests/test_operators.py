@@ -3582,8 +3582,10 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     (the full writers are poisoned for the duration, so a silent
     fallback to rebuild fails loudly). After the stream: stored grams
     and signs equal a from-scratch derivation bit-for-bit, stored PQ
-    codes equal a same-model encode of the grown corpus, and the PQ
-    model sidecar is content-untouched (FAISS add() never retrains)."""
+    codes equal a same-model encode of the grown corpus, the PQ model
+    sidecar is content-untouched (FAISS add() never retrains), and the
+    pack manifest — whose suffix-order precondition the increasing
+    ingest ids satisfy — equals the full two-level prefix sum."""
     import os
 
     import pyarrow.parquet as pq_mod
@@ -3608,7 +3610,7 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     pq_mod.write_table(td, os.path.join(ddir, "part-0.parquet"))
     pq_mod.write_table(te, os.path.join(edir, "part-0.parquet"))
 
-    layouts = ("grams", "signs", "pq")
+    layouts = ("grams", "signs", "pq", "pack")
     first = ensure_layouts(spark, sf, layouts=layouts)
     assert all(first[n] > 0.0 for n in layouts)
     model_before = sorted(
@@ -3626,14 +3628,16 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     def _boom(*_a, **_k):
         raise AssertionError("full rebuild ran during the ingest stream")
 
-    saved = (T.gram_layout, V.signature_layout, V.pq_layout)
-    T.gram_layout, V.signature_layout, V.pq_layout = _boom, _boom, _boom
+    saved = (T.gram_layout, V.signature_layout, V.pq_layout, T.pack_layout)
+    T.gram_layout = V.signature_layout = V.pq_layout = _boom
+    T.pack_layout = _boom
     try:
         stats = run_ingest_stream(
             spark, sf, staging, str(tmp_path / "ckpt"), layouts=layouts
         )
     finally:
-        T.gram_layout, V.signature_layout, V.pq_layout = saved
+        (T.gram_layout, V.signature_layout, V.pq_layout,
+         T.pack_layout) = saved
 
     assert [s["rows"] for s in stats] == [40, 40, 40]
     for s in stats:
@@ -3692,18 +3696,64 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     )
     assert stored_codes == fresh_codes and len(stored_codes) > 0
 
+    # pack: stored manifest ≡ the full two-level prefix sum over the
+    # grown corpus (the suffix-stable append left old placements
+    # untouched and shifted the batch's own prefix sum by the packed
+    # total — bit-identity is the proof)
+    (pt,) = T._pack_tables(sf)
+    stored_pack = sorted(map(tuple, spark.table(pt).collect()))
+    fresh_pack = sorted(
+        map(tuple, T._placements_plain(spark, sf).collect())
+    )
+    assert stored_pack == fresh_pack and len(stored_pack) > 0
+
     # a consumer mid-contract: the serving entry reads the refreshed
     # stored index (from_layout=True) without any rebuild
     _cb, _ct, coded, from_layout = V._pq_serving(spark, sf)
     assert from_layout and coded.count() == te.num_rows + 120
 
-    for t in (gt, st, codes_tbl, model_tbl):
+    for t in (gt, st, codes_tbl, model_tbl, pt):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     for fn, tag_tbl in (
         (T._gram_manifest_table, gt),
         (V._sig_manifest_table, st),
         (V._pq_manifest_table, codes_tbl),
+        (T._pack_manifest_table, pt),
     ):
         spark.sql(
             "DROP TABLE IF EXISTS " + fn(tag_tbl.rsplit("_", 1)[1])
         )
+
+
+def test_q153_shuffle_shard_permutation_properties(spark):
+    """The stateless shuffle's contract: every doc lands in exactly one
+    (shard, pos) slot, positions are dense 0..n_s-1 within each shard,
+    shards are balanced (minstd keys distribute uniformly — measured
+    imbalance over 500k ids is ±0.01%), the assignment is deterministic
+    across invocations, and locality actually breaks (consecutive
+    doc_ids do not land in consecutive positions of one shard)."""
+    import dask_cuml_spark.queries.extended as X
+
+    out = X.q153_shuffle_shard(spark, SF).collect()
+    n = load_table(spark, SF, "documents").count()
+    assert len(out) == n
+    assert len({r.doc_id for r in out}) == n
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(X._Q153_SHARDS))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s  # dense positions
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] - sizes[0] <= max(4, n // len(by_shard) // 2)
+    # deterministic across invocations (stateless: no RNG to drift)
+    again = {(r.doc_id, r.shard, r.pos) for r in
+             X.q153_shuffle_shard(spark, SF).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in out}
+    # locality broken: consecutive ids rotate shards (48271 % 16 = 15)
+    shard_of = {r.doc_id: r.shard for r in out}
+    same = sum(
+        1 for d in shard_of if d + 1 in shard_of
+        and shard_of[d] == shard_of[d + 1]
+    )
+    assert same < n * 0.2, same

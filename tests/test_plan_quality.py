@@ -315,6 +315,17 @@ def test_q152_no_presentation_sort_no_single_partition_ops(spark):
     assert "SinglePartition" not in plan, plan[:2000]
 
 
+def test_q153_single_shard_exchange(spark):
+    """The shuffle-shard plan is ONE hash exchange on the shard id:
+    no global sort (the stateless permutation needs none — that is its
+    point), no SinglePartition (the row_number window partitions BY
+    shard, the unit a shard writer sorts locally anyway)."""
+    plan = _plan(spark, "q153_shuffle_shard")
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
 def test_q126_no_presentation_sort(spark):
     """q126's two-level prefix sum keeps its partitioned window
     exchanges, but the r12 presentation-sort removal means no
