@@ -1273,6 +1273,18 @@ def q152_phash_image_near_dup(
             for doc_id in pdf["doc_id"]:
                 dd = int(doc_id)
                 b = bases[dd % _Q152_KEYS]
+                if dd % 5 == 2:
+                    # TRUE near-dup (not byte-structural-identical): a
+                    # single adjacent-cell swap moves the dHash 1-3
+                    # bits (measured 1-3 across all 17 keys,
+                    # pytest-pinned) — still <= tau=6, so the
+                    # generative truth is unchanged, while the driver
+                    # gate now exercises the banding + verify-ACCEPT
+                    # path at hamming > 0, not just exact collisions;
+                    # cross-key margins erode by <= 3 (measured: still
+                    # 20 >> tau)
+                    b = b.copy()
+                    b[3, 4], b[3, 5] = b[3, 5], b[3, 4]
                 sy, sx = 1 + dd % 3, 1 + (dd // 3) % 3
                 off = (dd % 7) * 9
                 img = (

@@ -3507,6 +3507,25 @@ def test_dhash_invariance_and_margins():
         for a, b in itertools.combinations(range(P._Q152_KEYS), 2)
     ]
     assert min(dists) >= 20 > P._Q152_TAU  # pinned measured margin
+    # the perturbed render (docs with doc_id % 5 == 2: one adjacent
+    # cell swap) is a TRUE near-dup — 1-3 bits from its base for every
+    # key (>=1: the fixture exercises verify-ACCEPT at hamming > 0),
+    # and cross-key margins including perturbed sigs stay > tau
+    perts = []
+    for k in range(P._Q152_KEYS):
+        pb = bases[k].copy()
+        pb[3, 4], pb[3, 5] = bases[k][3, 5], bases[k][3, 4]
+        perts.append(_dhash_of(pb.astype(np.uint8)) & M)
+    d_self = [bin(u[k] ^ perts[k]).count("1") for k in range(P._Q152_KEYS)]
+    assert all(1 <= d <= 3 for d in d_self), d_self
+    fam = u + perts
+    cross = [
+        bin(fam[a] ^ fam[b]).count("1")
+        for a, b in itertools.combinations(range(2 * P._Q152_KEYS), 2)
+        if a % P._Q152_KEYS != b % P._Q152_KEYS
+    ]
+    assert min(cross) >= 20 - 3 > P._Q152_TAU
+    assert min(cross) >= 20  # measured: erosion did not occur at all
     width = 64 // P._Q152_BANDS
     mask = (1 << width) - 1
     share = sum(
