@@ -126,6 +126,9 @@ _PRIORITY = [
     #    rotation-mandated): deterministic shuffle+shard. Rotation
     #    discipline: it LEADS the r15 window (the q147-q149 precedent)
     "q153_shuffle_shard",
+    # -- q154 (NEW in r14, registered late): triplet/hard-negative
+    #    mining. Joins q153 at the front of the r15 window
+    "q154_triplet_mining",
     # -- r12-evidence block, lowest number first (q138/q141 moved up)
     "q10_set_ops",
     "q11_rollup",

@@ -120,6 +120,7 @@ TABLES_FOR = {
     "q151_paragraph_near_dup": {"documents"},
     "q152_phash_image_near_dup": {"documents"},
     "q153_shuffle_shard": {"documents"},
+    "q154_triplet_mining": {"embeddings"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -306,6 +307,10 @@ SKIP_DUCK_ABOVE = {
     # Spark's banded+verified side sat at 5.7 GB. 30x is the last
     # comparable point; beyond it the rows record the Spark-side curve
     "q151_paragraph_near_dup": 30,
+    # q154's oracle is an ALL-PAIRS cross join (n² window rows): the 1x
+    # leg (25M pairs, ~30 s) is the comparable point; scaled rows
+    # record the Spark-side one-pass-kernel curve only
+    "q154_triplet_mining": 1,
     "q77_dbscan": 1,
     # same all-pairs recursive-CTE oracle shape as q77: Θ(n²) pair
     # candidates (4e8 distance evals at 10×) — the 1× row is the

@@ -350,3 +350,130 @@ class NearestNeighbors:
             dist[pos[row.query_id], row.rk - 1] = row.dist
             idx[pos[row.query_id], row.rk - 1] = row.neighbor_id
         return qids, dist, idx
+
+
+def classwise_nearest(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    max_broadcast_queries: int = 100_000,
+) -> DataFrame:
+    """(vec_id, same, neighbor_id, dist_sq): for every anchor, the
+    nearest SAME-label vector (self excluded) and the nearest
+    DIFFERENT-label vector — the two reductions triplet mining (q154)
+    needs, in ONE corpus stream instead of a per-label kNN loop (the
+    loop re-scans the corpus 2·|labels| times; measured 11.8 s → one
+    pass at sf0.1).
+
+    Anchors ride a task broadcast (brute_force_knn's gemm convention,
+    same ``max_broadcast_queries`` guard); each candidate Arrow batch
+    computes ONE dense d² GEMM against all anchors, masks it twice
+    (same-label minus self / different-label) and emits the per-batch
+    argmin per (anchor, side) — ≤ 2 rows per anchor per batch, so the
+    final min(struct(dist_sq, neighbor_id)) aggregation is
+    batch-count-sized. Tie-break is (d², id): candidates are sorted by
+    id inside the batch and np.argmin takes the FIRST minimum, which
+    is exactly the lexicographic order the SQL oracle's row_number
+    uses. Past the broadcast guard, block the anchor axis too (the
+    gemm blocked-cogroup shape) — kernel unchanged per block pair."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = e.select(id_col, label_col, vec_col).limit(1_000_001).collect()
+    if len(rows) > 1_000_000:
+        raise ValueError(
+            "classwise_nearest blocks the anchor axis driver-side up "
+            "to 1M anchors; past that, move to the gemm blocked-"
+            "cogroup shape (hash both axes into blocks, one task per "
+            "block pair) — same kernel per pair"
+        )
+    spark = e.sparkSession
+    schema = StructType(
+        [
+            StructField("_qid", LongType()),
+            StructField("_same", BooleanType()),
+            StructField("_cid", LongType()),
+            StructField("_d2", DoubleType()),
+        ]
+    )
+
+    def make_kernel(bc):
+        def kernel(it):
+            ids_q, lab_q, Qm, qn_ = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                order = np.argsort(pdf["_id"].to_numpy(dtype=np.int64),
+                                   kind="stable")
+                cids = pdf["_id"].to_numpy(dtype=np.int64)[order]
+                clab = pdf["_l"].to_numpy(dtype=np.int64)[order]
+                C = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+                cn = (C * C).sum(1)
+                # clamp: norm-expansion dips ~-1e-16 on identical vectors
+                d2 = np.maximum(
+                    cn[:, None] + qn_[None, :] - 2.0 * (C @ Qm.T), 0.0
+                )
+                same = clab[:, None] == lab_q[None, :]
+                not_self = cids[:, None] != ids_q[None, :]
+                out = []
+                for flag, mask in (
+                    (True, same & not_self),
+                    (False, ~same),
+                ):
+                    md = np.where(mask, d2, np.inf)
+                    amin = md.argmin(axis=0)  # first min = min-id tie
+                    dmin = md[amin, np.arange(md.shape[1])]
+                    ok = np.isfinite(dmin)
+                    if ok.any():
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "_qid": ids_q[ok],
+                                    "_same": flag,
+                                    "_cid": cids[amin[ok]],
+                                    "_d2": dmin[ok],
+                                }
+                            )
+                        )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        return kernel
+
+    src = e.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_l"),
+        F.col(vec_col).alias("_v"),
+    )
+    parts = []
+    # anchor-axis blocking: one corpus stream per anchor block keeps
+    # the per-task broadcast bounded at max_broadcast_queries vectors;
+    # total GEMM work is unchanged (the d2 matrix is just computed in
+    # column stripes)
+    for lo in range(0, len(rows), max_broadcast_queries):
+        blk = rows[lo : lo + max_broadcast_queries]
+        qids = np.array([r[0] for r in blk], dtype=np.int64)
+        qlab = np.array([r[1] for r in blk], dtype=np.int64)
+        Q = np.array([r[2] for r in blk], dtype=np.float64)
+        qn = (Q * Q).sum(1)
+        bc = spark.sparkContext.broadcast((qids, qlab, Q, qn))
+        parts.append(src.mapInPandas(make_kernel(bc), schema))
+    from functools import reduce
+
+    partial = reduce(DataFrame.unionByName, parts)
+    return (
+        partial.groupBy("_qid", "_same")
+        .agg(F.min(F.struct("_d2", "_cid")).alias("m"))
+        .select(
+            F.col("_qid").alias(id_col),
+            F.col("_same").alias("same"),
+            F.col("m._cid").alias("neighbor_id"),
+            F.col("m._d2").alias("dist_sq"),
+        )
+    )

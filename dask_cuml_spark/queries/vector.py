@@ -2193,3 +2193,137 @@ SERVING_TOPK = {
         _Q145_RECALL_FLOOR,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# q154 — triplet / hard-negative mining (FaceNet, Schroff et al. 2015
+# §3.2 — the mining step of every embedding-model training pipeline):
+# per anchor, the NEAREST same-label vector (the accessible positive,
+# self excluded) and the NEAREST different-label vector (the hardest
+# negative), plus the semi-hard margin verdict
+# d_pos + α < d_neg — the signal triplet selection actually consumes
+# (violations are the triplets worth training on).
+#
+# Two strategies, one contract (the q138 size-gate convention, but the
+# gate here is PAIR COUNT, not source bytes — the all-pairs frame is
+# what explodes):
+#   expr (≤2M pairs — the driver's oracle gate always lands here):
+#     one broadcast crossJoin + l2_sq expression fold (IEEE order ≡
+#     the oracle's SQL fold, the q40-proven identity), then a
+#     MAP-SIDE-COMBINABLE groupBy (anchor, same_label) →
+#     min(struct(d2, bid)) — the lexicographic struct min IS the SQL
+#     (d2, bid) row_number(1), with NO window anywhere: the shuffle
+#     carries ≤ 2 rows per anchor after partial aggregation.
+#   kernel (above the gate): operators/knn.classwise_nearest — ONE
+#     corpus stream (a per-label kNN loop re-scans the corpus
+#     2·|labels| times; measured 11.8 s loop → 2.6 s one-pass at
+#     sf0.1): anchors task-broadcast (the gemm-kNN convention +
+#     guard), each candidate Arrow batch computes one dense d² GEMM
+#     against all anchors, masks it twice (same-label minus self /
+#     different-label) and emits per-batch argmins — ≤ 2 rows per
+#     (anchor, batch) into the final min(struct) agg. At 100 TB the
+#     anchor axis blocks too (gemm cogroup shape), and IVF/LSH
+#     shortlists slot in as the candidate side unchanged.
+# Full-value oracle: DuckDB runs the identical fold + (d2, bid)
+# windows; margin verdicts compare ROUND(·,6) values both sides, so
+# the flag is deterministic wherever the distances hash-match (they
+# do — the q40 convention).
+# ---------------------------------------------------------------------------
+_Q154_MARGIN = 0.2
+_Q154_EXPR_MAX_PAIRS = 2_000_000
+
+
+@register(
+    "q154_triplet_mining",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS aid, b.vec_id AS bid,
+         (a.label = b.label) AS same,
+         {_SQL_L2SQ.format(a="a.embedding", b="b.embedding")} AS d2
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+), best AS (
+  SELECT aid, same, bid, d2,
+         ROW_NUMBER() OVER (PARTITION BY aid, same
+                            ORDER BY d2, bid) AS rk
+  FROM pairs
+)
+SELECT p.aid AS vec_id,
+       p.bid AS pos_id, ROUND(SQRT(p.d2), 6) AS d_pos,
+       n.bid AS neg_id, ROUND(SQRT(n.d2), 6) AS d_neg,
+       CAST(ROUND(SQRT(p.d2), 6) + {_Q154_MARGIN}
+            < ROUND(SQRT(n.d2), 6) AS INTEGER) AS margin_ok
+FROM (SELECT aid, bid, d2 FROM best WHERE same AND rk = 1) p
+JOIN (SELECT aid, bid, d2 FROM best WHERE NOT same AND rk = 1) n
+  USING (aid)
+""",
+)
+def q154_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    n = e.count()
+    if n * (n - 1) <= _Q154_EXPR_MAX_PAIRS:
+        a = e.select(
+            F.col("vec_id").alias("aid"),
+            F.col("label").alias("al"),
+            F.col("embedding").alias("av"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("bid"),
+            F.col("label").alias("bl"),
+            F.col("embedding").alias("bv"),
+        )
+        agg = (
+            _par(a)
+            .crossJoin(F.broadcast(b))
+            .filter(F.col("aid") != F.col("bid"))
+            .select(
+                "aid",
+                (F.col("al") == F.col("bl")).alias("same"),
+                F.struct(
+                    l2_sq("av", "bv").alias("d2"),
+                    F.col("bid").alias("bid"),
+                ).alias("s"),
+            )
+            .groupBy("aid", "same")
+            .agg(F.min("s").alias("m"))
+            # two consumers (pos/neg splits) over an anchor-sized frame
+            # — the unconditional-pin class; localCheckpoint, not
+            # cache (the q152 bench-honesty rule)
+            .localCheckpoint(eager=False)
+        )
+        pos = agg.filter(F.col("same")).select(
+            F.col("aid").alias("vec_id"),
+            F.col("m.bid").alias("pos_id"),
+            F.round(F.sqrt("m.d2"), 6).alias("d_pos"),
+        )
+        neg = agg.filter(~F.col("same")).select(
+            F.col("aid").alias("vec_id"),
+            F.col("m.bid").alias("neg_id"),
+            F.round(F.sqrt("m.d2"), 6).alias("d_neg"),
+        )
+    else:
+        from dask_cuml_spark.operators.knn import classwise_nearest
+
+        both = classwise_nearest(_par(e)).localCheckpoint(eager=False)
+        pos = both.filter(F.col("same")).select(
+            "vec_id",
+            F.col("neighbor_id").alias("pos_id"),
+            F.round(F.sqrt("dist_sq"), 6).alias("d_pos"),
+        )
+        neg = both.filter(~F.col("same")).select(
+            "vec_id",
+            F.col("neighbor_id").alias("neg_id"),
+            F.round(F.sqrt("dist_sq"), 6).alias("d_neg"),
+        )
+    return pos.join(neg, "vec_id").select(
+        "vec_id",
+        "pos_id",
+        "d_pos",
+        "neg_id",
+        "d_neg",
+        (F.col("d_pos") + F.lit(_Q154_MARGIN) < F.col("d_neg"))
+        .cast("int")
+        .alias("margin_ok"),
+    )

@@ -3776,3 +3776,69 @@ def test_q153_shuffle_shard_permutation_properties(spark):
         and shard_of[d] == shard_of[d + 1]
     )
     assert same < n * 0.2, same
+
+
+def test_classwise_nearest_hand_built_and_ties(spark):
+    """The one-pass class-masked argmin kernel: hand-built vectors with
+    known nearest same/different-label answers, the self-exclusion, and
+    the (d², id) tie-break (two equidistant candidates → smaller id
+    wins, matching the SQL row_number order)."""
+    from dask_cuml_spark.operators.knn import classwise_nearest
+
+    rows = [
+        (0, 0, [0.0, 0.0]),
+        (1, 0, [1.0, 0.0]),   # same-label, d²=1 from anchor 0
+        (2, 0, [0.0, 1.0]),   # same-label, d²=1 — tie, larger id loses
+        (3, 1, [2.0, 0.0]),   # diff-label, d²=4
+        (4, 1, [0.0, 2.0]),   # diff-label, d²=4 — tie
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    )
+    got = {
+        (r.vec_id, r.same): (r.neighbor_id, round(r.dist_sq, 9))
+        for r in classwise_nearest(e).collect()
+    }
+    assert got[(0, True)] == (1, 1.0)   # tie at d²=1 → id 1 beats id 2
+    assert got[(0, False)] == (3, 4.0)  # tie at d²=4 → id 3 beats id 4
+    assert got[(1, True)][0] == 0       # self (id 1) excluded
+    assert got[(3, False)] == (1, 1.0)  # (1,0) is d²=1 from (2,0)
+    # anchor 3's nearest same-label is 4 (d²=8), never itself
+    assert got[(3, True)] == (4, 8.0)
+    # the anchor-axis blocking (one corpus stream per anchor block) is
+    # result-invariant — tiny blocks force 3 passes here
+    blocked = {
+        (r.vec_id, r.same): (r.neighbor_id, round(r.dist_sq, 9))
+        for r in classwise_nearest(e, max_broadcast_queries=2).collect()
+    }
+    assert blocked == got
+
+
+def test_q154_strategy_agreement(spark):
+    """House rule for size-gated strategy pairs: the expr formulation
+    (broadcast crossJoin + struct-min agg — the oracle-shaped path the
+    driver gate runs) and the one-pass GEMM kernel must produce the
+    SAME mined triplets on the same fixture — ids exactly, distances
+    at the rounded precision the query emits (the kernel's
+    norm-expansion d² may differ from the expression fold in the last
+    ulp, never past 1e-6)."""
+    import dask_cuml_spark.queries.vector as V
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    n = e.count()
+    assert n * (n - 1) <= V._Q154_EXPR_MAX_PAIRS  # gate: expr at SF
+    expr_out = sorted(
+        map(tuple, V.q154_triplet_mining(spark, SF).collect())
+    )
+    saved = V._Q154_EXPR_MAX_PAIRS
+    V._Q154_EXPR_MAX_PAIRS = 0  # force the kernel path
+    try:
+        kern_out = sorted(
+            map(tuple, V.q154_triplet_mining(spark, SF).collect())
+        )
+    finally:
+        V._Q154_EXPR_MAX_PAIRS = saved
+    assert len(expr_out) == len(kern_out) == n
+    assert expr_out == kern_out
