@@ -92,14 +92,17 @@ def _exact_baseline(spark, dst, nq: int, k: int):
     ).localCheckpoint()
 
 
-def _held_recall_point(spark, dst, name, fn, nq, k, exact):
+def _held_recall_point(spark, dst, name, fn, nq, k, exact, nprobes=None):
     """(operating point dict, recall) — smallest shortlist with
     recall@k >= _HELD_TARGET; for IVF-PQ the probed cells bound the
     attainable recall, so nprobe doubles outward until the ceiling
     (shortlist == cap) clears the target, matching how production
-    tunes an IVF index (nprobe and shortlist grow together)."""
+    tunes an IVF index (nprobe and shortlist grow together). Pass an
+    explicit ``nprobes`` list to pin the probe budget (the frontier
+    sweep evaluates each point separately)."""
     is_ivf = name == "q141_ivfpq_search"
-    nprobes = [None] if not is_ivf else [None, 8, 16, 32, 64]
+    if nprobes is None:
+        nprobes = [None] if not is_ivf else [None, 8, 16, 32, 64]
     for nprobe in nprobes:
         kw = {} if nprobe is None else {"nprobe": nprobe}
         # exponential bracket, then bisect the smallest passing point
@@ -155,9 +158,39 @@ def run_held(factor: int, names: list[str]) -> None:
         exact = _exact_baseline(spark, dst, nq, k)
         exact.count()
         exact_sec = time.perf_counter() - t0
-        point, recall = _held_recall_point(
-            spark, dst, name, fn, nq, k, exact
-        )
+        if name == "q141_ivfpq_search" and "--sweep-nprobe" in sys.argv:
+            # COST-CHOSEN operating point (r14): evaluate the
+            # (nprobe, held-shortlist) frontier and keep the min-wall
+            # point — a first-found point can overpay by probing too
+            # few cells and compensating with a huge shortlist
+            best = None
+            for np_ in (4, 8, 16):
+                pt, rc = _held_recall_point(
+                    spark, dst, name, fn, nq, k, exact, nprobes=[np_]
+                )
+                if pt is None:
+                    continue
+                fn(
+                    spark, dst, shortlist=pt["shortlist"], nprobe=np_
+                ).collect()  # warm
+                t0 = time.perf_counter()
+                fn(
+                    spark, dst, shortlist=pt["shortlist"], nprobe=np_
+                ).collect()
+                wall = time.perf_counter() - t0
+                print(
+                    f"  frontier {name} nprobe={np_} "
+                    f"shortlist={pt['shortlist']} recall={rc:.3f} "
+                    f"wall={wall:.2f}s",
+                    file=sys.stderr,
+                )
+                if best is None or wall < best[2]:
+                    best = (pt, rc, wall)
+            point, recall = (best[0], best[1]) if best else (None, None)
+        else:
+            point, recall = _held_recall_point(
+                spark, dst, name, fn, nq, k, exact
+            )
         if point is None:
             rows[name] = {
                 "note": (
