@@ -278,7 +278,12 @@ def incremental_refresh(
         new_files = [
             os.path.join(sf_dir, f)
             for f in new_rel
+            # exclude marker-NAMED parquet too (".hidden.parquet"):
+            # Spark's directory readers skip dot/underscore files, so
+            # appending their rows would make the stored layout a
+            # SUPERSET of the plain table (r14 self-review)
             if f.endswith(".parquet")
+            and not os.path.basename(f).startswith(("_", "."))
         ]
         t0 = _time.perf_counter()
         if new_files:

@@ -2236,11 +2236,14 @@ _Q154_EXPR_MAX_PAIRS = 2_000_000
 @register(
     "q154_triplet_mining",
     oracle=f"""
-WITH pairs AS (
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+), pairs AS (
   SELECT a.vec_id AS aid, b.vec_id AS bid,
          (a.label = b.label) AS same,
          {_SQL_L2SQ.format(a="a.embedding", b="b.embedding")} AS d2
-  FROM embeddings a, embeddings b
+  FROM e a, e b
   WHERE a.vec_id <> b.vec_id
 ), best AS (
   SELECT aid, same, bid, d2,
@@ -2259,8 +2262,17 @@ JOIN (SELECT aid, bid, d2 FROM best WHERE NOT same AND rk = 1) n
 """,
 )
 def q154_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+    # null vectors/labels are unminable and excluded at the SHARED
+    # entry — identically in both strategies (the advisor-r11
+    # auto-gate-divergence class: the expr path would fold null
+    # distances into the struct min while the kernel's np.array would
+    # crash); the oracle applies the same predicate
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .filter(
+            F.col("embedding").isNotNull() & F.col("label").isNotNull()
+        )
     )
     n = e.count()
     if n * (n - 1) <= _Q154_EXPR_MAX_PAIRS:

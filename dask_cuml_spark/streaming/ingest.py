@@ -174,12 +174,16 @@ def run_ingest_stream(
                 f"{d} must be a directory of part files — the "
                 "append-only ingest contract"
             )
-    doc_schema = pq.read_schema(
-        os.path.join(docs_dir, sorted(os.listdir(docs_dir))[0])
-    )
-    emb_schema = pq.read_schema(
-        os.path.join(embs_dir, sorted(os.listdir(embs_dir))[0])
-    )
+    def _first_part(d: str) -> str:
+        # skip write markers (_SUCCESS, .crc) — a Spark-written corpus
+        # dir sorts them first and they are not parquet footers
+        for f in sorted(os.listdir(d)):
+            if not f.startswith(("_", ".")):
+                return os.path.join(d, f)
+        raise ValueError(f"{d} holds no data part files")
+
+    doc_schema = pq.read_schema(_first_part(docs_dir))
+    emb_schema = pq.read_schema(_first_part(embs_dir))
     stats: list[dict] = []
 
     def sink(batch_df, batch_id: int) -> None:

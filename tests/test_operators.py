@@ -1220,6 +1220,20 @@ def test_incremental_refresh_unknown_append_rebuilds(spark, tmp_path):
     assert inc is not None  # markers tolerated, not rebuild territory
     assert spark.catalog.tableExists(tbl_m)
 
+    # hidden ".parquet" append: Spark's directory readers IGNORE
+    # dotfiles, so its rows must never enter the layout either —
+    # treated as a marker (incremental still applies, rows excluded),
+    # keeping stored ≡ plain (r14 self-review)
+    pq_mod.write_table(
+        t.slice(0, 5), os.path.join(ddir, ".hidden.parquet")
+    )
+    tbl_h = T._gram_table(sf)
+    assert T.gram_layout_refresh(spark, sf) is not None
+    assert spark.catalog.tableExists(tbl_h)
+    stored_h = sorted(map(tuple, spark.table(tbl_h).collect()))
+    fresh_h = sorted(map(tuple, T._positioned_grams(spark, sf).collect()))
+    assert stored_h == fresh_h
+
     # data append WITHOUT the .parquet suffix: parquet bytes Spark will
     # read, invisible to the suffix-filtered append list → must refuse
     # the fast path so the rebuild picks the rows up
