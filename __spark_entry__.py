@@ -32,104 +32,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-13 window, in order
-# (WINDOW_r13.md has the per-query evidence trail):
-#   1. changed-code-first + never-windowed-first: q151 (NEW —
-#      paragraph-level MinHash near-dedup: q150's granularity crossed
-#      with q78's machinery, OR-construction banding + exact verify,
-#      full-value string-truth oracle), q150 (NEW —
-#      paragraph-level exact dedup, RefinedWeb granularity, full-value
-#      string-truth oracle), q149 (r12 stretch, no driver row yet;
-#      portable-mode fold now runs as a size-gated Arrow kernel —
-#      strfold.py, bit-parity pytest-pinned), q148/q147 (r12 stretch,
-#      no driver row yet — registered at 51+ last round for rotation
-#      integrity, pytest + run_pair green since), q119 (presentation
-#      orderBy removed, plan-pinned — the r12 verdict's one weak),
-#      q145 (self-match now dropped before the shortlist cut; stored-
-#      signature lookup threads the plane seed — advisor r12), q146
-#      (unique-id precondition documented + asserted — advisor r12);
-#   2. q01/q05/q12 — displaced to 51-53 last round by the late
-#      q144-q146 additions; WINDOW_r12.md named them first in line;
-#   3. the r10-evidence block (every remaining query whose latest
-#      driver row is round 10), lowest number first, filling to 50
-#      (q02 — briefly the slot-50 filler — was displaced to 51 by the
-#      late q151 addition; it is r11-green, so the rotation goal is
-#      unaffected).
-# After this round every query has at least one driver row and none
-# is older than round 11. Entries past position 50 are r11/r12-green
-# and code-unchanged.
+# re-enters the hard gate (advisor r2). Round-15 window, in order
+# (WINDOW_r15.md has the per-query evidence trail), exactly as the
+# round-14 verdict mandated:
+#   1. never-windowed-first + changed-code-first: q153/q154 (NEW in
+#      r14, registered late at positions 51-52 — the ONLY registered
+#      queries with no driver row ever; q153 additionally gains the
+#      shuffle_mode='feistel' registered mode this round, q154 gains
+#      the IVF-shortlist candidate side — both changed-code), q145
+#      (r14 changed its kernel-path shortlist slop; r14-unwindowed);
+#   2. the FULL 46-query r12-evidence block (every query whose latest
+#      driver row is round 12), lowest number first — fills slots
+#      4-49;
+#   3. slot 50 = q01 (the lowest-numbered r13-evidence row).
+# After this round no query's driver evidence is older than round 13.
+# Entries past position 50 are r13/r14-green; queries REGISTERED this
+# round (q155 BM25, q156 shortlist triplet mining) sit at 51+ because
+# every slot 1-50 is rotation-mandated — they MUST lead the r16
+# window (the q147-q149 / q153-q154 precedent).
 _PRIORITY = [
-    # -- (1) new or changed in round 14: q152 (NEW — perceptual-hash
-    #    image near-dedup, first driver row), q138/q141 (self-match now
-    #    dropped BEFORE the shortlist cut — the r13 verdict's deferred
-    #    defect), q151 (pid-packing bound now enforced in-plan by a
-    #    raise_error guard — advisor r14). q145 also changed but only
-    #    in the kernel strategy's shortlist slop (+1), which the expr
-    #    path the driver runs provably ignores — it is r13-green and
-    #    re-proved by run_pair this round; it leads the r15 window.
-    "q152_phash_image_near_dup",
-    "q138_pq_adc_search",
-    "q141_ivfpq_search",
-    "q151_paragraph_near_dup",
-    # -- (2) the full r11-evidence block (46 queries — every query
-    #    whose latest driver row is round 11), lowest number first;
-    #    fills slots 5-50 exactly. After this round no query's driver
-    #    evidence is older than round 12.
-    "q02_revenue_by_nation",
-    "q03_top_orders_per_customer",
-    "q04_segment_stats",
-    "q06_orders_by_month",
-    "q07_fillna_left_join",
-    "q08_value_counts",
-    "q09_drop_duplicates",
-    "q24_event_value_stats",
-    "q30_top_terms",
-    "q33_lang_source_slice",
-    "q34_text_quality",
-    "q36_naive_bayes_fit",
-    "q37_label_encode",
-    "q38_fingerprint",
-    "q39_count_vectorizer",
-    "q40_knn_bruteforce",
-    "q43_cosine_topk",
-    "q44_multimodal_join",
-    "q46_knn_classify",
-    "q50_feature_stats",
-    "q51_ols_fit",
-    "q59_ols_predict",
-    "q70_stream_sessionization",
-    "q71_stream_hourly_counts",
-    "q77_dbscan",
-    "q79_stream_stateful_totals",
-    "q90_regexp_ops",
-    "q91_python_udtf",
-    "q93_stream_stream_join",
-    "q95_random_forest",
-    "q97_make_blobs",
-    "q103_simhash_near_dup",
-    "q110_gopher_rules",
-    "q111_clustered_layout",
-    "q113_bpe_token_accounting",
-    "q120_dbscan_blocked",
-    "q121_boilerplate_ngrams",
-    "q123_vocab_coverage",
-    "q128_image_decode_stats",
-    "q129_quality_model_score",
-    "q133_bigram_lm_score",
-    "q134_exact_substring_dedup",
-    "q135_near_dup_canonicalize",
-    "q136_apply_span_dedup",
-    "q139_decontaminate_spans",
-    "q140_temperature_mixture",
-    # ---------------- positions 51+: out of window this round
-    # -- q153 (NEW in r14, registered late — every slot 1-50 is
-    #    rotation-mandated): deterministic shuffle+shard. Rotation
-    #    discipline: it LEADS the r15 window (the q147-q149 precedent)
+    # -- (1) first-ever driver rows + changed-code-first
     "q153_shuffle_shard",
-    # -- q154 (NEW in r14, registered late): triplet/hard-negative
-    #    mining. Joins q153 at the front of the r15 window
     "q154_triplet_mining",
-    # -- r12-evidence block, lowest number first (q138/q141 moved up)
+    "q145_signhash_ann",
+    # -- (2) the full r12-evidence block, lowest number first
     "q10_set_ops",
     "q11_rollup",
     "q25_hourly_windows",
@@ -176,8 +102,14 @@ _PRIORITY = [
     "q142_packing_audit",
     "q143_seq_length_histogram",
     "q144_dsir_weights",
-    # -- r13-evidence block, lowest number first (q151 moved up)
+    # -- (3) slot 50: lowest-numbered r13-evidence row
     "q01_pricing_summary",
+    # ---------------- positions 51+: out of window this round
+    # -- NEW in r15, registered late (slots 1-50 rotation-mandated):
+    #    they MUST lead the r16 window.
+    "q155_bm25_retrieval",
+    "q156_triplet_mining_ann",
+    # -- r13-evidence block, lowest number first (q01/q145 moved up)
     "q05_string_ops",
     "q12_quantiles_histogram",
     "q13_semi_anti_join",
@@ -220,12 +152,62 @@ _PRIORITY = [
     "q122_token_budget_mixture",
     "q130_chunk_documents",
     "q132_fixed_n_per_stratum",
-    "q145_signhash_ann",
     "q146_stratified_split",
     "q147_perplexity_buckets",
     "q148_ngram_novelty",
     "q149_bloom_decontamination",
     "q150_paragraph_dedup",
+    # -- r14-evidence block, lowest number first
+    "q02_revenue_by_nation",
+    "q03_top_orders_per_customer",
+    "q04_segment_stats",
+    "q06_orders_by_month",
+    "q07_fillna_left_join",
+    "q08_value_counts",
+    "q09_drop_duplicates",
+    "q24_event_value_stats",
+    "q30_top_terms",
+    "q33_lang_source_slice",
+    "q34_text_quality",
+    "q36_naive_bayes_fit",
+    "q37_label_encode",
+    "q38_fingerprint",
+    "q39_count_vectorizer",
+    "q40_knn_bruteforce",
+    "q43_cosine_topk",
+    "q44_multimodal_join",
+    "q46_knn_classify",
+    "q50_feature_stats",
+    "q51_ols_fit",
+    "q59_ols_predict",
+    "q70_stream_sessionization",
+    "q71_stream_hourly_counts",
+    "q77_dbscan",
+    "q79_stream_stateful_totals",
+    "q90_regexp_ops",
+    "q91_python_udtf",
+    "q93_stream_stream_join",
+    "q95_random_forest",
+    "q97_make_blobs",
+    "q103_simhash_near_dup",
+    "q110_gopher_rules",
+    "q111_clustered_layout",
+    "q113_bpe_token_accounting",
+    "q120_dbscan_blocked",
+    "q121_boilerplate_ngrams",
+    "q123_vocab_coverage",
+    "q128_image_decode_stats",
+    "q129_quality_model_score",
+    "q133_bigram_lm_score",
+    "q134_exact_substring_dedup",
+    "q135_near_dup_canonicalize",
+    "q136_apply_span_dedup",
+    "q138_pq_adc_search",
+    "q139_decontaminate_spans",
+    "q140_temperature_mixture",
+    "q141_ivfpq_search",
+    "q151_paragraph_near_dup",
+    "q152_phash_image_near_dup",
 ]
 
 
