@@ -352,31 +352,7 @@ class NearestNeighbors:
         return qids, dist, idx
 
 
-def classwise_nearest(
-    e: DataFrame,
-    id_col: str = "vec_id",
-    label_col: str = "label",
-    vec_col: str = "embedding",
-    max_broadcast_queries: int = 100_000,
-) -> DataFrame:
-    """(vec_id, same, neighbor_id, dist_sq): for every anchor, the
-    nearest SAME-label vector (self excluded) and the nearest
-    DIFFERENT-label vector — the two reductions triplet mining (q154)
-    needs, in ONE corpus stream instead of a per-label kNN loop (the
-    loop re-scans the corpus 2·|labels| times; measured 11.8 s → one
-    pass at sf0.1).
-
-    Anchors ride a task broadcast (brute_force_knn's gemm convention,
-    same ``max_broadcast_queries`` guard); each candidate Arrow batch
-    computes ONE dense d² GEMM against all anchors, masks it twice
-    (same-label minus self / different-label) and emits the per-batch
-    argmin per (anchor, side) — ≤ 2 rows per anchor per batch, so the
-    final min(struct(dist_sq, neighbor_id)) aggregation is
-    batch-count-sized. Tie-break is (d², id): candidates are sorted by
-    id inside the batch and np.argmin takes the FIRST minimum, which
-    is exactly the lexicographic order the SQL oracle's row_number
-    uses. Past the broadcast guard, block the anchor axis too (the
-    gemm blocked-cogroup shape) — kernel unchanged per block pair."""
+def _classwise_schema():
     from pyspark.sql.types import (
         BooleanType,
         DoubleType,
@@ -385,16 +361,7 @@ def classwise_nearest(
         StructType,
     )
 
-    rows = e.select(id_col, label_col, vec_col).limit(1_000_001).collect()
-    if len(rows) > 1_000_000:
-        raise ValueError(
-            "classwise_nearest blocks the anchor axis driver-side up "
-            "to 1M anchors; past that, move to the gemm blocked-"
-            "cogroup shape (hash both axes into blocks, one task per "
-            "block pair) — same kernel per pair"
-        )
-    spark = e.sparkSession
-    schema = StructType(
+    return StructType(
         [
             StructField("_qid", LongType()),
             StructField("_same", BooleanType()),
@@ -403,70 +370,79 @@ def classwise_nearest(
         ]
     )
 
-    def make_kernel(bc):
-        def kernel(it):
-            ids_q, lab_q, Qm, qn_ = bc.value
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                order = np.argsort(pdf["_id"].to_numpy(dtype=np.int64),
-                                   kind="stable")
-                cids = pdf["_id"].to_numpy(dtype=np.int64)[order]
-                clab = pdf["_l"].to_numpy(dtype=np.int64)[order]
-                C = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
-                cn = (C * C).sum(1)
-                # clamp: norm-expansion dips ~-1e-16 on identical vectors
-                d2 = np.maximum(
-                    cn[:, None] + qn_[None, :] - 2.0 * (C @ Qm.T), 0.0
+
+def _classwise_block(ids_q, lab_q, Q, qn, cids, clab, C, cn):
+    """Per-(anchor, side) argmins of ONE candidate block against ONE
+    anchor block: ≤ 2 rows per anchor. ``cids`` MUST be sorted
+    ascending — np.argmin takes the FIRST minimum, which then equals
+    the SQL (d², id) row_number tie-break. The dense d² buffer is
+    sliced on the anchor axis (the gemm kernel's 64 MB cap) so memory
+    is independent of block row counts. Returns a pandas partial or
+    None. Every strategy (broadcast / blocked / ANN-cell) funnels
+    through this one function, so their per-pair values are
+    bit-identical — each (c, q) dot is a single contiguous GEMM inner
+    product regardless of how the axes were blocked."""
+    from dask_cuml_spark.operators.gemm import _GEMM_SLICE_ELEMS
+
+    outs = []
+    step = max(1, _GEMM_SLICE_ELEMS // max(len(cids), 1))
+    for j0 in range(0, len(ids_q), step):
+        j1 = min(j0 + step, len(ids_q))
+        # clamp: norm-expansion dips ~-1e-16 on identical vectors
+        d2 = np.maximum(
+            cn[:, None] + qn[None, j0:j1] - 2.0 * (C @ Q[j0:j1].T), 0.0
+        )
+        same = clab[:, None] == lab_q[None, j0:j1]
+        not_self = cids[:, None] != ids_q[None, j0:j1]
+        for flag, mask in ((True, same & not_self), (False, ~same)):
+            md = np.where(mask, d2, np.inf)
+            amin = md.argmin(axis=0)  # first min = min-id tie-break
+            dmin = md[amin, np.arange(md.shape[1])]
+            ok = np.isfinite(dmin)
+            if ok.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "_qid": ids_q[j0:j1][ok],
+                            "_same": flag,
+                            "_cid": cids[amin[ok]],
+                            "_d2": dmin[ok],
+                        }
+                    )
                 )
-                same = clab[:, None] == lab_q[None, :]
-                not_self = cids[:, None] != ids_q[None, :]
-                out = []
-                for flag, mask in (
-                    (True, same & not_self),
-                    (False, ~same),
-                ):
-                    md = np.where(mask, d2, np.inf)
-                    amin = md.argmin(axis=0)  # first min = min-id tie
-                    dmin = md[amin, np.arange(md.shape[1])]
-                    ok = np.isfinite(dmin)
-                    if ok.any():
-                        out.append(
-                            pd.DataFrame(
-                                {
-                                    "_qid": ids_q[ok],
-                                    "_same": flag,
-                                    "_cid": cids[amin[ok]],
-                                    "_d2": dmin[ok],
-                                }
-                            )
-                        )
-                if out:
-                    yield pd.concat(out, ignore_index=True)
+    if not outs:
+        return None
+    if len(outs) == 1:
+        return outs[0]
+    return pd.concat(outs, ignore_index=True)
 
-        return kernel
 
-    src = e.select(
-        F.col(id_col).alias("_id"),
-        F.col(label_col).cast("long").alias("_l"),
-        F.col(vec_col).alias("_v"),
-    )
-    parts = []
-    # anchor-axis blocking: one corpus stream per anchor block keeps
-    # the per-task broadcast bounded at max_broadcast_queries vectors;
-    # total GEMM work is unchanged (the d2 matrix is just computed in
-    # column stripes)
-    for lo in range(0, len(rows), max_broadcast_queries):
-        blk = rows[lo : lo + max_broadcast_queries]
-        qids = np.array([r[0] for r in blk], dtype=np.int64)
-        qlab = np.array([r[1] for r in blk], dtype=np.int64)
-        Q = np.array([r[2] for r in blk], dtype=np.float64)
-        qn = (Q * Q).sum(1)
-        bc = spark.sparkContext.broadcast((qids, qlab, Q, qn))
-        parts.append(src.mapInPandas(make_kernel(bc), schema))
-    from functools import reduce
+def _classwise_cokernel(left: pd.DataFrame, right: pd.DataFrame):
+    """Cogroup kernel shared by the blocked and ANN-cell strategies:
+    left = anchor rows (_id, _l, _v), right = candidate rows."""
+    empty = pd.DataFrame(
+        {"_qid": [], "_same": [], "_cid": [], "_d2": []}
+    ).astype({"_qid": np.int64, "_same": bool, "_cid": np.int64,
+              "_d2": np.float64})
+    if len(left) == 0 or len(right) == 0:
+        return empty
+    ids_q = left["_id"].to_numpy(dtype=np.int64)
+    lab_q = left["_l"].to_numpy(dtype=np.int64)
+    Q = np.array(left["_v"].tolist(), dtype=np.float64)
+    qn = (Q * Q).sum(1)
+    order = np.argsort(right["_id"].to_numpy(dtype=np.int64), kind="stable")
+    cids = right["_id"].to_numpy(dtype=np.int64)[order]
+    clab = right["_l"].to_numpy(dtype=np.int64)[order]
+    C = np.array(right["_v"].tolist(), dtype=np.float64)[order]
+    cn = (C * C).sum(1)
+    out = _classwise_block(ids_q, lab_q, Q, qn, cids, clab, C, cn)
+    return empty if out is None else out
 
-    partial = reduce(DataFrame.unionByName, parts)
+
+def _classwise_final(partial: DataFrame, id_col: str) -> DataFrame:
+    """Global (anchor, side) min over per-block partials. min(struct)
+    is lexicographic (d², id) — the SQL row_number(1) — and map-side
+    combinable, so the shuffle carries ≤ 2 rows per anchor per task."""
     return (
         partial.groupBy("_qid", "_same")
         .agg(F.min(F.struct("_d2", "_cid")).alias("m"))
@@ -477,3 +453,202 @@ def classwise_nearest(
             F.col("m._d2").alias("dist_sq"),
         )
     )
+
+
+def classwise_nearest(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    strategy: str = "auto",
+    max_broadcast_bytes: int = 128 << 20,
+    anchor_blocks: int | None = None,
+    cand_blocks: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, same, neighbor_id, dist_sq): for every anchor, the
+    nearest SAME-label vector (self excluded) and the nearest
+    DIFFERENT-label vector — the two reductions triplet mining (q154)
+    needs, in ONE corpus stream instead of a per-label kNN loop (the
+    loop re-scans the corpus 2·|labels| times; measured 11.8 s → one
+    pass at sf0.1).
+
+    strategy='broadcast' (auto below ``max_broadcast_bytes`` of raw
+    anchor vectors, rows × dim × 8 — a BYTE bound, not a row bound:
+    1M anchors at 768-dim float64 are ~6 GB and must NOT ride the
+    driver, advisor r14): ONE Arrow collect + ONE task broadcast of
+    the whole anchor block (no per-block broadcast loop — the r14
+    advisor's leak: loop-created broadcasts pinned executor memory for
+    the application lifetime); each candidate Arrow batch computes
+    dense d² stripes against the anchors and emits per-batch argmins.
+
+    strategy='blocked' (auto above the byte bound — the 100 TB path,
+    replacing the pre-r15 hard raise at 1M rows): the gemm cogroup
+    shape — both axes get a deterministic block id
+    (xxhash64(id) mod n_blocks), each side is replicated across the
+    OTHER side's block axis, and one cogrouped task computes the
+    argmins of each (anchor_block, cand_block) pair. NOTHING moves
+    through the driver; shuffle volume is |E|·cand_blocks +
+    |E|·anchor_blocks rows and the per-task dense buffer is sliced to
+    the gemm 64 MB cap, so driver and executor memory are both
+    independent of n.
+
+    Both strategies funnel through _classwise_block and the same
+    min(struct(d², id)) final agg, so results are bit-identical
+    (strategy-agreement pytest). Note the exact self-mining operator
+    is Θ(n²) FLOPs by definition — classwise_nearest_ann is the
+    Θ(n·shortlist) scale path.
+
+    ``candidates`` (default: e itself — self-mining) restricts the
+    candidate pool, the gemm.py ``other=`` convention: mining anchors
+    against a class-balanced subsample or a curated pool is the
+    FaceNet within-batch pattern, and it is also what bounds the
+    anchor-axis scale test (>1M anchors × a bounded pool flows
+    through the blocked cogroup with nothing on the driver). Same
+    schema; self-exclusion still keys on id equality."""
+    spark = e.sparkSession
+    schema = _classwise_schema()
+    cand_frame = candidates if candidates is not None else e
+    src = cand_frame.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_l"),
+        F.col(vec_col).alias("_v"),
+    )
+    anch = e.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_l"),
+        F.col(vec_col).alias("_v"),
+    )
+    if strategy == "auto":
+        n = anch.count()
+        dim_row = anch.select(F.size("_v").alias("d")).first()
+        est = n * int(dim_row["d"] if dim_row else 0) * 8
+        strategy = "broadcast" if est <= max_broadcast_bytes else "blocked"
+
+    if strategy == "broadcast":
+        # Arrow collect (toPandas), not Row-object collect: Rows cost
+        # ~5-10× the raw bytes in Python objects; the byte bound below
+        # bounds what actually lands on the driver either way.
+        pdf = anch.toPandas()
+        Q = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        if Q.nbytes > max_broadcast_bytes:
+            raise ValueError(
+                f"classwise_nearest broadcast strategy: anchor vectors "
+                f"are {Q.nbytes >> 20} MB > {max_broadcast_bytes >> 20} "
+                "MB — use strategy='blocked' (the cogroup path)"
+            )
+        qids = pdf["_id"].to_numpy(dtype=np.int64)
+        qlab = pdf["_l"].to_numpy(dtype=np.int64)
+        qn = (Q * Q).sum(1)
+        bc = spark.sparkContext.broadcast((qids, qlab, Q, qn))
+
+        def kernel(it):
+            ids_q, lab_q, Qm, qn_ = bc.value
+            for cpdf in it:
+                if len(cpdf) == 0:
+                    continue
+                order = np.argsort(
+                    cpdf["_id"].to_numpy(dtype=np.int64), kind="stable"
+                )
+                cids = cpdf["_id"].to_numpy(dtype=np.int64)[order]
+                clab = cpdf["_l"].to_numpy(dtype=np.int64)[order]
+                C = np.array(cpdf["_v"].tolist(), dtype=np.float64)[order]
+                cn = (C * C).sum(1)
+                out = _classwise_block(
+                    ids_q, lab_q, Qm, qn_, cids, clab, C, cn
+                )
+                if out is not None:
+                    yield out
+
+        return _classwise_final(src.mapInPandas(kernel, schema), id_col)
+
+    if strategy != "blocked":
+        raise ValueError("strategy must be 'auto', 'broadcast' or 'blocked'")
+    if anchor_blocks is None:
+        anchor_blocks = max(
+            spark.sparkContext.defaultParallelism // cand_blocks, 4
+        )
+    # two independent projections (the gemm.py self-join convention) —
+    # replicating one shared subtree trips Spark's ambiguous-self-join
+    # analysis in the cogroup
+    c_src = cand_frame.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_l"),
+        F.col(vec_col).alias("_v"),
+    )
+    ab_axis = spark.range(anchor_blocks).select(F.col("id").alias("_ab"))
+    cb_axis = spark.range(cand_blocks).select(F.col("id").alias("_cb"))
+    a_rep = anch.withColumn(
+        "_ab", F.pmod(F.xxhash64("_id"), F.lit(anchor_blocks))
+    ).crossJoin(F.broadcast(cb_axis))
+    c_rep = c_src.withColumn(
+        "_cb", F.pmod(F.xxhash64("_id"), F.lit(cand_blocks))
+    ).crossJoin(F.broadcast(ab_axis))
+    partial = (
+        a_rep.groupBy("_ab", "_cb")
+        .cogroup(c_rep.groupBy("_ab", "_cb"))
+        .applyInPandas(
+            lambda left, right: _classwise_cokernel(left, right), schema
+        )
+    )
+    return _classwise_final(partial, id_col)
+
+
+def classwise_nearest_ann(
+    e: DataFrame,
+    index,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate classwise_nearest over a fitted IVF index
+    (operators/ivf.IVFIndex): each anchor considers ONLY the members of
+    its ``nprobe`` nearest cells, so candidate pairs are
+    Θ(n · nprobe · cell_size) instead of the exact path's Θ(n²) — the
+    r14 verdict's named scale fix for triplet mining (q156 pins the
+    agreement/coverage invariants vs the exact path).
+
+    Plan shape is q118's IVF self-search: anchors explode to one row
+    per (anchor, probed cell) via index.probes(), cell members cogroup
+    on the 8-byte cell_id — anchors are never broadcast or crossJoined
+    — and each cell task runs the SAME class-masked argmin kernel as
+    the exact strategies (≤ 2 rows per anchor per probed cell into the
+    min(struct) final agg).
+
+    Approximation contract: returned distances can never BEAT the
+    exact path's (every candidate considered is a true corpus member);
+    an anchor whose probed cells hold no same-label (resp. no
+    diff-label) candidate yields NO row for that side — coverage is a
+    measured quantity, never silent corruption. The index must have
+    been fit on a frame carrying ``label_col`` (cells_ keeps all fit
+    columns)."""
+    assert index.cells_ is not None, "fit the IVF index first"
+    if label_col not in index.cells_.columns:
+        raise ValueError(
+            f"classwise_nearest_ann needs '{label_col}' in the fitted "
+            "index's cells_ — fit the index on the labeled frame"
+        )
+    schema = _classwise_schema()
+    q = e.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_l"),
+        F.col(vec_col).alias("_v"),
+    )
+    probes = index.probes(q, nprobe, query_vec="_v").select(
+        "cell_id", "_id", "_l", "_v"
+    )
+    c_side = index.cells_.select(
+        "cell_id",
+        F.col(index.id_col_).alias("_id"),
+        F.col(label_col).cast("long").alias("_l"),
+        F.col(index.vec_col_).alias("_v"),
+    )
+    partial = (
+        probes.groupBy("cell_id")
+        .cogroup(c_side.groupBy("cell_id"))
+        .applyInPandas(
+            lambda left, right: _classwise_cokernel(left, right), schema
+        )
+    )
+    return _classwise_final(partial, id_col)

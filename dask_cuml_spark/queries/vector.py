@@ -2217,13 +2217,17 @@ SERVING_TOPK = {
 #   kernel (above the gate): operators/knn.classwise_nearest — ONE
 #     corpus stream (a per-label kNN loop re-scans the corpus
 #     2·|labels| times; measured 11.8 s loop → 2.6 s one-pass at
-#     sf0.1): anchors task-broadcast (the gemm-kNN convention +
-#     guard), each candidate Arrow batch computes one dense d² GEMM
-#     against all anchors, masks it twice (same-label minus self /
-#     different-label) and emits per-batch argmins — ≤ 2 rows per
-#     (anchor, batch) into the final min(struct) agg. At 100 TB the
-#     anchor axis blocks too (gemm cogroup shape), and IVF/LSH
-#     shortlists slot in as the candidate side unchanged.
+#     sf0.1): anchors task-broadcast below a BYTE bound (rows×dim×8,
+#     advisor r14 — one Arrow collect + ONE broadcast, no per-block
+#     broadcast loop), the gemm blocked-cogroup shape above it (both
+#     axes hashed into blocks, one task per block pair, nothing
+#     through the driver). Each candidate block computes dense d²
+#     stripes against the anchors, masks twice (same-label minus self
+#     / different-label) and emits per-block argmins — ≤ 2 rows per
+#     (anchor, block) into the final min(struct) agg.
+# Both exact strategies are Θ(n²) FLOPs by definition; the BOUNDED
+# production pass is q156 (classwise_nearest_ann — IVF shortlist
+# candidate side, Θ(n·nprobe·cell_size), agreement pinned there).
 # Full-value oracle: DuckDB runs the identical fold + (d2, bid)
 # windows; margin verdicts compare ROUND(·,6) values both sides, so
 # the flag is deterministic wherever the distances hash-match (they
@@ -2338,4 +2342,157 @@ def q154_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d_pos") + F.lit(_Q154_MARGIN) < F.col("d_neg"))
         .cast("int")
         .alias("margin_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — triplet mining with an ANN candidate side (round 15; the r14
+# verdict's one scale-killer closed): q154's exact strategies are
+# Θ(n²) FLOPs by construction — honest, but 124 s at 30× (22.5G
+# pairs). The production mining pass bounds the candidate side with
+# the IVF machinery instead: operators/knn.classwise_nearest_ann runs
+# q118's self-search plan (anchors explode to their nprobe nearest
+# cells, cell members cogroup on the 8-byte cell_id, anchors never
+# broadcast/crossJoined) with the SAME class-masked argmin kernel, so
+# candidate pairs are Θ(n · nprobe · cell_size) and — with production
+# cell sizing (n_cells ∝ n) — the pass is linear in n.
+#
+# Approximation is one-sided and measured, never silent: every
+# candidate considered is a true corpus member, so an ANN distance can
+# never BEAT the exact path's (n_violations pins 0 against an exact
+# 20-anchor sample, the q115/q118 rank-domination pattern); anchors
+# whose probed cells miss a side yield no row (coverage floors pinned
+# — measured 1.000 at every fixture SF); and the semi-hard margin
+# verdict d_pos + α < d_neg — the signal training actually consumes —
+# agrees with the exact path's (floor 0.95; measured 1.000 at every
+# SF: the fixture's class-gap dwarfs the p95 distance ratio of ~1.09).
+# Invariant oracle (the q115/q118 convention): the probe set depends
+# on the k-means fit, which SQL cannot replay cheaply.
+# ---------------------------------------------------------------------------
+_Q156_NPROBE = 2
+
+
+@register(
+    "q156_triplet_mining_ann",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL) AS n_anchors,
+       CAST(0 AS BIGINT) AS n_violations,
+       1 AS pos_coverage_ok,
+       1 AS neg_coverage_ok,
+       1 AS margin_agree_ok
+""",
+)
+def q156_triplet_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_cuml_spark.operators.knn import classwise_nearest_ann
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .filter(
+            F.col("embedding").isNotNull() & F.col("label").isNotNull()
+        )
+    )
+    ann = classwise_nearest_ann(
+        e, _fitted_ivf(spark, sf_dir), nprobe=_Q156_NPROBE
+    ).localCheckpoint(eager=False)
+
+    n_anchors = e.agg(F.count(F.lit(1)).alias("n_anchors"))
+    cov = ann.agg(
+        F.sum(F.col("same").cast("long")).alias("_n_pos"),
+        F.sum((~F.col("same")).cast("long")).alias("_n_neg"),
+    )
+
+    # exact side for the 20-anchor sample via the q154 expr shape with
+    # the SAMPLE broadcast (20×n pairs — scale-safe at any factor)
+    a = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("al"),
+        F.col("embedding").alias("av"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("bid"),
+        F.col("label").alias("bl"),
+        F.col("embedding").alias("bv"),
+    )
+    exact = (
+        _par(b)
+        .crossJoin(F.broadcast(a))
+        .filter(F.col("aid") != F.col("bid"))
+        .select(
+            "aid",
+            (F.col("al") == F.col("bl")).alias("same"),
+            F.struct(
+                l2_sq("av", "bv").alias("d2"), F.col("bid").alias("bid")
+            ).alias("s"),
+        )
+        .groupBy("aid", "same")
+        .agg(F.min("s").alias("m"))
+        .select(
+            F.col("aid").alias("vec_id"),
+            "same",
+            F.col("m.d2").alias("xd2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    samp = ann.filter(F.col("vec_id") < 20).join(
+        exact, ["vec_id", "same"]
+    ).localCheckpoint(eager=False)
+    # rank domination: ANN considers only true corpus members, so its
+    # best can never beat the exact best (1e-6 ulp slack, q115's)
+    viol = samp.agg(
+        F.sum(
+            (F.sqrt("dist_sq") < F.sqrt("xd2") - 1e-6).cast("long")
+        ).alias("n_violations")
+    )
+    # semi-hard margin verdict agreement on the sample (FaceNet's
+    # selection signal): verdict_ann == verdict_exact for >= 95%
+    verd = (
+        samp.groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("same"), F.col("dist_sq"))).alias("ap"),
+            F.min(F.when(~F.col("same"), F.col("dist_sq"))).alias("an"),
+            F.min(F.when(F.col("same"), F.col("xd2"))).alias("xp"),
+            F.min(F.when(~F.col("same"), F.col("xd2"))).alias("xn"),
+        )
+        .filter(
+            F.col("ap").isNotNull()
+            & F.col("an").isNotNull()
+            & F.col("xp").isNotNull()
+            & F.col("xn").isNotNull()
+        )
+        .select(
+            (
+                (
+                    F.round(F.sqrt("ap"), 6) + F.lit(_Q154_MARGIN)
+                    < F.round(F.sqrt("an"), 6)
+                )
+                == (
+                    F.round(F.sqrt("xp"), 6) + F.lit(_Q154_MARGIN)
+                    < F.round(F.sqrt("xn"), 6)
+                )
+            ).cast("long").alias("ag")
+        )
+        .agg(F.avg("ag").alias("_agree"), F.count(F.lit(1)).alias("_nv"))
+    )
+    return (
+        n_anchors.crossJoin(cov)
+        .crossJoin(viol)
+        .crossJoin(verd)
+        .select(
+            "n_anchors",
+            "n_violations",
+            F.when(F.col("_n_pos") / F.col("n_anchors") >= 0.90, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("pos_coverage_ok"),
+            F.when(F.col("_n_neg") / F.col("n_anchors") >= 0.90, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("neg_coverage_ok"),
+            F.when(F.col("_agree") >= 0.95, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("margin_agree_ok"),
+        )
     )

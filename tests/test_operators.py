@@ -3819,13 +3819,151 @@ def test_classwise_nearest_hand_built_and_ties(spark):
     assert got[(3, False)] == (1, 1.0)  # (1,0) is d²=1 from (2,0)
     # anchor 3's nearest same-label is 4 (d²=8), never itself
     assert got[(3, True)] == (4, 8.0)
-    # the anchor-axis blocking (one corpus stream per anchor block) is
-    # result-invariant — tiny blocks force 3 passes here
+    # the blocked-cogroup strategy (hash both axes into blocks, one
+    # task per block pair — nothing through the driver) is
+    # result-invariant; tiny blocks force every pairing here
     blocked = {
         (r.vec_id, r.same): (r.neighbor_id, round(r.dist_sq, 9))
-        for r in classwise_nearest(e, max_broadcast_queries=2).collect()
+        for r in classwise_nearest(
+            e, strategy="blocked", anchor_blocks=3, cand_blocks=2
+        ).collect()
     }
     assert blocked == got
+
+
+def test_classwise_nearest_strategy_agreement_and_byte_bound(spark):
+    """broadcast and blocked funnel through the same kernel + final
+    agg, so fixture results are BIT-identical; the broadcast guard is
+    a BYTE bound (rows × dim × 8 — advisor r14: a row bound let 6 GB
+    of 768-dim vectors onto the driver), enforced with a raise."""
+    import pytest as _pytest
+
+    from dask_cuml_spark.operators.knn import classwise_nearest
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    b = sorted(
+        map(tuple, classwise_nearest(e, strategy="broadcast").collect())
+    )
+    k = sorted(
+        map(tuple, classwise_nearest(e, strategy="blocked").collect())
+    )
+    assert b == k  # bit-identical, not just approximately equal
+    with _pytest.raises(ValueError, match="MB"):
+        # 500 anchors × 64 dims × 8 B = 256 KB > a 64 KB bound
+        classwise_nearest(
+            e, strategy="broadcast", max_broadcast_bytes=64 << 10
+        ).count()
+
+
+def test_classwise_nearest_blocked_past_million_anchors(spark):
+    """The r14 verdict's task 3: the old kernel collected up to 1M
+    anchor Rows onto the driver and RAISED past 1M. The blocked
+    cogroup runs a >1M anchor axis with nothing driver-side — here
+    against a bounded candidate pool (the gemm `other=` convention;
+    the exact self-mining square is q156's ANN territory). Truth is
+    analytic: anchors x=id/1000 on a line, pool x=211·j/1000 with
+    labels cycling j%3, so numpy on the pool alone reproduces every
+    sampled anchor's nearest same/diff candidate."""
+    import numpy as np
+
+    from dask_cuml_spark.operators.knn import classwise_nearest
+
+    n = 1_050_001
+    pool_n = 2_000
+    anchors = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).cast("int").alias("label"),
+        F.array(
+            F.col("id").cast("double") * 0.001, F.lit(0.0)
+        ).alias("embedding"),
+    )
+    pool = spark.range(pool_n).select(
+        (F.col("id") * 211).alias("vec_id"),
+        ((F.col("id") * 211) % 3).cast("int").alias("label"),
+        F.array(
+            (F.col("id") * 211).cast("double") * 0.001, F.lit(0.0)
+        ).alias("embedding"),
+    )
+    out = classwise_nearest(
+        anchors, strategy="blocked", candidates=pool
+    ).localCheckpoint()
+    # every anchor finds both sides (pool labels cycle 0,1,2)
+    assert out.count() == 2 * n
+    # spot-verify sampled anchors against the numpy truth on the pool
+    pids = np.arange(pool_n, dtype=np.int64) * 211
+    px = pids.astype(np.float64) * 0.001
+    plab = pids % 3
+    sample_ids = [0, 1, 2, 500_000, 1_000_000, 1_050_000]
+    got = {
+        (r.vec_id, r.same): (r.neighbor_id, r.dist_sq)
+        for r in out.filter(
+            F.col("vec_id").isin([int(s) for s in sample_ids])
+        ).collect()
+    }
+    for a in sample_ids:
+        ax, alab = a * 0.001, a % 3
+        d2 = (px - ax) ** 2
+        for same in (True, False):
+            mask = (plab == alab) if same else (plab != alab)
+            if same:
+                mask = mask & (pids != a)
+            cand = np.lexsort((pids[mask], d2[mask]))[0]
+            want_id = pids[mask][cand]
+            want_d2 = d2[mask][cand]
+            nid, nd2 = got[(a, same)]
+            assert nid == want_id, (a, same, nid, want_id)
+            assert abs(nd2 - want_d2) <= 1e-9 * max(1.0, want_d2)
+
+
+def test_classwise_nearest_ann_invariants(spark):
+    """classwise_nearest_ann (q156's operator) against the exact
+    broadcast path on the fixture: (a) rank domination — an ANN
+    distance can never beat the exact one (every candidate considered
+    is a true corpus member); (b) both sides covered for every anchor
+    at the fixture operating point; (c) the same blocked/broadcast
+    kernel is reused, so any agreement hit is pure probe recall."""
+    from dask_cuml_spark.operators.ivf import IVFIndex
+    from dask_cuml_spark.operators.knn import (
+        classwise_nearest,
+        classwise_nearest_ann,
+    )
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    idx = IVFIndex(n_cells=8, kmeans_iters=3).fit(e)
+    ann = {
+        (r.vec_id, r.same): (r.neighbor_id, r.dist_sq)
+        for r in classwise_nearest_ann(e, idx, nprobe=2).collect()
+    }
+    exact = {
+        (r.vec_id, r.same): (r.neighbor_id, r.dist_sq)
+        for r in classwise_nearest(e, strategy="broadcast").collect()
+    }
+    n = e.count()
+    assert len(exact) == 2 * n
+    assert len(ann) == 2 * n  # full coverage at nprobe=2 on the fixture
+    for key, (nid, d2) in ann.items():
+        xid, xd2 = exact[key]
+        assert d2 >= xd2 - 1e-9, (key, d2, xd2)  # rank domination
+        if nid == xid:  # same neighbor → same distance (shared kernel)
+            assert abs(d2 - xd2) <= 1e-9 * max(1.0, xd2)
+
+
+def test_classwise_nearest_ann_requires_label_in_index(spark):
+    import pytest as _pytest
+
+    from dask_cuml_spark.operators.ivf import IVFIndex
+    from dask_cuml_spark.operators.knn import classwise_nearest_ann
+
+    e = load_table(spark, SF, "embeddings")
+    idx = IVFIndex(n_cells=4, kmeans_iters=2).fit(
+        e.select("vec_id", "embedding")
+    )
+    with _pytest.raises(ValueError, match="label"):
+        classwise_nearest_ann(e, idx)
 
 
 def test_q154_strategy_agreement(spark):
