@@ -3589,3 +3589,133 @@ def q150_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — BM25 retrieval scoring (round 15; the tf-idf successor every
+# retrieval/RAG pipeline ranks with — Robertson et al., Okapi BM25,
+# TREC-3 1994; the idf form is Lucene's non-negative
+# ln(1 + (N − df + ½)/(df + ½)) so scores never go negative for
+# ubiquitous terms). score(d, Q) = Σ_t idf(t) · tf·(k1+1) /
+# (tf + k1·(1 − b + b·dl/avgdl)) with the standard k1=1.2, b=0.75.
+#
+# Spark shape (the q31 lessons applied): ONE document scan feeds both
+# the per-doc length dl = size(split(text)) — computed BEFORE the
+# explode and carried through it, so no second scan and no dl join —
+# and the (doc, term) tf agg, which is FILTERED to the query terms
+# right at the explode (candidate rows are Θ(matching postings), never
+# corpus×vocab). df per query term comes from a count() window over
+# the already-restricted tf rows (q31's one-lazy-DAG trick: a term
+# exchange over ≤|Q| distinct terms); N and avgdl ride along as ONE
+# broadcast 1-row aggregate (a second narrow text-column pass — in a
+# deployment those two scalars are index-time constants, not per-query
+# work). Global top-20 by (rounded score, doc_id) is a
+# TakeOrderedAndProject — no SinglePartition sort of the scored frame
+# (plan-pinned; the rk window runs over the already-cut 20 rows).
+# At 100 TB: tf/df/top-k are the canonical posting-list aggregations;
+# everything shuffles on 8-byte-able keys and combines map-side.
+# Full-value oracle: DuckDB runs the identical arithmetic; ORDER BY
+# the ROUNDED score so the rank tie-break is engine-stable.
+# ---------------------------------------------------------------------------
+_Q155_TERMS = ("vector", "fast", "dup")
+_Q155_K1 = 1.2
+_Q155_B = 0.75
+_Q155_TOPK = 20
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = _Q155_K1,
+    b: float = _Q155_B,
+    top_k: int = _Q155_TOPK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score, rk): the ``top_k`` documents by Okapi BM25 for a
+    bag of query terms. Only documents containing ≥1 query term are
+    candidates (retrieval semantics — the posting-list intersection,
+    not a corpus scan per query)."""
+    toks = tokens(text_col)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("double").alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.size(tokens(text_col))).alias("_avgdl"),
+    )
+    scored = (
+        tf.withColumn("df", dfw.cast("double"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_k)
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "score", "rk")
+    )
+
+
+@register(
+    "q155_bm25_retrieval",
+    oracle=f"""
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         t.term AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE t.term IN ('vector', 'fast', 'dup')
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, dl, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           LN(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({_Q155_K1} + 1))
+           / (tf.tf + {_Q155_K1}
+              * (1 - {_Q155_B} + {_Q155_B} * tf.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+         AS rk
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {_Q155_TOPK}
+""",
+)
+def q155_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_rank(load_table(spark, sf_dir, "documents"), _Q155_TERMS)

@@ -364,3 +364,19 @@ def test_q146_no_stratum_sized_window(spark):
     m = re.findall(r"Window \[row_number\(\).*?windowspecdefinition\(([^,]+), ([^,]+),", plan)
     assert any("_bkt" in b or "_bkt" in a for a, b in m), m
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_q155_bm25_topk_and_broadcast_stats(spark):
+    """BM25's global top-20 must compile to TakeOrderedAndProject (no
+    rangepartitioning sort of the scored frame); the corpus stats
+    (N, avgdl) ride ONE broadcast 1-row aggregate — the only
+    SinglePartition allowed is that scalar agg's final step; and the
+    rk window runs over the already-cut 20-row frame, never the
+    corpus. df comes from a window over the query-restricted postings,
+    so no SortMergeJoin appears anywhere."""
+    plan = _plan(spark, "q155_bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
