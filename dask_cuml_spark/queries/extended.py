@@ -632,16 +632,21 @@ def q111_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bijective π, so the "shuffle" is reproducible from ids alone, needs
 # no stored RNG state, and any engine recomputes the identical order.
 #
-# π here is the minstd affine permutation k = (doc_id · 48271) mod
-# (2^31 − 1) (Park–Miller; bijective on [0, 2^31−1), intermediate
-# product < 2^46 so the arithmetic is int64-exact and SQL-expressible —
-# measured shard imbalance over 500k ids: ±0.01 %). The id bound is
-# ENFORCED in-plan (raise_error, the q151 guard pattern); corpora past
-# 2^31 docs upgrade π to a multi-round Feistel over 64 bits — same
-# plan, different key expression. Known limit, documented: an LCG is a
-# weak shuffle (sequential ids land A apart mod P) — it breaks
-# locality and balances shards, which is what the sharding step needs;
-# crypto-grade mixing is the Feistel upgrade, not a different operator.
+# The operator is operators/shard.shuffle_shard (factored out in r15)
+# with TWO key modes on one plan shape: mode='feistel' — the
+# PRODUCTION default since r15 (4-round 64-bit Feistel over lowbias32,
+# bijective on every int64 bit pattern, no id bound, pos safe as a
+# within-shard training order; bijectivity pytest-pinned on a 2^20
+# swatch) — and mode='minstd', the Park–Miller affine permutation
+# k = (doc_id · 48271) mod (2^31 − 1) this query pins (bijective on
+# [0, 2^31−1), product < 2^46 so int64-exact and one-multiply
+# SQL-expressible — measured shard imbalance over 500k ids: ±0.01 %;
+# bound ENFORCED in-plan via raise_error). minstd stays the
+# oracle-shared mode because DuckDB replays its single multiply
+# verbatim; its known weakness (sequential ids land exactly 48271
+# apart mod P — fine for shard balance + locality breaking, weak as a
+# within-shard order) is documented in shard.py with the feistel
+# default as the shipped answer.
 #
 # Spark shape: one narrow projection (key, shard = k mod S) → ONE hash
 # exchange on shard → per-shard row_number ordered by (k, doc_id) —
@@ -672,26 +677,10 @@ FROM keyed
 """,
 )
 def q153_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    # in-plan bound enforcement (the q151 pattern): ids at or past the
-    # modulus would collide keys and silently break the permutation
-    k = F.when(
-        (F.col("doc_id") >= 0) & (F.col("doc_id") < F.lit(_Q153_P)),
-        (F.col("doc_id") * F.lit(_Q153_A)) % F.lit(_Q153_P),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"q153 minstd permutation needs 0 <= doc_id < {_Q153_P}"
-                " — upgrade the key to a 64-bit Feistel past that"
-            )
-        )
-    )
-    keyed = d.select("doc_id", k.alias("k")).withColumn(
-        "shard", F.pmod("k", F.lit(_Q153_SHARDS)).cast("long")
-    )
-    w = Window.partitionBy("shard").orderBy("k", "doc_id")
-    return keyed.select(
-        "doc_id",
-        "shard",
-        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    from dask_cuml_spark.operators.shard import shuffle_shard
+
+    return shuffle_shard(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        n_shards=_Q153_SHARDS,
+        mode="minstd",
     )

@@ -3792,6 +3792,101 @@ def test_q153_shuffle_shard_permutation_properties(spark):
     assert same < n * 0.2, same
 
 
+def test_feistel_key_bijective_on_swatch(spark):
+    """mode='feistel' (the production default since r15): the 4-round
+    Feistel key must be a bijection — 2^20 consecutive ids map to 2^20
+    DISTINCT keys (a single collision breaks the permutation), a
+    negative-id swatch works too (no bound at all, unlike minstd —
+    Feistel networks are bijective on every int64 bit pattern), and
+    the Spark staged expression matches the numpy mirror bit-for-bit
+    (it computes the DOCUMENTED network, not merely a bijection)."""
+    from dask_cuml_spark.operators.shard import (
+        feistel_key_py,
+        with_feistel_key,
+    )
+
+    n = 1 << 20
+    got = (
+        with_feistel_key(spark.range(n), "id", "k")
+        .agg(F.count_distinct("k").alias("d"))
+        .first()["d"]
+    )
+    assert got == n
+    neg_df = spark.range(1 << 12).select(
+        (F.col("id") - F.lit(1 << 40)).alias("id")
+    )
+    neg = (
+        with_feistel_key(neg_df, "id", "k")
+        .agg(F.count_distinct("k").alias("d"))
+        .first()["d"]
+    )
+    assert neg == 1 << 12
+    # bit-parity vs the numpy mirror on a mixed-sign swatch
+    ids = [0, 1, 2, 47, 2**31 - 1, 2**31, 2**40 + 123, -1, -(2**40)]
+    rows = (
+        with_feistel_key(
+            spark.createDataFrame([(i,) for i in ids], "id long"),
+            "id",
+            "k",
+        )
+        .orderBy("id")
+        .collect()
+    )
+    got_map = {r.id: r.k for r in rows}
+    want = feistel_key_py(ids)
+    for i, w in zip(ids, want):
+        assert got_map[i] == int(w), (i, got_map[i], int(w))
+
+
+def test_shuffle_shard_mode_agreement(spark):
+    """Both key modes satisfy the identical output contract on the
+    fixture (same doc_id set, shards in range, dense per-shard
+    positions, comparable balance) while producing DIFFERENT orders —
+    the keys are different permutations by design. Feistel must also
+    break the minstd stride artifact: consecutive ids land 48271 apart
+    mod P under minstd, but under feistel their shard sequence shows
+    no excess same-shard adjacency."""
+    from dask_cuml_spark.operators.shard import shuffle_shard
+
+    d = load_table(spark, SF, "documents").select("doc_id")
+    n = d.count()
+    outs = {}
+    for mode in ("minstd", "feistel"):
+        rows = shuffle_shard(d, mode=mode).collect()
+        assert len(rows) == n
+        assert {r.doc_id for r in rows} == set(
+            r.doc_id for r in d.collect()
+        )
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert set(by_shard) <= set(range(16))
+        for s, ps in by_shard.items():
+            assert sorted(ps) == list(range(len(ps))), (mode, s)
+        sizes = sorted(len(v) for v in by_shard.values())
+        # minstd's stride regularity gives near-perfect balance; a
+        # WELL-MIXED key is binomial — σ = sqrt(n·p·(1−p)) per shard,
+        # max−min across 16 bins comfortably under 6σ
+        if mode == "minstd":
+            assert sizes[-1] - sizes[0] <= max(4, n // 16 // 2), mode
+        else:
+            sigma = (n * (1 / 16) * (15 / 16)) ** 0.5
+            assert sizes[-1] - sizes[0] <= 6 * sigma, (mode, sizes)
+        outs[mode] = {(r.doc_id): (r.shard, r.pos) for r in rows}
+    # different permutations (the whole point of two modes)
+    diff = sum(
+        1 for k in outs["minstd"] if outs["minstd"][k] != outs["feistel"][k]
+    )
+    assert diff > n * 0.8
+    # feistel breaks consecutive-id adjacency just as well
+    shard_of = outs["feistel"]
+    same = sum(
+        1 for k in shard_of
+        if k + 1 in shard_of and shard_of[k][0] == shard_of[k + 1][0]
+    )
+    assert same < n * 0.2, same
+
+
 def test_classwise_nearest_hand_built_and_ties(spark):
     """The one-pass class-masked argmin kernel: hand-built vectors with
     known nearest same/different-label answers, the self-exclusion, and
