@@ -128,12 +128,37 @@ def synth_staging_files(
     return paths
 
 
+def _stream_nonce(checkpoint_dir: str) -> str:
+    """Per-stream identity for appended part names (advisor r15): batch
+    ids restart at 0 for every NEW stream (fresh checkpoint dir), so
+    naming parts by batch id alone silently OVERWROTE a previous
+    stream's ingested parts — permanent corpus loss that only surfaced
+    as a layout rebuild over the truncated corpus. The nonce lives
+    INSIDE the checkpoint dir: a replay of the same stream reuses it
+    (same batch → same file name → idempotent overwrite, the
+    exactly-once story), while a fresh checkpoint mints a fresh nonce
+    so two streams can never collide on a part name."""
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, ".ingest-nonce")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return f.read().strip()
+    nonce = uuid.uuid4().hex[:12]
+    with open(marker, "w") as f:
+        f.write(nonce)
+    return nonce
+
+
 def _append_part(
-    pdf: pd.DataFrame, table_dir: str, batch_id: int, arrow_schema
+    pdf: pd.DataFrame, table_dir: str, nonce: str, batch_id: int,
+    arrow_schema,
 ) -> None:
     """Land one micro-batch as ONE new part file in a corpus table dir,
     schema-cast to the table's exact arrow schema (appended parts must
-    unify with existing footers)."""
+    unify with existing footers). The name carries the stream nonce —
+    see _stream_nonce."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -141,7 +166,10 @@ def _append_part(
         arrow_schema.names
     ).cast(arrow_schema)
     pq.write_table(
-        t, os.path.join(table_dir, f"part-ingest-{batch_id:05d}.parquet")
+        t,
+        os.path.join(
+            table_dir, f"part-ingest-{nonce}-{batch_id:05d}.parquet"
+        ),
     )
 
 
@@ -184,6 +212,7 @@ def run_ingest_stream(
 
     doc_schema = pq.read_schema(_first_part(docs_dir))
     emb_schema = pq.read_schema(_first_part(embs_dir))
+    nonce = _stream_nonce(checkpoint_dir)
     stats: list[dict] = []
 
     def sink(batch_df, batch_id: int) -> None:
@@ -194,13 +223,14 @@ def run_ingest_stream(
         _append_part(
             pdf[["doc_id", "text", "lang", "source", "n_chars"]],
             docs_dir,
+            nonce,
             batch_id,
             doc_schema,
         )
         epdf = pdf[["doc_id", "embedding", "label"]].rename(
             columns={"doc_id": "vec_id"}
         )
-        _append_part(epdf, embs_dir, batch_id, emb_schema)
+        _append_part(epdf, embs_dir, nonce, batch_id, emb_schema)
         append_sec = time.perf_counter() - t0
         # the incremental refresh: manifest diff finds exactly the two
         # new parts; per-layout work is Θ(|batch|)

@@ -3758,6 +3758,66 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
         )
 
 
+def test_ingest_stream_second_run_never_clobbers_first(spark, tmp_path):
+    """Advisor r15: part names carried only the micro-batch id, and
+    batch ids restart at 0 for any NEW stream (fresh checkpoint dir) —
+    a second run_ingest_stream against the same corpus silently
+    OVERWROTE the first stream's parts (permanent corpus loss; the
+    manifest mismatch only triggered a rebuild over the truncated
+    corpus). Now each stream's parts carry a nonce minted inside its
+    checkpoint dir: two streams → disjoint names, a REPLAY of the same
+    stream → the same names (idempotent overwrite, the exactly-once
+    contract)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from dask_cuml_spark.io import load_table as lt
+    from dask_cuml_spark.streaming.ingest import (
+        _stream_nonce,
+        run_ingest_stream,
+        synth_staging_files,
+    )
+
+    sf = str(tmp_path / "sf")
+    ddir, edir = f"{sf}/documents.parquet", f"{sf}/embeddings.parquet"
+    os.makedirs(ddir), os.makedirs(edir)
+    td = pq_mod.read_table("/root/testdata/sf0.001/documents.parquet")
+    te = pq_mod.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    pq_mod.write_table(td, os.path.join(ddir, "part-0.parquet"))
+    pq_mod.write_table(te, os.path.join(edir, "part-0.parquet"))
+    start = 1 + max(
+        td.column("doc_id").to_pylist() + te.column("vec_id").to_pylist()
+    )
+
+    for run in (0, 1):
+        staging = str(tmp_path / f"staging{run}")
+        synth_staging_files(
+            staging, n_batches=2, rows_per_batch=30,
+            start_doc_id=start + 60 * run,
+        )
+        stats = run_ingest_stream(
+            spark, sf, staging, str(tmp_path / f"ckpt{run}"), layouts=()
+        )
+        assert [s["rows"] for s in stats] == [30, 30]
+
+    # both streams' rows survive — the pre-fix code left base + 60
+    assert lt(spark, sf, "documents").count() == td.num_rows + 120
+    assert lt(spark, sf, "embeddings").count() == te.num_rows + 120
+    parts = sorted(
+        f for f in os.listdir(ddir) if f.startswith("part-ingest-")
+    )
+    assert len(parts) == 4  # 2 streams × 2 batches, no name collision
+    assert len(set(parts)) == 4
+    # replay identity: the nonce is stable per checkpoint dir
+    assert _stream_nonce(str(tmp_path / "ckpt0")) == _stream_nonce(
+        str(tmp_path / "ckpt0")
+    )
+    assert _stream_nonce(str(tmp_path / "ckpt0")) != _stream_nonce(
+        str(tmp_path / "ckpt1")
+    )
+
+
 def test_q153_shuffle_shard_permutation_properties(spark):
     """The stateless shuffle's contract: every doc lands in exactly one
     (shard, pos) slot, positions are dense 0..n_s-1 within each shard,
