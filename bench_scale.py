@@ -121,6 +121,8 @@ TABLES_FOR = {
     "q152_phash_image_near_dup": {"documents"},
     "q153_shuffle_shard": {"documents"},
     "q154_triplet_mining": {"embeddings"},
+    "q155_bm25_retrieval": {"documents"},
+    "q156_triplet_mining_ann": {"embeddings"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -437,6 +439,15 @@ ORACLE_NOT_COMPARABLE = {
         "posture) and candidate_edges records the measured probed-"
         "candidate total, which should grow ~linearly"
     ),
+    "q156_triplet_mining_ann": (
+        "oracle is an invariant row (exact COUNT + pinned flags); the "
+        "Spark side fits/probes the IVF index, runs the class-masked "
+        "argmin over every probed cell AND the 20-anchor exact sample "
+        "for the rank-domination/margin-agreement checks — row records "
+        "the Spark-side mining curve (q118's n_cells ∝ n patch "
+        "applies, candidate_pairs records the probed-pair volume; "
+        "compare against q154's all-pairs curve)"
+    ),
 }
 
 # Rows whose ratio is real but measures a deliberately conservative
@@ -660,11 +671,12 @@ def main() -> None:
             saved_q120_eps = pu120._Q120_EPS
             pu120._Q120_EPS = q120_eps
         q118_cells = None
-        if "q118_knn_graph" in spark_names and fac > 1:
+        _ivf_consumers = {"q118_knn_graph", "q156_triplet_mining_ann"}
+        if _ivf_consumers & set(spark_names) and fac > 1:
             assert not (
                 {"q47_ivf_search_full_probe", "q115_ivf_partial_probe"}
                 & set(spark_names)
-            ), "run scaled q118 via --only (n_cells patch is shared)"
+            ), "run scaled q118/q156 via --only (n_cells patch is shared)"
             import dask_cuml_spark.queries.vector as vec
 
             # default posture: n_cells ∝ n (cell size held constant);
@@ -681,7 +693,7 @@ def main() -> None:
             # true pair-scan volume) — should grow ~linearly when cell
             # size is held constant. Uses the memoized index the timed
             # runs just built, so this costs two tiny jobs.
-            if "q118_knn_graph" in spark_names:
+            if _ivf_consumers & set(spark_names):
                 import dask_cuml_spark.queries.vector as vec
                 from dask_cuml_spark.io import load_table
                 from pyspark.sql import functions as F
@@ -696,6 +708,9 @@ def main() -> None:
                     F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("qv"),
                 )
+                # q118 and q156 both probe nprobe=2, so one accounting
+                # serves both rows (probed-cell sizes summed over ALL
+                # queries/anchors = the true pair-scan volume)
                 q118_cand = int(
                     idx.probes(allq, 2, "qv")
                     .join(csz, "cell_id")
@@ -742,6 +757,11 @@ def main() -> None:
                     q118_cells_resolved if q118_cells is not None else 8
                 )
                 row["candidate_edges"] = q118_cand
+            if n == "q156_triplet_mining_ann" and n in spark_names:
+                row["n_cells"] = (
+                    q118_cells_resolved if q118_cells is not None else 8
+                )
+                row["candidate_pairs"] = q118_cand
             if n == "q120_dbscan_blocked" and q120_eps is not None:
                 row["eps"] = q120_eps
                 row["note"] = (
