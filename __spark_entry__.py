@@ -47,9 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. slot 50 = q01 (the lowest-numbered r13-evidence row).
 # After this round no query's driver evidence is older than round 13.
 # Entries past position 50 are r13/r14-green; queries REGISTERED this
-# round (q155 BM25, q156 shortlist triplet mining) sit at 51+ because
-# every slot 1-50 is rotation-mandated — they MUST lead the r16
-# window (the q147-q149 / q153-q154 precedent).
+# round (q155 BM25, q156 shortlist triplet mining, q157 weighted
+# sampling, q158 CMS heavy hitters) sit at 51-54 because every slot
+# 1-50 is rotation-mandated — they MUST lead the r16 window (the
+# q147-q149 / q153-q154 precedent).
 _PRIORITY = [
     # -- (1) first-ever driver rows + changed-code-first
     "q153_shuffle_shard",
@@ -109,6 +110,8 @@ _PRIORITY = [
     #    they MUST lead the r16 window.
     "q155_bm25_retrieval",
     "q156_triplet_mining_ann",
+    "q157_weighted_sample",
+    "q158_cms_heavy_hitters",
     # -- r13-evidence block, lowest number first (q01/q145 moved up)
     "q05_string_ops",
     "q12_quantiles_histogram",

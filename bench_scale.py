@@ -123,6 +123,8 @@ TABLES_FOR = {
     "q154_triplet_mining": {"embeddings"},
     "q155_bm25_retrieval": {"documents"},
     "q156_triplet_mining_ann": {"embeddings"},
+    "q157_weighted_sample": {"documents"},
+    "q158_cms_heavy_hitters": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -519,6 +519,7 @@ def classwise_nearest(
         F.col(label_col).cast("long").alias("_l"),
         F.col(vec_col).alias("_v"),
     )
+    est = None
     if strategy == "auto":
         n = anch.count()
         dim_row = anch.select(F.size("_v").alias("d")).first()
@@ -526,16 +527,28 @@ def classwise_nearest(
         strategy = "broadcast" if est <= max_broadcast_bytes else "blocked"
 
     if strategy == "broadcast":
-        # Arrow collect (toPandas), not Row-object collect: Rows cost
-        # ~5-10× the raw bytes in Python objects; the byte bound below
-        # bounds what actually lands on the driver either way.
+        # bound BEFORE collecting (advisor r14: the old guard bounded
+        # rows, not bytes, and only after the driver already held
+        # them) — two tiny jobs, then one Arrow collect (toPandas, not
+        # Row objects: Rows cost ~5-10× the raw bytes in Python).
+        if est is None:
+            n = anch.count()
+            dim_row = anch.select(F.size("_v").alias("d")).first()
+            est = n * int(dim_row["d"] if dim_row else 0) * 8
+        if est > max_broadcast_bytes:
+            raise ValueError(
+                f"classwise_nearest broadcast strategy: ~{est >> 20} MB "
+                f"of anchor vectors (> {max_broadcast_bytes >> 20} MB) "
+                "— use strategy='blocked' (the cogroup path)"
+            )
         pdf = anch.toPandas()
         Q = np.array(pdf["_v"].tolist(), dtype=np.float64)
-        if Q.nbytes > max_broadcast_bytes:
+        if Q.nbytes > max_broadcast_bytes * 2:
+            # belt-and-braces for ragged dims the estimate undercounted
             raise ValueError(
                 f"classwise_nearest broadcast strategy: anchor vectors "
-                f"are {Q.nbytes >> 20} MB > {max_broadcast_bytes >> 20} "
-                "MB — use strategy='blocked' (the cogroup path)"
+                f"are {Q.nbytes >> 20} MB > 2×{max_broadcast_bytes >> 20}"
+                " MB — use strategy='blocked' (the cogroup path)"
             )
         qids = pdf["_id"].to_numpy(dtype=np.int64)
         qlab = pdf["_l"].to_numpy(dtype=np.int64)

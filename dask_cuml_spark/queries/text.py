@@ -3719,3 +3719,208 @@ LIMIT {_Q155_TOPK}
 )
 def q155_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(load_table(spark, sf_dir, "documents"), _Q155_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# q157 — weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+# 2006, "Weighted random sampling with a reservoir" — the A-ES key
+# trick: k smallest of key_i = −ln(u_i)/w_i is an exact weighted
+# sample-without-replacement; training-mix jobs use it to draw a
+# length-weighted document subset in ONE pass, no sequential
+# reservoir). Determinism comes from the q109 convention: u_i is a
+# portable multiplicative hash of doc_id, not an RNG — any engine
+# recomputes the identical sample, and resampling with a different
+# SALT is a new independent draw (the reshufflable-epoch property
+# q153 gives orders).
+#
+# Arithmetic bounds: (doc_id % 2^20) · M < 2^52 (int64-exact in both
+# engines, the q109 pre-mod lesson); u = (h+1)/(2^20+1) ∈ (0,1), so
+# ln(u) is finite and negative; w = n_chars ≥ 1 on the fixture. The
+# emitted key is ROUND(·,9) and the top-k ORDER BY uses the ROUNDED
+# key (the q155 lesson: rank tie-breaks must be engine-stable —
+# Java's and DuckDB's ln may differ in the last ulp).
+#
+# Spark shape: one narrow projection over the scan →
+# TakeOrderedAndProject(k) — no shuffle at all beyond the top-k
+# collect; at 100 TB this is the canonical "sample k of N" map-side
+# pattern (each partition keeps its local top-k, the driver merges
+# k-sized partials).
+# ---------------------------------------------------------------------------
+_Q157_K = 100
+_Q157_MULT = 2654435761  # Knuth multiplicative constant (q109's)
+_Q157_MOD = 1 << 20
+
+
+@register(
+    "q157_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         -LN((((doc_id % {_Q157_MOD}) * {_Q157_MULT})
+              % {_Q157_MOD} + 1.0) / {_Q157_MOD + 1})
+         / n_chars AS key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars, ROUND(key, 9) AS es_key
+FROM keyed
+ORDER BY ROUND(key, 9), doc_id
+LIMIT {_Q157_K}
+""",
+)
+def q157_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(_Q157_MOD)) * F.lit(_Q157_MULT),
+            F.lit(_Q157_MOD),
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(_Q157_MOD + 1))
+    key = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(_Q157_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005
+# §4): d=4 hash rows × w=61 counters estimate every term's frequency
+# with one-sided error (est ≥ true, over-count ≤ collisions' mass) in
+# O(d·w) state REGARDLESS of corpus size — the bounded-memory
+# frequency primitive under vocabulary pruning / stopword discovery /
+# hot-key detection at 100 TB, where an exact per-term count table is
+# itself corpus-sized. w is deliberately SMALL here (61, prime) so
+# the 31-term fixture vocabulary actually collides and the est>true
+# over-count path is exercised, not just asserted.
+#
+# Portability: term → integer code by the q38 char-code convention
+# (length·131 + 7·ascii(first) + 31·ascii(second) + ascii(last) — ascii('')
+# is 0 in BOTH engines, so 1-char tokens are safe), spread over [0, P)
+# with ONE multiply-mod-P (P = 2^31−1), then per-row Carter–Wegman
+# universal hash bucket_r = ((a_r·x + b_r) mod P) mod w. The spread
+# step is load-bearing: raw codes are ≲2^12, so without it a_r·code+b_r
+# never wraps P and ANY affine per-row hash preserves the difference
+# structure — all d rows then share one collision pattern mod w and
+# min() degenerates (the first cut of this query measured exactly
+# that: identical est for every term). With the spread, a_r·x ≈ 2^47
+# wraps P many times and each row collides independently (every
+# intermediate < 2^47, int64-exact in both engines). The candidate
+# set for the report is the distinct vocabulary (tiny here; a 100 TB
+# deployment feeds sampled candidates — the sketch answers point
+# queries, it does not enumerate).
+#
+# Spark shape: explode → narrow code/bucket projection replicated
+# d=4× (a broadcast 4-row (r,a,b) cross join, NOT four scans) → ONE
+# groupBy on the 8-byte (r, bucket) key (map-side combinable: ≤ 244
+# rows reach the shuffle) → broadcast the d×w counter table onto the
+# candidate terms → min over d estimates. Full-value oracle:
+# identical integer arithmetic both engines.
+# ---------------------------------------------------------------------------
+_Q158_W = 61
+_Q158_D = 4
+_Q158_P = 2147483647
+_Q158_SPREAD = 2654435761
+_Q158_AB = ((48271, 0), (16807, 12345), (69621, 54321), (40692, 99991))
+_Q158_TOPK = 10
+
+
+@register(
+    "q158_cms_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT t.term AS term,
+         ((LENGTH(t.term) * 131 + 7 * ascii(t.term)
+           + 31 * ascii(substr(t.term, 2, 1))
+           + ascii(substr(t.term, -1, 1))) * {_Q158_SPREAD})
+           % {_Q158_P} AS x
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+), rows_ AS (
+  SELECT r, a, b FROM (VALUES
+    {', '.join(f'({r}, {a}, {b})' for r, (a, b) in enumerate(_Q158_AB))}
+  ) v(r, a, b)
+), counters AS (
+  SELECT r, ((a * x + b) % {_Q158_P}) % {_Q158_W} AS bucket,
+         COUNT(*) AS c
+  FROM tok CROSS JOIN rows_
+  GROUP BY 1, 2
+), cand AS (
+  SELECT term, ANY_VALUE(x) AS x, COUNT(*) AS true_n
+  FROM tok GROUP BY term
+), est AS (
+  SELECT cand.term, cand.true_n, MIN(counters.c) AS est_n
+  FROM cand JOIN rows_ ON TRUE
+  JOIN counters
+    ON counters.r = rows_.r
+   AND counters.bucket =
+       ((rows_.a * cand.x + rows_.b) % {_Q158_P}) % {_Q158_W}
+  GROUP BY cand.term, cand.true_n
+)
+SELECT term, CAST(est_n AS BIGINT) AS est_n,
+       CAST(true_n AS BIGINT) AS true_n,
+       CAST(est_n - true_n AS BIGINT) AS overcount
+FROM est
+ORDER BY est_n DESC, term
+LIMIT {_Q158_TOPK}
+""",
+)
+def q158_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    code = (
+        F.length("term") * 131
+        + 7 * F.ascii("term")
+        + 31 * F.ascii(F.substring("term", 2, 1))
+        + F.ascii(F.substring("term", -1, 1))
+    )
+    x = F.pmod(code * F.lit(_Q158_SPREAD), F.lit(_Q158_P))
+    tok = d.select(F.explode(tokens()).alias("term")).select(
+        "term", x.alias("x")
+    )
+    spark_rows = d.sparkSession.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(_Q158_AB)],
+        "r int, a long, b long",
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("a") * F.col("x") + F.col("b"), F.lit(_Q158_P)),
+        F.lit(_Q158_W),
+    )
+    counters = (
+        tok.crossJoin(F.broadcast(spark_rows))
+        .select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = tok.groupBy("term").agg(
+        F.any_value("x").alias("x"),
+        F.count(F.lit(1)).alias("true_n"),
+    )
+    ctr = counters.select(
+        F.col("r").alias("cr"),
+        F.col("bucket").alias("cbucket"),
+        "c",
+    )
+    est = (
+        cand.crossJoin(F.broadcast(spark_rows))
+        .withColumn("cand_bucket", bucket)
+        .join(
+            F.broadcast(ctr),
+            (F.col("cr") == F.col("r"))
+            & (F.col("cbucket") == F.col("cand_bucket")),
+        )
+        .groupBy("term", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        est.select(
+            "term",
+            F.col("est_n").cast("long").alias("est_n"),
+            F.col("true_n").cast("long").alias("true_n"),
+            (F.col("est_n") - F.col("true_n")).cast("long").alias(
+                "overcount"
+            ),
+        )
+        .orderBy(F.col("est_n").desc(), "term")
+        .limit(_Q158_TOPK)
+    )
