@@ -380,3 +380,27 @@ def test_q155_bm25_topk_and_broadcast_stats(spark):
     assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q157_weighted_sample_topk_plan(spark):
+    """The A-ES sample is one narrow projection feeding a global
+    top-k: TakeOrderedAndProject, never a rangepartitioning sort of
+    the corpus, no window, no SinglePartition anywhere (the per-
+    partition local top-k + driver merge IS the 100 TB sample shape)."""
+    plan = _plan(spark, "q157_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+
+
+def test_q158_cms_broadcast_counters_plan(spark):
+    """The CMS counter table (d×w ≤ 244 rows) and the (r,a,b) row
+    frame must ride broadcast joins onto the candidate terms — a
+    SortMergeJoin would shuffle the vocabulary on every sketch point
+    query; the only corpus-sized exchange is the (r, bucket) count
+    groupBy (8-byte keys, map-side combinable)."""
+    plan = _plan(spark, "q158_cms_heavy_hitters")
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
