@@ -561,6 +561,11 @@ SKIP_SPARK_ABOVE = {
     # same clone artifact as its DuckDB cap: candidate buckets densify
     # Θ(factor²) on replicated text for ANY engine
     "q135_near_dup_canonicalize": 30,
+    # exact all-pairs mining is Θ(n²) by definition — 124 s at 30×
+    # (22.5G pairs) is the measured wall and the whole motivation for
+    # q156's ANN candidate side (3.17 s at 30×, linear); past 30× run
+    # q156, the bounded production path
+    "q154_triplet_mining": 30,
 }
 
 
