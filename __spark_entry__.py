@@ -112,6 +112,7 @@ _PRIORITY = [
     "q156_triplet_mining_ann",
     "q157_weighted_sample",
     "q158_cms_heavy_hitters",
+    "q159_bpe_apply",
     # -- r13-evidence block, lowest number first (q01/q145 moved up)
     "q05_string_ops",
     "q12_quantiles_histogram",

@@ -125,6 +125,7 @@ TABLES_FOR = {
     "q156_triplet_mining_ann": {"embeddings"},
     "q157_weighted_sample": {"documents"},
     "q158_cms_heavy_hitters": {"documents"},
+    "q159_bpe_apply": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

@@ -3924,3 +3924,93 @@ def q158_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_n").desc(), "term")
         .limit(_Q158_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — TRUE merge-table BPE apply (Sennrich et al. 2016, "Neural
+# Machine Translation of Rare Words with Subword Units" — the r14
+# verdict's named frontier item beyond q113's regex chunking, which
+# cannot express hierarchical merges like ('m','er')→'mer' or
+# ('jo','in')→'join'). The merge table is the shipped artifact of a
+# BPE tokenizer (merges.txt); this one was TRAINED by the canonical
+# corpus-weighted algorithm on the fixture vocabulary (12 rounds of
+# count-adjacent-pairs → argmax (count desc, pair asc) → merge
+# everywhere) and is fixed here as literals, exactly how production
+# pipelines consume a released tokenizer.
+#
+# Apply semantics: merges in RANK order, each as one global
+# left-to-right non-overlapping pass — precisely what chained
+# replace() computes, IF the symbol representation is boundary-safe.
+# Single-space separation is NOT: the string "ge r" contains "e r",
+# so a naive replace would merge the tail of one symbol with its
+# neighbor. Symbols are therefore DOUBLE-spaced with single-space
+# ends (' m  e  r  g  e '), and a merge (A,B) rewrites ' A  B ' →
+# ' AB ': both-side anchors make cross-symbol matches impossible, and
+# the single-space pad of the replacement restores the double-space
+# invariant against the next match's leading space, so overlapping
+# chains (' a  a  a  a ' → ' aa  aa ') reproduce the trainer's pass
+# semantics exactly. replace() is left-to-right non-overlapping in
+# BOTH engines (verified: 'a a a a' / 'a a' → 'aa aa' in each).
+#
+# Scale shape: BPE applies to the DISTINCT vocabulary (model-state-
+# sized — the q144 vocab-map pattern), never per corpus token; term
+# counts weight the result. One explode → vocab groupBy → 12 chained
+# narrow string ops on ≤|vocab| rows. Full-value oracle: identical
+# replace chain in DuckDB, per-term rows ordered by term.
+# ---------------------------------------------------------------------------
+_Q159_MERGES = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+)
+
+
+def _q159_oracle() -> str:
+    spaced = (
+        "' ' || array_to_string(string_split(term, ''), '  ') || ' '"
+    )
+    expr = spaced
+    for a, b in _Q159_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+WITH vocab AS (
+  SELECT t.term AS term, COUNT(*) AS n
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  GROUP BY 1
+), applied AS (
+  SELECT term, n, trim({expr}) AS sp FROM vocab
+)
+SELECT term, n,
+       CAST(LENGTH(term) AS BIGINT) AS n_chars,
+       CAST(len(string_split(sp, '  ')) AS BIGINT) AS n_pieces,
+       replace(sp, '  ', ' ') AS pieces
+FROM applied
+ORDER BY term
+"""
+
+
+@register("q159_bpe_apply", oracle=_q159_oracle())
+def q159_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sp = F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.split(F.col("term"), "")),
+        F.lit(" "),
+    )
+    for a, b in _Q159_MERGES:
+        sp = F.replace(sp, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    sp = F.trim(sp)
+    # no presentation orderBy (the q119 rule) — the oracle's ORDER BY
+    # is harmless and the driver compare canonical-sorts both sides
+    return vocab.select(
+        "term",
+        "n",
+        F.length("term").cast("long").alias("n_chars"),
+        F.size(F.split(sp, "  ")).cast("long").alias("n_pieces"),
+        F.replace(sp, F.lit("  "), F.lit(" ")).alias("pieces"),
+    )
