@@ -4149,3 +4149,57 @@ def test_q154_strategy_agreement(spark):
         V._Q154_EXPR_MAX_PAIRS = saved
     assert len(expr_out) == len(kern_out) == n
     assert expr_out == kern_out
+
+
+def test_q159_merge_table_is_the_trained_artifact(spark):
+    """q159's fixed merge list must be exactly what the canonical BPE
+    trainer (count adjacent pairs corpus-weighted -> argmax by
+    (count desc, pair asc) -> merge everywhere, 12 rounds) learns on
+    the fixture vocabulary — the table is a trained artifact, not an
+    arbitrary constant, and this guards both fixture drift and the
+    apply chain's pass semantics (the trainer merges with the same
+    left-to-right non-overlap the replace() chain computes)."""
+    import collections
+
+    import dask_cuml_spark.queries.text as T
+
+    vocab = {
+        r["term"]: r["n"]
+        for r in load_table(spark, SF, "documents")
+        .select(F.explode(T.tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    work = {tuple(t): c for t, c in vocab.items()}
+    merges = []
+    for _ in range(len(T._Q159_MERGES)):
+        pairs = collections.Counter()
+        for sym, cnt in work.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += cnt
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        merges.append(best)
+        new = {}
+        for sym, cnt in work.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + cnt
+        work = new
+    assert tuple(merges) == tuple(T._Q159_MERGES)
+    # and the registered query's pieces equal the trainer's final state
+    got = {
+        r["term"]: tuple(r["pieces"].split(" "))
+        for r in T.q159_bpe_apply(spark, SF).collect()
+    }
+    want = {}
+    for sym in work:
+        # reconstruct term -> symbols from the final trainer state
+        want["".join(sym)] = sym
+    assert got == want
