@@ -145,6 +145,7 @@ def drop_layout(spark, layout, sf):
         "pq": V._pq_tables(sf),
         "signs": V._sig_tables(sf),
         "pack": T._pack_tables(sf),
+        "postings": T._postings_tables(sf),
     }[layout]
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -227,7 +228,7 @@ def bench_consumers(spark, sf, layout, consumers, out, factor=1):
             d = duck_timed(sf, name, tables)
         suffix = {
             "q02": "bucketed", "grams": "gram", "q112": "index", "pq": "pq",
-            "signs": "signs", "pack": "pack",
+            "signs": "signs", "pack": "pack", "postings": "postings",
         }[layout]
         out[f"{name}_{suffix}_layout"] = {
             "branch": branch,
@@ -340,6 +341,13 @@ def main() -> None:
                 ("q126_sequence_packing", ["documents"], None),
                 ("q142_packing_audit", ["documents"], None),
             ],
+        ),
+        # r15: stored BM25 postings index — q155 serves Θ(postings(q))
+        # off the bucketed inverted table + additive stats sidecar
+        # instead of scanning the corpus per query
+        "postings": (
+            "postings",
+            [("q155_bm25_retrieval", ["documents"], None)],
         ),
     }
     for key, (layout, consumers) in legs.items():

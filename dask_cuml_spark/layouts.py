@@ -21,6 +21,15 @@ amortized across every query that reads it):
          the persisted 16-byte signatures instead of re-hashing the
          corpus per session; planes are seed-derived so no model
          sidecar is needed.
+  postings  the stored BM25 inverted index (r15): (term, _t, doc_id,
+         tf, dl) bucketBy(xxhash64(term)) + an APPEND-ONLY additive
+         stats sidecar of (n_docs, sum_dl) delta rows (readers SUM —
+         BM25's global constants are additive, so ingest appends one
+         delta row and never updates in place). q155 serves
+         Θ(postings(q)) off it: pushed _t/term IN filters prune the
+         scan, df falls out of the matching postings' count window
+         (100×: plain 0.74 s → served 0.41 s, 0.43× vs DuckDB;
+         write 11.5 s).
   pq     the stored PQ serving index (r12 — FAISS "build the index"):
          (vec_id, cell_id, codes) bucketBy(cell_id) + the model sidecar
          (PQ codebooks + coarse centroids); q138/q141 serve off the
@@ -49,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 #: layout name -> (writer import path, table-name fn, source files)
-_LAYOUTS = ("q02", "grams", "q112", "pq", "signs", "pack")
+_LAYOUTS = ("q02", "grams", "q112", "pq", "signs", "pack", "postings")
 
 
 def ensure_layouts(
@@ -79,8 +88,10 @@ def ensure_layouts(
         _Q126_BLOCK,
         _gram_table,
         _pack_tables,
+        _postings_tables,
         gram_layout,
         pack_layout,
+        postings_layout,
     )
     from dask_cuml_spark.queries.vector import (
         _pq_tables,
@@ -99,6 +110,7 @@ def ensure_layouts(
         "pq": (lambda: _pq_tables(sf_dir), pq_layout),
         "signs": (lambda: _sig_tables(sf_dir), signature_layout),
         "pack": (lambda: _pack_tables(sf_dir), pack_layout),
+        "postings": (lambda: _postings_tables(sf_dir), postings_layout),
     }
     # stale-GC prefixes: everything up to the trailing fingerprint tag.
     # The r11 positioned-gram schema replaced the r8 distinct-pair one;
@@ -112,6 +124,7 @@ def ensure_layouts(
         "pq": ("dcs_pqcodes8x16_", "dcs_pqmodel8x16_", "dcs_pqmf8x16_"),
         "signs": ("dcs_signs128s7_", "dcs_signsmf128s7_"),
         "pack": (f"dcs_pack{_Q126_BLOCK}_", f"dcs_packmf{_Q126_BLOCK}_"),
+        "postings": ("dcs_postings_", "dcs_poststats_", "dcs_postingsmf_"),
     }
     legacy_prefixes = {"grams": (f"dcs_q121_grams{_Q121_N}_",)}
     out: dict[str, float] = {}
@@ -120,7 +133,9 @@ def ensure_layouts(
         tables = tables_fn()
         tag = tables[0].rsplit("_", 1)[1]
         inc = None
-        if name in ("grams", "signs", "pq", "q02", "pack") and not all(
+        if name in (
+            "grams", "signs", "pq", "q02", "pack", "postings"
+        ) and not all(
             spark.catalog.tableExists(t) for t in tables
         ):
             # append-only incremental refresh (Θ(|new batch|) instead
@@ -151,6 +166,12 @@ def ensure_layouts(
                 )
 
                 inc = q02_layout_refresh(spark, sf_dir)
+            elif name == "postings":
+                from dask_cuml_spark.queries.text import (
+                    postings_layout_refresh,
+                )
+
+                inc = postings_layout_refresh(spark, sf_dir)
             else:
                 from dask_cuml_spark.queries.text import (
                     pack_layout_refresh,

@@ -4203,3 +4203,101 @@ def test_q159_merge_table_is_the_trained_artifact(spark):
         # reconstruct term -> symbols from the final trainer state
         want["".join(sym)] = sym
     assert got == want
+
+
+def test_postings_layout_serving_and_incremental_refresh(spark, tmp_path):
+    """The BM25 postings layout (r15): (a) a provisioned session's
+    q155 serves from the stored inverted index with VALUE-identical
+    results (same full-value oracle); (b) an append-only ingest takes
+    the incremental path — the full writer is poisoned for the
+    duration — appending the batch's postings into the bucketed table
+    and ONE additive stats delta row; afterwards stored postings ≡ a
+    fresh derivation over the grown corpus bit-for-bit and the summed
+    stats equal the grown corpus's (n_docs, sum_dl)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.text as T
+    from dask_cuml_spark.io import load_table as lt
+    from dask_cuml_spark.layouts import ensure_layouts
+    from dask_cuml_spark.streaming.ingest import synth_staging_files
+
+    sf = str(tmp_path / "sf")
+    ddir = f"{sf}/documents.parquet"
+    os.makedirs(ddir)
+    td = pq_mod.read_table("/root/testdata/sf0.001/documents.parquet")
+    pq_mod.write_table(td, os.path.join(ddir, "part-0.parquet"))
+
+    plain = sorted(
+        map(tuple, T.q155_bm25_retrieval(spark, sf).collect())
+    )
+    first = ensure_layouts(spark, sf, layouts=("postings",))
+    assert first["postings"] > 0.0
+    ptbl, stbl = T._postings_tables(sf)
+    served = sorted(
+        map(tuple, T.q155_bm25_retrieval(spark, sf).collect())
+    )
+    assert served == plain
+
+    # append a batch (strictly new part files), poison the full writer
+    synth_staging_files(
+        str(tmp_path / "stage"), n_batches=1, rows_per_batch=50,
+        start_doc_id=1 + max(td.column("doc_id").to_pylist()),
+    )
+    import shutil
+
+    shutil.copy(
+        str(tmp_path / "stage" / "ingest-00000.parquet"),
+        os.path.join(ddir, "part-ingest-x-00000.parquet"),
+    )
+
+    def _boom(*_a, **_k):
+        raise AssertionError("full postings rebuild ran during refresh")
+
+    saved = T.postings_layout
+    T.postings_layout = _boom
+    import dask_cuml_spark.layouts  # noqa: F401 — spec resolves lazily
+    try:
+        again = ensure_layouts(spark, sf, layouts=("postings",))
+    finally:
+        T.postings_layout = saved
+    assert again["postings"] > 0.0  # refresh ran, not 0.0, not rebuild
+
+    ptbl2, stbl2 = T._postings_tables(sf)
+    assert ptbl2 != ptbl  # new source fingerprint
+    stored = sorted(map(tuple, spark.table(ptbl2).collect()))
+    fresh = sorted(
+        map(tuple, T._postings_frame(spark, sf).collect())
+    )
+    assert stored == fresh and len(stored) > 0
+    srow = (
+        spark.table(stbl2)
+        .agg(F.sum("n_docs"), F.sum("sum_dl"))
+        .first()
+    )
+    truth = (
+        T._postings_stats_delta(lt(spark, sf, "documents")).first()
+    )
+    assert (srow[0], srow[1]) == (truth[0], truth[1])
+    assert spark.table(stbl2).count() == 2  # base row + one delta row
+
+    # serving off the refreshed layout still equals the plain recompute
+    served2 = sorted(
+        map(tuple, T.q155_bm25_retrieval(spark, sf).collect())
+    )
+    plain2 = sorted(
+        map(
+            tuple,
+            T.bm25_rank(
+                lt(spark, sf, "documents"), T._Q155_TERMS
+            ).collect(),
+        )
+    )
+    assert served2 == plain2
+
+    for t in (
+        ptbl2, stbl2,
+        T._postings_manifest_table(ptbl2.rsplit("_", 1)[1]),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
