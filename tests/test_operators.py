@@ -3643,7 +3643,7 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     pq_mod.write_table(td, os.path.join(ddir, "part-0.parquet"))
     pq_mod.write_table(te, os.path.join(edir, "part-0.parquet"))
 
-    layouts = ("grams", "signs", "pq", "pack")
+    layouts = ("grams", "signs", "pq", "pack", "postings")
     first = ensure_layouts(spark, sf, layouts=layouts)
     assert all(first[n] > 0.0 for n in layouts)
     model_before = sorted(
@@ -3661,16 +3661,17 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     def _boom(*_a, **_k):
         raise AssertionError("full rebuild ran during the ingest stream")
 
-    saved = (T.gram_layout, V.signature_layout, V.pq_layout, T.pack_layout)
+    saved = (T.gram_layout, V.signature_layout, V.pq_layout,
+             T.pack_layout, T.postings_layout)
     T.gram_layout = V.signature_layout = V.pq_layout = _boom
-    T.pack_layout = _boom
+    T.pack_layout = T.postings_layout = _boom
     try:
         stats = run_ingest_stream(
             spark, sf, staging, str(tmp_path / "ckpt"), layouts=layouts
         )
     finally:
         (T.gram_layout, V.signature_layout, V.pq_layout,
-         T.pack_layout) = saved
+         T.pack_layout, T.postings_layout) = saved
 
     assert [s["rows"] for s in stats] == [40, 40, 40]
     for s in stats:
@@ -3740,18 +3741,34 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     )
     assert stored_pack == fresh_pack and len(stored_pack) > 0
 
+    # postings (r15): stored ≡ fresh derivation over the grown corpus;
+    # the additive stats sidecar is the base row + one delta per batch
+    pptbl, pstbl = T._postings_tables(sf)
+    stored_post = sorted(map(tuple, spark.table(pptbl).collect()))
+    fresh_post = sorted(
+        map(tuple, T._postings_frame(spark, sf).collect())
+    )
+    assert stored_post == fresh_post and len(stored_post) > 0
+    srow = spark.table(pstbl).agg(
+        F.sum("n_docs"), F.sum("sum_dl")
+    ).first()
+    struth = T._postings_stats_delta(lt(spark, sf, "documents")).first()
+    assert (srow[0], srow[1]) == (struth[0], struth[1])
+    assert spark.table(pstbl).count() == 4  # base + 3 batch deltas
+
     # a consumer mid-contract: the serving entry reads the refreshed
     # stored index (from_layout=True) without any rebuild
     _cb, _ct, coded, from_layout = V._pq_serving(spark, sf)
     assert from_layout and coded.count() == te.num_rows + 120
 
-    for t in (gt, st, codes_tbl, model_tbl, pt):
+    for t in (gt, st, codes_tbl, model_tbl, pt, pptbl, pstbl):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     for fn, tag_tbl in (
         (T._gram_manifest_table, gt),
         (V._sig_manifest_table, st),
         (V._pq_manifest_table, codes_tbl),
         (T._pack_manifest_table, pt),
+        (T._postings_manifest_table, pptbl),
     ):
         spark.sql(
             "DROP TABLE IF EXISTS " + fn(tag_tbl.rsplit("_", 1)[1])
