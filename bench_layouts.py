@@ -146,6 +146,7 @@ def drop_layout(spark, layout, sf):
         "signs": V._sig_tables(sf),
         "pack": T._pack_tables(sf),
         "postings": T._postings_tables(sf),
+        "cms": T._cms_tables(sf),
     }[layout]
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -229,6 +230,7 @@ def bench_consumers(spark, sf, layout, consumers, out, factor=1):
         suffix = {
             "q02": "bucketed", "grams": "gram", "q112": "index", "pq": "pq",
             "signs": "signs", "pack": "pack", "postings": "postings",
+            "cms": "cms",
         }[layout]
         out[f"{name}_{suffix}_layout"] = {
             "branch": branch,
@@ -348,6 +350,12 @@ def main() -> None:
         "postings": (
             "postings",
             [("q155_bm25_retrieval", ["documents"], None)],
+        ),
+        # r15: stored CMS sketch — q160 point queries answer from
+        # O(d·w) summed counters with NO corpus scan at all
+        "cms": (
+            "cms",
+            [("q160_cms_point_query", ["documents"], None)],
         ),
     }
     for key, (layout, consumers) in legs.items():

@@ -126,6 +126,7 @@ TABLES_FOR = {
     "q157_weighted_sample": {"documents"},
     "q158_cms_heavy_hitters": {"documents"},
     "q159_bpe_apply": {"documents"},
+    "q160_cms_point_query": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —

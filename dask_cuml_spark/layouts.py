@@ -30,6 +30,11 @@ amortized across every query that reads it):
          scan, df falls out of the matching postings' count window
          (100×: plain 0.74 s → served 0.41 s, 0.43× vs DuckDB;
          write 11.5 s).
+  cms    the stored Count-Min sketch (r15): an APPEND-ONLY table of
+         (r, bucket, c) counter deltas — a CMS is a mergeable summary,
+         so ingest appends one batch-sized delta set (≤ d×w rows) and
+         readers SUM per (r, bucket); q160 answers point queries from
+         O(d·w) state with NO corpus scan at all.
   pq     the stored PQ serving index (r12 — FAISS "build the index"):
          (vec_id, cell_id, codes) bucketBy(cell_id) + the model sidecar
          (PQ codebooks + coarse centroids); q138/q141 serve off the
@@ -58,7 +63,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 #: layout name -> (writer import path, table-name fn, source files)
-_LAYOUTS = ("q02", "grams", "q112", "pq", "signs", "pack", "postings")
+_LAYOUTS = ("q02", "grams", "q112", "pq", "signs", "pack", "postings", "cms")
 
 
 def ensure_layouts(
@@ -88,7 +93,11 @@ def ensure_layouts(
         _Q126_BLOCK,
         _gram_table,
         _pack_tables,
+        _cms_tables,
         _postings_tables,
+        _Q158_D,
+        _Q158_W,
+        cms_layout,
         gram_layout,
         pack_layout,
         postings_layout,
@@ -111,6 +120,7 @@ def ensure_layouts(
         "signs": (lambda: _sig_tables(sf_dir), signature_layout),
         "pack": (lambda: _pack_tables(sf_dir), pack_layout),
         "postings": (lambda: _postings_tables(sf_dir), postings_layout),
+        "cms": (lambda: _cms_tables(sf_dir), cms_layout),
     }
     # stale-GC prefixes: everything up to the trailing fingerprint tag.
     # The r11 positioned-gram schema replaced the r8 distinct-pair one;
@@ -125,6 +135,10 @@ def ensure_layouts(
         "signs": ("dcs_signs128s7_", "dcs_signsmf128s7_"),
         "pack": (f"dcs_pack{_Q126_BLOCK}_", f"dcs_packmf{_Q126_BLOCK}_"),
         "postings": ("dcs_postings_", "dcs_poststats_", "dcs_postingsmf_"),
+        "cms": (
+            f"dcs_cmssketch{_Q158_D}x{_Q158_W}_",
+            f"dcs_cmsmf{_Q158_D}x{_Q158_W}_",
+        ),
     }
     legacy_prefixes = {"grams": (f"dcs_q121_grams{_Q121_N}_",)}
     out: dict[str, float] = {}
@@ -134,7 +148,7 @@ def ensure_layouts(
         tag = tables[0].rsplit("_", 1)[1]
         inc = None
         if name in (
-            "grams", "signs", "pq", "q02", "pack", "postings"
+            "grams", "signs", "pq", "q02", "pack", "postings", "cms"
         ) and not all(
             spark.catalog.tableExists(t) for t in tables
         ):
@@ -172,6 +186,12 @@ def ensure_layouts(
                 )
 
                 inc = postings_layout_refresh(spark, sf_dir)
+            elif name == "cms":
+                from dask_cuml_spark.queries.text import (
+                    cms_layout_refresh,
+                )
+
+                inc = cms_layout_refresh(spark, sf_dir)
             else:
                 from dask_cuml_spark.queries.text import (
                     pack_layout_refresh,

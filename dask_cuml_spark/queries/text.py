@@ -4244,3 +4244,203 @@ def _bm25_from_postings(
         .withColumn("rk", F.row_number().over(w))
         .select("doc_id", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — CMS point queries off the STORED sketch (round 15; the
+# companion to q158 and the eighth stored layout): a Count-Min sketch
+# is a mergeable summary — counters are PURE SUMS — so the stored
+# form is an APPEND-ONLY table of (r, bucket, c) delta rows (one set
+# per corpus snapshot / ingest batch) and readers SUM per (r, bucket)
+# before taking the min over rows. That additivity is the entire
+# point of sketches at 100 TB: the ingest stream appends a
+# batch-sized delta (Θ(|batch|) work, d×w rows) and a point query
+# answers from O(d·w) state with NO corpus scan at all — the first
+# layout here whose serving path touches nothing corpus-sized.
+#
+# q160 asks the sketch for the estimated frequencies of a fixed
+# candidate-term set (q155's query terms + two more — point queries,
+# the operation a CMS exists for; exact counts are q158's business).
+# Catalog-gated: fresh sessions recompute the counters from the
+# corpus with IDENTICAL arithmetic (one delta set — the sum is the
+# identity), so the same full-value oracle proves both branches.
+# ---------------------------------------------------------------------------
+_Q160_TERMS = ("vector", "fast", "dup", "join", "the")
+
+
+def _cms_tables(sf_dir: str) -> tuple[str]:
+    from dask_cuml_spark.operators.layout import layout_tag
+
+    tag = layout_tag(sf_dir, "documents.parquet")
+    return (f"dcs_cmssketch{_Q158_D}x{_Q158_W}_{tag}",)
+
+
+def _cms_manifest_table(tag: str) -> str:
+    return f"dcs_cmsmf{_Q158_D}x{_Q158_W}_{tag}"
+
+
+def _cms_counters(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
+    """(r, bucket, c) counter deltas for a corpus slice — q158's
+    counter construction factored for reuse by the layout writer, the
+    incremental refresh (batch slice), and q160's plain branch."""
+    if d is None:
+        d = load_table(spark, sf_dir, "documents")
+    code = (
+        F.length("term") * 131
+        + 7 * F.ascii("term")
+        + 31 * F.ascii(F.substring("term", 2, 1))
+        + F.ascii(F.substring("term", -1, 1))
+    )
+    x = F.pmod(code * F.lit(_Q158_SPREAD), F.lit(_Q158_P))
+    tok = d.select(F.explode(tokens()).alias("term")).select(x.alias("x"))
+    spark_rows = d.sparkSession.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(_Q158_AB)],
+        "r int, a long, b long",
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("a") * F.col("x") + F.col("b"), F.lit(_Q158_P)),
+        F.lit(_Q158_W),
+    )
+    return (
+        tok.crossJoin(F.broadcast(spark_rows))
+        .select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_layout(spark: SparkSession, sf_dir: str) -> float:
+    """One-time sketch write (d×w ≤ 244 rows) + manifest."""
+    import time as _time
+
+    from dask_cuml_spark.operators.layout import (
+        drop_table_and_location,
+        write_layout_manifest,
+    )
+
+    t0 = _time.perf_counter()
+    (tbl,) = _cms_tables(sf_dir)
+    drop_table_and_location(spark, tbl)
+    _cms_counters(spark, sf_dir).write.mode("overwrite").saveAsTable(tbl)
+    write_layout_manifest(
+        spark,
+        sf_dir,
+        "documents.parquet",
+        _cms_manifest_table(tbl.rsplit("_", 1)[1]),
+    )
+    return _time.perf_counter() - t0
+
+
+def cms_layout_refresh(spark: SparkSession, sf_dir: str) -> float | None:
+    """Append-only refresh: ONE batch-sized delta set (≤ d×w rows)
+    appends; readers SUM. The mergeable-summary property IS the
+    incremental path — no rename-time arithmetic at all."""
+    from dask_cuml_spark.operators.layout import incremental_refresh
+
+    (tbl,) = _cms_tables(sf_dir)
+
+    def append(spark_, new_files, old_tbl):
+        batch = spark_.read.parquet(*new_files).select("doc_id", "text")
+        _cms_counters(spark_, sf_dir, d=batch).write.mode(
+            "append"
+        ).saveAsTable(old_tbl)
+
+    return incremental_refresh(
+        spark,
+        sf_dir,
+        "documents.parquet",
+        f"dcs_cmssketch{_Q158_D}x{_Q158_W}_",
+        _cms_manifest_table,
+        tbl,
+        append,
+    )
+
+
+@register(
+    "q160_cms_point_query",
+    oracle=f"""
+WITH tok AS (
+  SELECT ((LENGTH(t.term) * 131 + 7 * ascii(t.term)
+           + 31 * ascii(substr(t.term, 2, 1))
+           + ascii(substr(t.term, -1, 1))) * {_Q158_SPREAD})
+           % {_Q158_P} AS x
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+), rows_ AS (
+  SELECT r, a, b FROM (VALUES
+    {', '.join(f'({r}, {a}, {b})' for r, (a, b) in enumerate(_Q158_AB))}
+  ) v(r, a, b)
+), counters AS (
+  SELECT r, ((a * x + b) % {_Q158_P}) % {_Q158_W} AS bucket,
+         COUNT(*) AS c
+  FROM tok CROSS JOIN rows_
+  GROUP BY 1, 2
+), cand AS (
+  SELECT q.term,
+         ((LENGTH(q.term) * 131 + 7 * ascii(q.term)
+           + 31 * ascii(substr(q.term, 2, 1))
+           + ascii(substr(q.term, -1, 1))) * {_Q158_SPREAD})
+           % {_Q158_P} AS x
+  FROM (VALUES {', '.join(f"('{t}')" for t in _Q160_TERMS)}) q(term)
+)
+SELECT cand.term, CAST(MIN(COALESCE(counters.c, 0)) AS BIGINT) AS est_n
+FROM cand
+JOIN rows_ ON TRUE
+LEFT JOIN counters
+  ON counters.r = rows_.r
+ AND counters.bucket =
+     ((rows_.a * cand.x + rows_.b) % {_Q158_P}) % {_Q158_W}
+GROUP BY cand.term
+""",
+)
+def q160_cms_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (tbl,) = _cms_tables(sf_dir)
+    if spark.catalog.tableExists(tbl):
+        # stored sketch: SUM the delta rows per (r, bucket) — O(d·w)
+        # state, no corpus scan anywhere in this branch
+        counters = (
+            spark.table(tbl)
+            .groupBy("r", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        counters = _cms_counters(spark, sf_dir)
+    cand = spark.createDataFrame(
+        [(t,) for t in _Q160_TERMS], "term string"
+    )
+    code = (
+        F.length("term") * 131
+        + 7 * F.ascii("term")
+        + 31 * F.ascii(F.substring("term", 2, 1))
+        + F.ascii(F.substring("term", -1, 1))
+    )
+    x = F.pmod(code * F.lit(_Q158_SPREAD), F.lit(_Q158_P))
+    spark_rows = spark.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(_Q158_AB)],
+        "r int, a long, b long",
+    )
+    cb = F.pmod(
+        F.pmod(F.col("a") * F.col("x") + F.col("b"), F.lit(_Q158_P)),
+        F.lit(_Q158_W),
+    )
+    ctr = counters.select(
+        F.col("r").alias("cr"), F.col("bucket").alias("cbucket"), "c"
+    )
+    return (
+        cand.select("term", x.alias("x"))
+        .crossJoin(F.broadcast(spark_rows))
+        .withColumn("cand_bucket", cb)
+        .join(
+            F.broadcast(ctr),
+            (F.col("cr") == F.col("r"))
+            & (F.col("cbucket") == F.col("cand_bucket")),
+            "left",
+        )
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("est_n")
+        )
+    )

@@ -4318,3 +4318,81 @@ def test_postings_layout_serving_and_incremental_refresh(spark, tmp_path):
         T._postings_manifest_table(ptbl2.rsplit("_", 1)[1]),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cms_layout_additive_refresh(spark, tmp_path):
+    """The stored CMS sketch (r15): a mergeable summary, so the
+    incremental path appends ONE batch-sized delta set and readers SUM
+    — after an append-only ingest (full writer poisoned), the summed
+    stored counters equal a from-scratch recount of the grown corpus
+    bit-for-bit, and q160's point queries serve identically from the
+    sketch and the plain recompute."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.text as T
+    from dask_cuml_spark.layouts import ensure_layouts
+    from dask_cuml_spark.streaming.ingest import synth_staging_files
+
+    sf = str(tmp_path / "sf")
+    ddir = f"{sf}/documents.parquet"
+    os.makedirs(ddir)
+    td = pq_mod.read_table("/root/testdata/sf0.001/documents.parquet")
+    pq_mod.write_table(td, os.path.join(ddir, "part-0.parquet"))
+
+    plain = sorted(
+        map(tuple, T.q160_cms_point_query(spark, sf).collect())
+    )
+    first = ensure_layouts(spark, sf, layouts=("cms",))
+    assert first["cms"] > 0.0
+    served = sorted(
+        map(tuple, T.q160_cms_point_query(spark, sf).collect())
+    )
+    assert served == plain
+
+    synth_staging_files(
+        str(tmp_path / "stage"), n_batches=1, rows_per_batch=40,
+        start_doc_id=1 + max(td.column("doc_id").to_pylist()),
+    )
+    shutil.copy(
+        str(tmp_path / "stage" / "ingest-00000.parquet"),
+        os.path.join(ddir, "part-ingest-x-00000.parquet"),
+    )
+
+    def _boom(*_a, **_k):
+        raise AssertionError("full cms rebuild ran during refresh")
+
+    saved = T.cms_layout
+    T.cms_layout = _boom
+    try:
+        again = ensure_layouts(spark, sf, layouts=("cms",))
+    finally:
+        T.cms_layout = saved
+    assert again["cms"] > 0.0
+
+    (tbl,) = T._cms_tables(sf)
+    stored = sorted(
+        map(
+            tuple,
+            spark.table(tbl)
+            .groupBy("r", "bucket")
+            .agg(F.sum("c").alias("c"))
+            .collect(),
+        )
+    )
+    fresh = sorted(map(tuple, T._cms_counters(spark, sf).collect()))
+    assert stored == fresh and len(stored) > 0
+    served2 = sorted(
+        map(tuple, T.q160_cms_point_query(spark, sf).collect())
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    plain2 = sorted(
+        map(tuple, T.q160_cms_point_query(spark, sf).collect())
+    )
+    assert served2 == plain2
+    spark.sql(
+        "DROP TABLE IF EXISTS "
+        + T._cms_manifest_table(tbl.rsplit("_", 1)[1])
+    )
