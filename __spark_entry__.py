@@ -49,7 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past position 50 are r13/r14-green; queries REGISTERED this
 # round (q155 BM25, q156 shortlist triplet mining, q157 weighted
 # sampling, q158 CMS heavy hitters, q159 merge-table BPE apply, q160
-# stored-sketch point queries) sit at 51-56 because every slot 1-50
+# stored-sketch point queries, q161 audio fingerprinting) sit at
+# 51-57 because every slot 1-50
 # is rotation-mandated — they MUST lead the r16 window (the
 # q147-q149 / q153-q154 precedent).
 _PRIORITY = [
@@ -115,6 +116,7 @@ _PRIORITY = [
     "q158_cms_heavy_hitters",
     "q159_bpe_apply",
     "q160_cms_point_query",
+    "q161_audio_fingerprint",
     # -- r13-evidence block, lowest number first (q01/q145 moved up)
     "q05_string_ops",
     "q12_quantiles_histogram",

@@ -127,6 +127,7 @@ TABLES_FOR = {
     "q158_cms_heavy_hitters": {"documents"},
     "q159_bpe_apply": {"documents"},
     "q160_cms_point_query": {"documents"},
+    "q161_audio_fingerprint": {"documents"},
 }
 
 # headline queries spanning agg / join / window / text / vector / JSON —
@@ -442,6 +443,12 @@ ORACLE_NOT_COMPARABLE = {
         "scaled ∝ n (cell size held ~constant, the production IVF "
         "posture) and candidate_edges records the measured probed-"
         "candidate total, which should grow ~linearly"
+    ),
+    "q161_audio_fingerprint": (
+        "oracle computes the GENERATIVE truth closed-form from doc_id "
+        "— DuckDB does no audio work while Spark synthesizes, frames "
+        "and peak-detects every 16 KB PCM payload through the real "
+        "binary pipeline; row records Spark-side throughput only"
     ),
     "q156_triplet_mining_ann": (
         "oracle is an invariant row (exact COUNT + pinned flags); the "

@@ -513,3 +513,78 @@ def dhash_signatures(
             yield pd.DataFrame(rows, columns=["doc_id", "sig"])
 
     return df.select(id_col, binary_col).mapInPandas(batches, DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio (round 15 — the task brief's "image/AUDIO/video as opaque
+# binary columns"; images had q44/q128/q152, audio had nothing): the
+# container has no audio libs, so — exactly as the brief instructs —
+# the CODEC end is a deterministic synthetic (int16 little-endian PCM
+# generated closed-form from doc_id, the q128/q152 generative-truth
+# pattern) while the Spark-side plumbing is REAL: binary payloads,
+# Arrow-batched narrow maps, numpy framing/energy, strict
+# malformed-payload raises. The fingerprint is the Wang 2003
+# (Shazam) idea reduced to its deterministic core: locate energy
+# peaks in a framed spectrogram-like representation, fold the peak
+# POSITIONS into a compact key.
+# ---------------------------------------------------------------------------
+AUDIO_FP_SCHEMA = "doc_id long, n_samples long, n_peaks int, fp long"
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    frame_w: int = 128,
+    n_frames: int = 64,
+) -> DataFrame:
+    """(doc_id, n_samples, n_peaks, fp) per int16-LE PCM payload.
+
+    Pipeline per payload (one Arrow-batched narrow map — binary in,
+    4 small columns out, no shuffle): decode int16 → frame into
+    (n_frames, frame_w) → per-frame energy Σx² (int64-exact: |x| ≤
+    2^15 so a frame sum < 2^37) → peaks = frames with energy >
+    max/2 (the burst/background separation the synthesizer
+    guarantees by construction) → fp = Σ (pos_i + 1)·131^i over the
+    ASCENDING peak positions (int64-exact for ≤ 6 peaks). A payload
+    whose byte length isn't exactly 2·frame_w·n_frames raises —
+    malformed audio must fail loudly, never fingerprint as silence
+    (the q128 strict-decode convention)."""
+    need = 2 * frame_w * n_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload)
+                if len(raw) != need:
+                    raise ValueError(
+                        f"audio payload for doc {int(doc_id)}: "
+                        f"{len(raw)} bytes, expected {need} "
+                        f"(int16 × {frame_w}×{n_frames})"
+                    )
+                x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                frames = x.reshape(n_frames, frame_w)
+                energy = (frames * frames).sum(axis=1)
+                thresh = energy.max() // 2
+                peaks = np.nonzero(energy > thresh)[0]
+                fp = 0
+                mult = 1
+                for p in peaks:  # ascending by construction
+                    fp += (int(p) + 1) * mult
+                    mult *= 131
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": int(x.size),
+                        "n_peaks": int(peaks.size),
+                        "fp": fp,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "n_peaks", "fp"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, AUDIO_FP_SCHEMA
+    )

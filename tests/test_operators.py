@@ -4396,3 +4396,34 @@ def test_cms_layout_additive_refresh(spark, tmp_path):
         "DROP TABLE IF EXISTS "
         + T._cms_manifest_table(tbl.rsplit("_", 1)[1])
     )
+
+
+def test_audio_fingerprints_hand_built_and_strictness(spark):
+    """audio_fingerprints (q161's operator, audio's first): a
+    hand-built PCM payload with bursts planted at known frames must
+    fingerprint to the hand-computed base-131 position fold; a
+    payload of the wrong byte length must RAISE (malformed audio
+    never fingerprints as silence — the q128 strict-decode
+    convention)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dask_cuml_spark.operators.multimodal import audio_fingerprints
+
+    fw, nf = 16, 8
+    x = np.zeros(fw * nf, dtype=np.int64)
+    for p in (2, 5):  # bursts at frames 2 and 5
+        x[p * fw : (p + 1) * fw] = 500
+    good = x.astype("<i2").tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(good))], "doc_id long, payload binary"
+    )
+    row = audio_fingerprints(df, frame_w=fw, n_frames=nf).first()
+    assert row.n_samples == fw * nf
+    assert row.n_peaks == 2
+    assert row.fp == (2 + 1) * 1 + (5 + 1) * 131  # ascending fold
+    bad = spark.createDataFrame(
+        [(2, bytearray(good[:-2]))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="expected"):
+        audio_fingerprints(bad, frame_w=fw, n_frames=nf).collect()
