@@ -57,11 +57,18 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     factor = int(args[0]) if args else 100
     n_batches, rows = 5, 500
+    layouts = _LAYOUTS
     for a in sys.argv[1:]:
         if a.startswith("--batches="):
             n_batches = int(a.split("=")[1])
         if a.startswith("--rows="):
             rows = int(a.split("=")[1])
+        if a.startswith("--layouts="):
+            # r15: postings/cms join the refresh family; the default
+            # tuple stays (grams, signs, pq) so the recorded
+            # ingest_stream_{N}x rows remain comparable across rounds —
+            # a wider run records under its own _{K}layouts key
+            layouts = tuple(a.split("=")[1].split(","))
 
     src = f"/tmp/graft_scale{factor}"
     build_scaled(src, factor, {"documents", "embeddings"})
@@ -97,7 +104,7 @@ def main() -> None:
 
     spark = get_spark("dask_cuml_spark-ingeststream")
     t0 = time.perf_counter()
-    full_build = ensure_layouts(spark, dst, layouts=_LAYOUTS)
+    full_build = ensure_layouts(spark, dst, layouts=layouts)
     full_build_sec = time.perf_counter() - t0
     print(f"full provisioning: {full_build_sec:.1f}s {full_build}",
           file=sys.stderr)
@@ -106,7 +113,7 @@ def main() -> None:
     synth_staging_files(staging, n_batches, rows, start_doc_id=max_id + 1)
     t0 = time.perf_counter()
     stats = run_ingest_stream(
-        spark, dst, staging, os.path.join(dst, "_ckpt"), layouts=_LAYOUTS
+        spark, dst, staging, os.path.join(dst, "_ckpt"), layouts=layouts
     )
     stream_wall = time.perf_counter() - t0
     assert len(stats) == n_batches, stats
@@ -123,7 +130,7 @@ def main() -> None:
         ly: round(
             sum(s["refresh_sec"][ly] for s in stats) / len(stats), 3
         )
-        for ly in _LAYOUTS
+        for ly in layouts
     }
     per_batch_total = sum(mean_refresh.values())
     row = {
@@ -155,7 +162,11 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f)
-    results[f"ingest_stream_{factor}x"] = row
+    key = f"ingest_stream_{factor}x"
+    if layouts != _LAYOUTS:
+        key = f"ingest_stream_{factor}x_{len(layouts)}layouts"
+        row["layouts"] = list(layouts)
+    results[key] = row
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     print(json.dumps({"ingest_stream_factor": factor, "row": row}))
