@@ -32,84 +32,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-15 window, in order
-# (WINDOW_r15.md has the per-query evidence trail), exactly as the
-# round-14 verdict mandated:
-#   1. never-windowed-first + changed-code-first: q153/q154 (NEW in
-#      r14, registered late at positions 51-52 — the ONLY registered
-#      queries with no driver row ever; q153 additionally gains the
-#      shuffle_mode='feistel' registered mode this round, q154 gains
-#      the IVF-shortlist candidate side — both changed-code), q145
-#      (r14 changed its kernel-path shortlist slop; r14-unwindowed);
-#   2. the FULL 46-query r12-evidence block (every query whose latest
-#      driver row is round 12), lowest number first — fills slots
-#      4-49;
-#   3. slot 50 = q01 (the lowest-numbered r13-evidence row).
-# After this round no query's driver evidence is older than round 13.
-# Entries past position 50 are r13/r14-green; queries REGISTERED this
-# round (q155 BM25, q156 shortlist triplet mining, q157 weighted
-# sampling, q158 CMS heavy hitters, q159 merge-table BPE apply, q160
-# stored-sketch point queries, q161 audio fingerprinting) sit at
-# 51-57 because every slot 1-50
-# is rotation-mandated — they MUST lead the r16 window (the
-# q147-q149 / q153-q154 precedent).
+# re-enters the hard gate (advisor r2). Round-16 window, in order
+# (WINDOW_r16.md has the per-query evidence trail), exactly as the
+# round-15 verdict mandated:
+#   1. slots 1-7: q155-q161 — registered in r15 at positions 51-57
+#      (every r15 slot was rotation-mandated), the ONLY queries that
+#      have NEVER had a driver row (the q147-q149/q153-q154
+#      late-registration precedent binds: they lead this window);
+#   2. slots 8-50: the 43 LOWEST-numbered r13-evidence queries
+#      (latest driver row = round 13), lowest number first.
+# After this round no query's driver evidence is older than round 13,
+# and every registered query has at least one driver row except the
+# four r13-evidence leftovers (q147/q148/q149/q150 — 47 r13 rows, only
+# 43 slots) and queries REGISTERED this round; both groups sit at 51+
+# and MUST lead the r17 window, new registrations first.
 _PRIORITY = [
-    # -- (1) first-ever driver rows + changed-code-first
-    "q153_shuffle_shard",
-    "q154_triplet_mining",
-    "q145_signhash_ann",
-    # -- (2) the full r12-evidence block, lowest number first
-    "q10_set_ops",
-    "q11_rollup",
-    "q25_hourly_windows",
-    "q31_tfidf_top_term",
-    "q32_exact_dedup",
-    "q35_jaccard_near_dup",
-    "q41_centroid_assignment",
-    "q42_lloyd_iteration",
-    "q45_cosine_near_dup",
-    "q47_ivf_search_full_probe",
-    "q48_kmeans_transform",
-    "q52_ridge_fit",
-    "q53_standard_scaler",
-    "q54_minmax_scaler",
-    "q55_corr_cov_matrix",
-    "q56_confusion_matrix",
-    "q65_ranking_windows",
-    "q78_minhash_near_dup",
-    "q82_lsh_knn",
-    "q83_logreg_predict",
-    "q87_naive_bayes_predict",
-    "q94_elasticnet_vs_ols",
-    "q96_train_test_split",
-    "q98_stream_dedup",
-    "q100_merge_schema",
-    "q101_make_classification",
-    "q102_adjusted_rand",
-    "q104_json_parse_at_ingest",
-    "q105_curation_pipeline",
-    "q106_salted_skew_join",
-    "q107_approx_aggregates",
-    "q109_stratified_sample",
-    "q112_incremental_dedup",
-    "q115_ivf_partial_probe",
-    "q116_stream_upsert_sink",
-    "q117_stream_static_enrichment",
-    "q118_knn_graph",
-    "q124_embedding_outliers",
-    "q125_semantic_dedup_auto",
-    "q126_sequence_packing",
-    "q127_pii_redaction",
-    "q131_int8_quantization",
-    "q137_pq_quantization",
-    "q142_packing_audit",
-    "q143_seq_length_histogram",
-    "q144_dsir_weights",
-    # -- (3) slot 50: lowest-numbered r13-evidence row
-    "q01_pricing_summary",
-    # ---------------- positions 51+: out of window this round
-    # -- NEW in r15, registered late (slots 1-50 rotation-mandated):
-    #    they MUST lead the r16 window.
+    # -- (1) slots 1-7: first-ever driver rows (registered r15)
     "q155_bm25_retrieval",
     "q156_triplet_mining_ann",
     "q157_weighted_sample",
@@ -117,7 +55,7 @@ _PRIORITY = [
     "q159_bpe_apply",
     "q160_cms_point_query",
     "q161_audio_fingerprint",
-    # -- r13-evidence block, lowest number first (q01/q145 moved up)
+    # -- (2) slots 8-50: 43 lowest-numbered r13-evidence queries
     "q05_string_ops",
     "q12_quantiles_histogram",
     "q13_semi_anti_join",
@@ -161,6 +99,9 @@ _PRIORITY = [
     "q130_chunk_documents",
     "q132_fixed_n_per_stratum",
     "q146_stratified_split",
+    # ---------------- positions 51+: out of window this round
+    # -- r13-evidence leftovers (47 rows, 43 slots): lead r17 after
+    #    any r16-registered queries
     "q147_perplexity_buckets",
     "q148_ngram_novelty",
     "q149_bloom_decontamination",
@@ -216,6 +157,57 @@ _PRIORITY = [
     "q141_ivfpq_search",
     "q151_paragraph_near_dup",
     "q152_phash_image_near_dup",
+    # -- r15-evidence block (the r15 window), lowest number first
+    "q01_pricing_summary",
+    "q10_set_ops",
+    "q11_rollup",
+    "q25_hourly_windows",
+    "q31_tfidf_top_term",
+    "q32_exact_dedup",
+    "q35_jaccard_near_dup",
+    "q41_centroid_assignment",
+    "q42_lloyd_iteration",
+    "q45_cosine_near_dup",
+    "q47_ivf_search_full_probe",
+    "q48_kmeans_transform",
+    "q52_ridge_fit",
+    "q53_standard_scaler",
+    "q54_minmax_scaler",
+    "q55_corr_cov_matrix",
+    "q56_confusion_matrix",
+    "q65_ranking_windows",
+    "q78_minhash_near_dup",
+    "q82_lsh_knn",
+    "q83_logreg_predict",
+    "q87_naive_bayes_predict",
+    "q94_elasticnet_vs_ols",
+    "q96_train_test_split",
+    "q98_stream_dedup",
+    "q100_merge_schema",
+    "q101_make_classification",
+    "q102_adjusted_rand",
+    "q104_json_parse_at_ingest",
+    "q105_curation_pipeline",
+    "q106_salted_skew_join",
+    "q107_approx_aggregates",
+    "q109_stratified_sample",
+    "q112_incremental_dedup",
+    "q115_ivf_partial_probe",
+    "q116_stream_upsert_sink",
+    "q117_stream_static_enrichment",
+    "q118_knn_graph",
+    "q124_embedding_outliers",
+    "q125_semantic_dedup_auto",
+    "q126_sequence_packing",
+    "q127_pii_redaction",
+    "q131_int8_quantization",
+    "q137_pq_quantization",
+    "q142_packing_audit",
+    "q143_seq_length_histogram",
+    "q144_dsir_weights",
+    "q145_signhash_ann",
+    "q153_shuffle_shard",
+    "q154_triplet_mining",
 ]
 
 

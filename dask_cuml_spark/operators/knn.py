@@ -463,7 +463,7 @@ def classwise_nearest(
     strategy: str = "auto",
     max_broadcast_bytes: int = 128 << 20,
     anchor_blocks: int | None = None,
-    cand_blocks: int = 4,
+    cand_blocks: int | None = None,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, same, neighbor_id, dist_sq): for every anchor, the
@@ -490,12 +490,20 @@ def classwise_nearest(
     argmins of each (anchor_block, cand_block) pair. NOTHING moves
     through the driver; shuffle volume is |E|·cand_blocks +
     |E|·anchor_blocks rows and the per-task dense buffer is sliced to
-    the gemm 64 MB cap, so driver and executor memory are both
-    independent of n.
+    the gemm 64 MB cap. Driver memory is independent of n; per-task
+    memory is bounded because the default block counts SCALE with the
+    estimated vector bytes (each axis targets ≤ ~128 MB of raw
+    vectors per cogrouped group — advisor r16: the old fixed
+    cand_blocks=4 grid let the materialized pandas group grow Θ(n)).
+    Callers pinning explicit block counts own that bound themselves.
 
     Both strategies funnel through _classwise_block and the same
-    min(struct(d², id)) final agg, so results are bit-identical
-    (strategy-agreement pytest). Note the exact self-mining operator
+    min(struct(d², id)) final agg, so results agree bit-for-bit in
+    THIS environment (the strategy-agreement pytest pins this
+    container's BLAS; a different BLAS build/threading could produce
+    a last-ulp d² difference that flips the (d², id) struct-min
+    tie-break on near-tie candidates — round d² first if cross-build
+    stability is required). Note the exact self-mining operator
     is Θ(n²) FLOPs by definition — classwise_nearest_ann is the
     Θ(n·shortlist) scale path.
 
@@ -542,6 +550,13 @@ def classwise_nearest(
                 "— use strategy='blocked' (the cogroup path)"
             )
         pdf = anch.toPandas()
+        if len(pdf) == 0:
+            # Zero anchors: nothing to mine. Return a correctly-typed
+            # empty frame instead of letting numpy raise an AxisError
+            # on a 0-row (Q*Q).sum(1) (advisor r16).
+            return _classwise_final(
+                spark.createDataFrame([], schema), id_col
+            )
         Q = np.array(pdf["_v"].tolist(), dtype=np.float64)
         if Q.nbytes > max_broadcast_bytes * 2:
             # belt-and-braces for ragged dims the estimate undercounted
@@ -577,9 +592,31 @@ def classwise_nearest(
 
     if strategy != "blocked":
         raise ValueError("strategy must be 'auto', 'broadcast' or 'blocked'")
+    # Auto-size the block grid so the cogrouped (anchor_block,
+    # cand_block) pandas group stays bounded as n grows: each axis
+    # targets ≤ ~128 MB of raw vectors per group (the byte-bound auto
+    # gate's estimate, advisor r16 — a fixed grid made per-task group
+    # memory Θ(n)); floors keep the small-data grid at the historical
+    # parallelism-derived shape.
+    block_target = 128 << 20
+    if cand_blocks is None or anchor_blocks is None:
+        if est is None:
+            n = anch.count()
+            dim_row = anch.select(F.size("_v").alias("d")).first()
+            est = n * int(dim_row["d"] if dim_row else 0) * 8
+        if cand_frame is e:
+            cest = est
+        else:
+            cn_rows = src.count()
+            cdim_row = src.select(F.size("_v").alias("d")).first()
+            cest = cn_rows * int(cdim_row["d"] if cdim_row else 0) * 8
+    if cand_blocks is None:
+        cand_blocks = max(4, -(-cest // block_target))
     if anchor_blocks is None:
         anchor_blocks = max(
-            spark.sparkContext.defaultParallelism // cand_blocks, 4
+            spark.sparkContext.defaultParallelism // cand_blocks,
+            4,
+            -(-est // block_target),
         )
     # two independent projections (the gemm.py self-join convention) —
     # replicating one shared subtree trips Spark's ambiguous-self-join

@@ -2365,7 +2365,11 @@ def q154_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — measured 1.000 at every fixture SF); and the semi-hard margin
 # verdict d_pos + α < d_neg — the signal training actually consumes —
 # agrees with the exact path's (floor 0.95; measured 1.000 at every
-# SF: the fixture's class-gap dwarfs the p95 distance ratio of ~1.09).
+# SF: the ANN/exact distance ratio is tiny — p95 ~1.09 — so a verdict
+# flip needs an exact margin within ~9% of α, which the fixture's
+# near-uniform cosine spectrum makes vanishingly rare; NOT a
+# class-gap effect — FIXTURES.md documents label carries no geometric
+# signal here).
 # Invariant oracle (the q115/q118 convention): the probe set depends
 # on the k-means fit, which SQL cannot replay cheaply.
 # ---------------------------------------------------------------------------

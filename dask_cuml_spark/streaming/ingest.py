@@ -144,10 +144,21 @@ def _stream_nonce(checkpoint_dir: str) -> str:
     marker = os.path.join(checkpoint_dir, ".ingest-nonce")
     if os.path.exists(marker):
         with open(marker) as f:
-            return f.read().strip()
+            stored = f.read().strip()
+        # A crash mid-write can leave an empty/truncated marker; a
+        # short nonce re-opens the cross-stream collision window, so
+        # treat it as absent and mint a fresh one (advisor r16).
+        if len(stored) >= 12:
+            return stored
     nonce = uuid.uuid4().hex[:12]
-    with open(marker, "w") as f:
+    # Write-then-rename so the marker is either absent or complete —
+    # never a torn partial that a restarted stream would read back.
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
         f.write(nonce)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
     return nonce
 
 

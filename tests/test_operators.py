@@ -3833,6 +3833,17 @@ def test_ingest_stream_second_run_never_clobbers_first(spark, tmp_path):
     assert _stream_nonce(str(tmp_path / "ckpt0")) != _stream_nonce(
         str(tmp_path / "ckpt1")
     )
+    # torn-marker recovery (advisor r16): a crash mid-write can leave
+    # an empty/truncated marker — it must be treated as absent (fresh
+    # nonce minted, full length), never read back verbatim
+    torn = tmp_path / "ckpt-torn"
+    torn.mkdir()
+    (torn / ".ingest-nonce").write_text("ab3")  # truncated
+    fresh = _stream_nonce(str(torn))
+    assert len(fresh) == 12 and fresh != "ab3"
+    assert _stream_nonce(str(torn)) == fresh  # now durable
+    (torn / ".ingest-nonce").write_text("")  # empty
+    assert len(_stream_nonce(str(torn))) == 12
 
 
 def test_q153_shuffle_shard_permutation_properties(spark):
@@ -4027,6 +4038,11 @@ def test_classwise_nearest_strategy_agreement_and_byte_bound(spark):
         classwise_nearest(
             e, strategy="broadcast", max_broadcast_bytes=64 << 10
         ).count()
+    # zero anchors (advisor r16): an empty frame must come back typed
+    # and empty, not crash numpy with an AxisError inside (Q*Q).sum(1)
+    empty = classwise_nearest(e.filter(F.col("vec_id") < 0))
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "same", "neighbor_id", "dist_sq"]
 
 
 def test_classwise_nearest_blocked_past_million_anchors(spark):
