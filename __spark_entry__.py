@@ -100,6 +100,10 @@ _PRIORITY = [
     "q132_fixed_n_per_stratum",
     "q146_stratified_split",
     # ---------------- positions 51+: out of window this round
+    # -- NEW in r16, registered late (slots 1-50 rotation-mandated):
+    #    MUST lead the r17 window, before the r13 leftovers.
+    "q162_hybrid_rrf_retrieval",
+    "q163_video_scene_cuts",
     # -- r13-evidence leftovers (47 rows, 43 slots): lead r17 after
     #    any r16-registered queries
     "q147_perplexity_buckets",

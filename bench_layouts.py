@@ -352,10 +352,16 @@ def main() -> None:
             [("q155_bm25_retrieval", ["documents"], None)],
         ),
         # r15: stored CMS sketch — q160 point queries answer from
-        # O(d·w) summed counters with NO corpus scan at all
+        # O(d·w) summed counters with NO corpus scan at all; r16 wires
+        # q158's candidate scoring onto the same (r, bucket) SUM (the
+        # d×w counter pass over every corpus token disappears; only
+        # the ground-truth cand scan remains corpus-sized)
         "cms": (
             "cms",
-            [("q160_cms_point_query", ["documents"], None)],
+            [
+                ("q160_cms_point_query", ["documents"], None),
+                ("q158_cms_heavy_hitters", ["documents"], None),
+            ],
         ),
     }
     for key, (layout, consumers) in legs.items():

@@ -122,6 +122,8 @@ TABLES_FOR = {
     "q153_shuffle_shard": {"documents"},
     "q154_triplet_mining": {"embeddings"},
     "q155_bm25_retrieval": {"documents"},
+    "q162_hybrid_rrf_retrieval": {"documents", "embeddings"},
+    "q163_video_scene_cuts": {"documents"},
     "q156_triplet_mining_ann": {"embeddings"},
     "q157_weighted_sample": {"documents"},
     "q158_cms_heavy_hitters": {"documents"},
@@ -449,6 +451,13 @@ ORACLE_NOT_COMPARABLE = {
         "— DuckDB does no audio work while Spark synthesizes, frames "
         "and peak-detects every 16 KB PCM payload through the real "
         "binary pipeline; row records Spark-side throughput only"
+    ),
+    "q163_video_scene_cuts": (
+        "oracle computes the GENERATIVE truth (planted cut list) "
+        "closed-form from doc_id — DuckDB does no video work while "
+        "Spark PNG-encodes, strict-decodes and dHashes 16 frames per "
+        "doc and sweeps the lag window; row records Spark-side "
+        "frame-pipeline throughput only"
     ),
     "q156_triplet_mining_ann": (
         "oracle is an invariant row (exact COUNT + pinned flags); the "

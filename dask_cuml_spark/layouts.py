@@ -148,7 +148,8 @@ def ensure_layouts(
         tag = tables[0].rsplit("_", 1)[1]
         inc = None
         if name in (
-            "grams", "signs", "pq", "q02", "pack", "postings", "cms"
+            "grams", "signs", "pq", "q02", "pack", "postings", "cms",
+            "q112",
         ) and not all(
             spark.catalog.tableExists(t) for t in tables
         ):
@@ -192,6 +193,12 @@ def ensure_layouts(
                 )
 
                 inc = cms_layout_refresh(spark, sf_dir)
+            elif name == "q112":
+                from dask_cuml_spark.queries.pandas_udfs import (
+                    q112_index_refresh,
+                )
+
+                inc = q112_index_refresh(spark, sf_dir)
             else:
                 from dask_cuml_spark.queries.text import (
                     pack_layout_refresh,

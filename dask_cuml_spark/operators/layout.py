@@ -263,6 +263,18 @@ def incremental_refresh(
             continue
         if any(cur[f] != old[f] for f in old):
             continue  # an existing file changed — full-rebuild territory
+        # a missing sibling table at the matched tag means a PARTIAL
+        # build (interrupted full write, dropped sidecar): the fast
+        # path must NOT run — an append_fn's mode("append") write
+        # would silently RECREATE the sibling holding only this
+        # batch's delta, corrupting every additive sidecar consumer
+        # (the r16 eight-layout chaos test caught exactly this for the
+        # postings stats table). Full-rebuild territory.
+        if any(
+            not spark.catalog.tableExists(f"{p}{old_tag}")
+            for p in sibling_renames or ()
+        ):
+            return None
         new_rel = sorted(set(cur) - set(old))
         # only write-markers (_SUCCESS, .crc dotfiles) may be skipped:
         # a new non-marker file we don't append from would be recorded

@@ -588,3 +588,78 @@ def audio_fingerprints(
     return df.select(id_col, binary_col).mapInPandas(
         batches, AUDIO_FP_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video (round 16 — closes the D9 brief's third modality: images have
+# q44/q128/q152, audio q161; video had only frame SAMPLING). A video
+# here is what it is to a data pipeline: an ordered sequence of frame
+# payloads keyed (doc_id, frame_idx) — binary columns with typed
+# metadata, exactly the brief's "opaque binary + typed metadata"
+# posture. Scene-cut (shot-boundary) detection is the standard
+# perceptual-hash formulation (the dHash variant of Zhang 1993's
+# pairwise frame differencing): hash every frame, a cut falls where
+# consecutive frames' signatures differ by more than tau bits.
+# ---------------------------------------------------------------------------
+SCENE_SIG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("sig", LongType()),
+    ]
+)
+
+
+def scene_cut_flags(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_idx",
+    binary_col: str = "payload",
+    tau: int = 6,
+    decode_mode: str = "auto",
+) -> DataFrame:
+    """(doc_id, frame_idx, ham, is_cut) per frame: decode + dHash each
+    frame payload in ONE Arrow-batched narrow map (binary in, 12 bytes
+    out — the q152 codec posture, strict decode: malformed payloads
+    raise), then compare CONSECUTIVE frames per video with a lag
+    window over (doc_id, frame_idx) — one 8-byte-key hash exchange,
+    JVM-side xor+bit_count, no self-join (a frame-to-frame join would
+    shuffle the frame table twice and build a hash map per video for
+    what is a sort-once sweep). Frame 0 has no predecessor: ham NULL,
+    is_cut false. At 100 TB the heavy stage is the embarrassingly
+    parallel codec map; the window state is one 8-byte signature per
+    running frame."""
+    from pyspark.sql.window import Window
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = resolve_decoder(decode_mode)
+        for pdf in it:
+            rows = [
+                {
+                    "doc_id": int(d),
+                    "frame_idx": int(fi),
+                    "sig": _dhash_of(decode(bytes(p))),
+                }
+                for d, fi, p in zip(
+                    pdf[id_col], pdf[frame_col], pdf[binary_col]
+                )
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "sig"]
+            )
+
+    sigs = frames.select(id_col, frame_col, binary_col).mapInPandas(
+        batches, SCENE_SIG_SCHEMA
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("sig").over(w)
+    ham = F.when(
+        prev.isNotNull(),
+        F.bit_count(F.col("sig").bitwiseXOR(prev)),
+    )
+    return sigs.select(
+        "doc_id",
+        "frame_idx",
+        ham.alias("ham"),
+        F.coalesce(ham > F.lit(tau), F.lit(False)).alias("is_cut"),
+    )

@@ -762,7 +762,109 @@ def q112_index_layout(
         .sortBy("band_hash")
         .saveAsTable(bt)
     )
+    # manifest sidecar (r16): the append-only detector's baseline for
+    # q112_index_refresh — before r16 this was the ONLY layout without
+    # an incremental path, so an ingest stream refreshing it paid a
+    # full Θ(corpus) rebuild every micro-batch
+    from dask_cuml_spark.operators.layout import write_layout_manifest
+
+    write_layout_manifest(
+        spark,
+        sf_dir,
+        "documents.parquet",
+        _q112_manifest_table(bt.rsplit("_", 1)[1]),
+    )
     return _time.perf_counter() - t0
+
+
+def _q112_manifest_table(tag: str) -> str:
+    p = _Q112_PARAMS
+    return (
+        f"dcs_q112mf_{p['n']}_{p['num_hashes']}_{p['bands']}_{tag}"
+    )
+
+
+def q112_index_refresh(spark: SparkSession, sf_dir: str) -> float | None:
+    """Append-only incremental refresh of the q112 corpus LSH index
+    (r16 — the last layout without one; the eight-layout chaos test
+    made the per-micro-batch Θ(corpus) rebuild visible): the batch's
+    even-doc shingle sets append into the bucketed shingles table and
+    their band buckets into the bands table — minhash/banding is
+    per-doc, so the batch-wise derivation equals the full writer's —
+    Θ(|batch|), bucket specs preserved by saveAsTable append (the
+    grams/postings mechanics, shared via
+    operators/layout.incremental_refresh)."""
+    from dask_cuml_spark.operators.dedup import (
+        band_buckets,
+        hashed_shingles,
+        minhash_signatures,
+    )
+    from dask_cuml_spark.operators.layout import incremental_refresh
+
+    bt, _st = _q112_index_tables(sf_dir)
+    p = _Q112_PARAMS
+    stem = f"q112_{p['n']}_{p['num_hashes']}_{p['bands']}"
+
+    def _buckets_of(spark_, tbl):
+        return int(
+            next(
+                r.data_type
+                for r in spark_.sql(
+                    f"DESCRIBE EXTENDED {tbl}"
+                ).collect()
+                if r.col_name == "Num Buckets"
+            )
+        )
+
+    def append(spark_, new_files, old_bt):
+        old_tag = old_bt.rsplit("_", 1)[1]
+        old_st = f"dcs_{stem}_shingles_{old_tag}"
+        batch = (
+            spark_.read.parquet(*new_files)
+            .filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text")
+        )
+        # batch-sized frame fanning into two appends: pin it
+        sh = (
+            hashed_shingles(batch, "text", p["n"])
+            .select("doc_id", "shingles")
+            .localCheckpoint()
+        )
+        (
+            sh.repartition(_buckets_of(spark_, old_st), F.col("doc_id"))
+            .write.mode("append")
+            .bucketBy(_buckets_of(spark_, old_st), "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(old_st)
+        )
+        bands = band_buckets(
+            minhash_signatures(
+                sh, "doc_id", "shingles",
+                p["num_hashes"], pre_hashed=True,
+            ),
+            "doc_id",
+            p["bands"],
+            p["num_hashes"] // p["bands"],
+        )
+        nb = _buckets_of(spark_, old_bt)
+        (
+            bands.repartition(nb, F.col("band_hash"))
+            .write.mode("append")
+            .bucketBy(nb, "band_hash")
+            .sortBy("band_hash")
+            .saveAsTable(old_bt)
+        )
+
+    return incremental_refresh(
+        spark,
+        sf_dir,
+        "documents.parquet",
+        f"dcs_{stem}_bands_",
+        _q112_manifest_table,
+        bt,
+        append,
+        sibling_renames=(f"dcs_{stem}_shingles_",),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1431,3 +1533,181 @@ def q161_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprints(
         payloads, frame_w=fw, n_frames=nf
     ).select("doc_id", "n_samples", "n_peaks", "fp")
+
+
+# ---------------------------------------------------------------------------
+# q163 — VIDEO scene-cut / shot-boundary detection (round 16; closes
+# the D9 brief's third modality — images q44/q128/q152, audio q161,
+# video previously had only frame SAMPLING). A "video" is an ordered
+# sequence of binary frame payloads keyed (doc_id, frame_idx); a cut
+# falls where consecutive frames' 64-bit dHash signatures differ by
+# more than tau bits (operators/multimodal.scene_cut_flags — the
+# pairwise frame-differencing formulation of Zhang et al. 1993,
+# "Automatic partitioning of full-motion video", with the perceptual
+# hash standing in for the pixel histogram).
+#
+# Generative truth (the q152/q161 pattern — no video codecs in the
+# container, so frames are closed-form PNGs; every Spark-side piece
+# is REAL: PNG encode → STRICT decode → rational-arithmetic dHash →
+# lag window → bit_count): each doc is 16 frames split into shots by
+# n_cuts = 1 + doc_id%3 planted cuts at frames
+# c_k = ((doc_id·13 + k·(4 + doc_id%5)) % 15) + 1  (provably
+# distinct: k ≤ 2, stride ∈ [4,8], (k₁−k₂)·stride ≢ 0 mod 15).
+# Frames within a shot render ONE 8×9 pattern at a doc-dependent
+# pixel-replication scale with a PER-FRAME brightness offset — bytes
+# differ frame to frame, signatures don't (dHash's two provable
+# invariances, exercised on every frame). Detection is provable in
+# BOTH directions, not probabilistic: rows 0-1 of every pattern are a
+# monotone "parity strip" whose gradient direction encodes shot
+# parity, so CONSECUTIVE shots differ in ≥ 16 signature bits (> τ=6)
+# no matter what the splitmix-mixed rows 2-7 do, while within-shot
+# distance is exactly 0. The oracle replays the planted cut list
+# closed-form from doc_id; cuts_fp folds the ascending cut positions
+# base-131 (the q161 fold — int64-exact at ≤ 3 cuts).
+# ---------------------------------------------------------------------------
+_Q163_N_FRAMES = 16
+_Q163_TAU = 6
+
+
+def _q163_pattern(dd: int, shot: int):
+    """8×9 shot pattern: rows 0-1 = the shot-parity monotone strip
+    (the provable ≥16-bit cross-cut margin), rows 2-7 splitmix-mixed
+    per (doc, shot, cell) — q152's mixing (a linear form measured
+    cross-key hamming-0 collisions; the finalizer doesn't)."""
+    import numpy as np
+
+    M = (1 << 64) - 1
+
+    def mix(x: int) -> int:
+        x &= M
+        x = (x ^ (x >> 33)) * 0xFF51AFD7ED558CCD & M
+        x = (x ^ (x >> 33)) * 0xC4CEB9FE1A85EC53 & M
+        return x ^ (x >> 33)
+
+    out = np.zeros((8, 9), dtype=np.int64)
+    cols = np.arange(9, dtype=np.int64)
+    strip = 40 + cols * 10 if shot % 2 == 0 else 120 - cols * 10
+    out[0] = strip
+    out[1] = strip
+    for r in range(2, 8):
+        for c in range(9):
+            out[r, c] = 32 + (
+                mix(
+                    dd * 0x9E3779B97F4A7C15
+                    + shot * 0xD6E8FEB86659FD93
+                    + r * 0xBF58476D1CE4E5B9
+                    + c * 0x94D049BB133111EB
+                )
+                % 160
+            )
+    return out
+
+
+@register(
+    "q163_video_scene_cuts",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         list_sort(list_transform(
+           range(1 + doc_id % 3),
+           k -> ((doc_id * 13 + k * (4 + doc_id % 5)) % 15) + 1
+         )) AS cuts
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_Q163_N_FRAMES} AS INTEGER) AS n_frames,
+       CAST(len(cuts) AS INTEGER) AS n_cuts,
+       CAST(list_sum(list_transform(
+         range(len(cuts)), i -> (cuts[i + 1] + 1) * (131 ** i)
+       )) AS BIGINT) AS cuts_fp
+FROM p
+""",
+)
+def q163_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from dask_cuml_spark.operators.multimodal import (
+        _png_encode_gray,
+        scene_cut_flags,
+    )
+
+    nf = _Q163_N_FRAMES
+    # explode to (doc, frame) BEFORE spreading so the codec map — the
+    # only heavy stage — parallelizes over frames, not docs (q128's
+    # core-spreading; the shuffled payload is 12 bytes/row)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(nf - 1))
+            ).alias("frame_idx"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat_cache: dict = {}
+        cut_cache: dict = {}
+        for pdf in it:
+            rows = []
+            for doc_id, fi in zip(pdf["doc_id"], pdf["frame_idx"]):
+                dd, f = int(doc_id), int(fi)
+                cuts = cut_cache.get(dd)
+                if cuts is None:
+                    stride = 4 + dd % 5
+                    cuts = sorted(
+                        ((dd * 13 + k * stride) % 15) + 1
+                        for k in range(1 + dd % 3)
+                    )
+                    cut_cache[dd] = cuts
+                shot = sum(1 for c in cuts if c <= f)
+                pat = pat_cache.get((dd, shot))
+                if pat is None:
+                    pat = _q163_pattern(dd, shot)
+                    pat_cache[(dd, shot)] = pat
+                sy, sx = 1 + dd % 2, 1 + (dd // 2) % 2
+                off = (f % 5) * 7  # per-FRAME brightness: bytes vary
+                img = (
+                    np.repeat(np.repeat(pat, sy, axis=0), sx, axis=1)
+                    + off
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "doc_id": dd,
+                        "frame_idx": f,
+                        "payload": _png_encode_gray(img),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "payload"]
+            )
+
+    frames = d.mapInPandas(
+        gen, "doc_id long, frame_idx int, payload binary"
+    )
+    flags = scene_cut_flags(
+        frames, tau=_Q163_TAU, decode_mode="png"
+    )
+    agg = flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum(F.col("is_cut").cast("int")).cast("int").alias("n_cuts"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("is_cut"), F.col("frame_idx")))
+        ).alias("_cuts"),
+    )
+    # fold ascending cut positions base-131: Horner over the REVERSED
+    # list ≡ Σ (pos_i + 1)·131^i (the q161 fold, int64-exact)
+    return agg.select(
+        "doc_id",
+        "n_frames",
+        "n_cuts",
+        F.aggregate(
+            F.reverse(F.col("_cuts")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * F.lit(131).cast("long")
+            + x.cast("long")
+            + F.lit(1).cast("long"),
+        ).alias("cuts_fp"),
+    )

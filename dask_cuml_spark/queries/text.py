@@ -3894,12 +3894,28 @@ def q158_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("a") * F.col("x") + F.col("b"), F.lit(_Q158_P)),
         F.lit(_Q158_W),
     )
-    counters = (
-        tok.crossJoin(F.broadcast(spark_rows))
-        .select("r", bucket.alias("bucket"))
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    (cms_tbl,) = _cms_tables(sf_dir)
+    if spark.catalog.tableExists(cms_tbl):
+        # served (r16 verdict task 4): candidate scoring reads the
+        # SAME stored (r, bucket) delta SUM q160's point queries do —
+        # the d×w counter pass (the ×4 crossJoin over every corpus
+        # token, the dominant stage at 1000×) disappears; the only
+        # corpus-sized work left is the cand scan, which exists to
+        # carry the ground-truth true_n column. Delta additivity is
+        # pytest-pinned (stored ≡ fresh counters bit-for-bit), so the
+        # same full-value oracle proves this branch.
+        counters = (
+            spark.table(cms_tbl)
+            .groupBy("r", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        counters = (
+            tok.crossJoin(F.broadcast(spark_rows))
+            .select("r", bucket.alias("bucket"))
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     cand = tok.groupBy("term").agg(
         F.any_value("x").alias("x"),
         F.count(F.lit(1)).alias("true_n"),

@@ -2500,3 +2500,255 @@ def q156_triplet_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("margin_agree_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — hybrid retrieval via reciprocal-rank fusion (round 16;
+# Cormack, Clarke & Buettcher, SIGIR 2009: RRF outperforms Condorcet
+# and individual rank-learning fusion): the table-stakes 2026 RAG
+# shape — fuse a SPARSE Okapi-BM25 ranking (q155's machinery, same
+# terms) with a DENSE embedding ranking (query-by-example: the
+# embedding of doc _Q162_QV) over the D9 multimodal join key
+# (documents.doc_id = embeddings.vec_id).
+# RRF(d) = Σ_legs 1/(C + rank_leg(d)), C = 60 (the paper's constant),
+# over the union of the two per-leg top-_Q162_LEG_K lists.
+#
+# Determinism/full-value oracle: each leg ranks by its ROUND(...,6)
+# score with a doc_id tie-break (the q155/q157 engine-stability
+# lesson), ranks are small exact integers, and each RRF contribution
+# is ONE correctly-rounded double division 1/(60+rk) — identical in
+# both engines — summed over ≤2 order-independent terms (IEEE
+# addition is commutative). Adjacent-rank fused-score gaps are
+# ≥ 1/(C+K−1) − 1/(C+K) ≈ 8.4e-5 at leg depth 50, four orders above
+# the ROUND(...,9) grid, so the rounded ordering is stable.
+#
+# Fusion plan shape: NO join — each leg's (doc_id, rank) list (≤50
+# rows) flows through ONE union + tiny hash aggregate (a full-outer
+# join of the legs would force a shuffle join plan for nothing), then
+# one TakeOrderedAndProject(_Q162_TOPK). At 100 TB the legs dominate:
+# BM25 is Θ(postings(q)) served / one-scan plain, dense is a
+# broadcast-1-query scan → map-side top-k; the fusion itself touches
+# ≤ 2·_Q162_LEG_K rows regardless of corpus size.
+#
+# Multi-layout serving (the r15 verdict's "first multi-layout
+# consumer"): a provisioned session serves the sparse leg from the
+# STORED postings index (q155's branch — no corpus scan) AND the
+# dense leg from the STORED binary-signature index (q145's signs
+# layout: 16-byte/row hamming scan → top-_Q162_SHORTLIST shortlist →
+# exact re-rank) in ONE query. The served dense leg re-ranks with the
+# exact dot, so it equals the plain leg whenever the true top-50
+# survives the shortlist — pinned exactly-equal on the fixture
+# (serving-identity pytest); at scale shortlist recall is the
+# measured knob and Θ(shortlist) the refine cost. Fresh sessions (the
+# driver's gate) always run the plain exact legs, which the DuckDB
+# oracle replays in full.
+# ---------------------------------------------------------------------------
+_Q162_QV = 0  # query-by-example: whose embedding is the dense query
+_Q162_LEG_K = 50  # per-leg ranking depth feeding the fusion
+_Q162_RRF_C = 60  # Cormack-Clarke RRF constant
+_Q162_TOPK = 20
+# Signs-served dense-leg hamming shortlist. Sized ≥ the fixture corpus
+# (500 vectors) so the served leg's exact re-rank sees EVERY candidate
+# there — identity with the plain leg is structural, not an empirical
+# recall accident (measured: on this fixture's near-uniform cosine
+# spectrum, SRP hamming top-200 covers only 84% of the true dot top-50;
+# top-400 covers 100%). The layout machinery is still the real serving
+# path: 16-byte/row stored-signature scan → hamming top-S → Θ(S) exact
+# re-rank. Production sizes S to a measured recall target instead —
+# recall is the knob, never silent (the q145 posture).
+_Q162_SHORTLIST = 1000
+
+
+def _q162_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dense_rk): the dense leg — corpus ranked by exact
+    cosine (dot on the unit-norm fixture) against ONE broadcast query
+    vector, restricted to ids present in documents (the D9 join),
+    rank on the ROUND(...,6) score. Served from the stored signature
+    index when provisioned (shortlist + exact re-rank → identical
+    list when the shortlist covers the true top-K; q145's layout)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    d_ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_did")
+    )
+    qf = e.filter(F.col("vec_id") == _Q162_QV).select(
+        F.col("embedding").alias("qv")
+    )
+    (sig_tbl,) = _sig_tables(sf_dir, _Q145_NBITS, 7)
+    if spark.catalog.tableExists(sig_tbl):
+        # signs-served: hamming shortlist off the 16-byte/row stored
+        # signatures, then exact re-rank over candidate rows only
+        import numpy as np
+
+        from dask_cuml_spark.operators.binhash import (
+            hamming_candidates,
+            hyperplanes,
+            signatures_of,
+        )
+        from dask_cuml_spark.operators.quantize import GATE_BYTES
+
+        qrow = e.filter(F.col("vec_id") == _Q162_QV).first()
+        Q = np.asarray(qrow["embedding"], dtype=np.float64)[None, :]
+        planes = hyperplanes(_Q145_NBITS, Q.shape[1], 7)
+        qsig = [int(w) for w in signatures_of(Q, planes)[0]]
+        big = source_size_bytes(sf_dir, "embeddings") > GATE_BYTES
+        scored = hamming_candidates(
+            spark.table(sig_tbl),
+            [(int(_Q162_QV), qsig)],
+            shortlist=_Q162_SHORTLIST,
+            strategy="kernel" if big else "expr",
+        )
+        wsh = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+        short = (
+            scored.withColumn("_r", F.row_number().over(wsh))
+            .filter(F.col("_r") <= _Q162_SHORTLIST)
+            .select("neighbor_id")
+        )
+        cand = e.join(
+            F.broadcast(short), e.vec_id == F.col("neighbor_id")
+        ).select("vec_id", "embedding")
+    else:
+        cand = _par(e)
+    sc = (
+        cand.join(d_ids, cand.vec_id == d_ids._did, "left_semi")
+        .crossJoin(F.broadcast(qf))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot("embedding", "qv"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    return (
+        sc.orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_Q162_LEG_K)
+        .withColumn("dense_rk", F.row_number().over(w))
+        .select("doc_id", "dense_rk")
+    )
+
+
+@register(
+    "q162_hybrid_rrf_retrieval",
+    oracle=f"""
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         t.term AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE t.term IN ('vector', 'fast', 'dup')
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, dl, term
+), dfr AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           LN(1 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2
+              * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfr USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), bm AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+              AS INTEGER) AS bm25_rk
+  FROM scored ORDER BY score DESC, doc_id LIMIT {_Q162_LEG_K}
+), qv AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {_Q162_QV}
+), dn0 AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_aggregate(list_transform(list_zip(e.embedding, qv.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 6) AS cos_sim
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id
+  CROSS JOIN qv
+), dn AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)
+              AS INTEGER) AS dense_rk
+  FROM dn0 ORDER BY cos_sim DESC, doc_id LIMIT {_Q162_LEG_K}
+), fused AS (
+  SELECT doc_id,
+         MAX(CASE WHEN leg = 'bm' THEN rk_leg END) AS bm25_rk,
+         MAX(CASE WHEN leg = 'dn' THEN rk_leg END) AS dense_rk,
+         ROUND(SUM(CAST(1 AS DOUBLE) / ({_Q162_RRF_C} + rk_leg)), 9)
+           AS rrf_score
+  FROM (SELECT doc_id, 'bm' AS leg, bm25_rk AS rk_leg FROM bm
+        UNION ALL
+        SELECT doc_id, 'dn' AS leg, dense_rk AS rk_leg FROM dn)
+  GROUP BY doc_id
+)
+SELECT doc_id, bm25_rk, dense_rk, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+            AS INTEGER) AS rk
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_Q162_TOPK}
+""",
+)
+def q162_hybrid_rrf_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dask_cuml_spark.queries.text import (
+        _Q155_TERMS,
+        _bm25_from_postings,
+        _postings_tables,
+        bm25_rank,
+    )
+
+    # sparse leg — postings-served when provisioned (q155's branch)
+    ptbl, stbl = _postings_tables(sf_dir)
+    if spark.catalog.tableExists(ptbl) and spark.catalog.tableExists(stbl):
+        bm = _bm25_from_postings(
+            spark, sf_dir, _Q155_TERMS, top_k=_Q162_LEG_K
+        )
+    else:
+        bm = bm25_rank(
+            load_table(spark, sf_dir, "documents"),
+            _Q155_TERMS,
+            top_k=_Q162_LEG_K,
+        )
+    bm = bm.select("doc_id", F.col("rk").alias("bm25_rk"))
+    dn = _q162_dense_rank(spark, sf_dir)
+
+    # fusion: union + ONE tiny hash aggregate over ≤ 2·LEG_K rows (no
+    # join — a full-outer of the legs would compile to a shuffle join)
+    contribs = bm.select(
+        "doc_id",
+        F.lit("bm").alias("_leg"),
+        F.col("bm25_rk").alias("_rk"),
+    ).unionByName(
+        dn.select(
+            "doc_id",
+            F.lit("dn").alias("_leg"),
+            F.col("dense_rk").alias("_rk"),
+        )
+    )
+    fused = contribs.groupBy("doc_id").agg(
+        F.max(F.when(F.col("_leg") == "bm", F.col("_rk"))).alias(
+            "bm25_rk"
+        ),
+        F.max(F.when(F.col("_leg") == "dn", F.col("_rk"))).alias(
+            "dense_rk"
+        ),
+        F.round(
+            F.sum(
+                F.lit(1.0)
+                / (F.lit(float(_Q162_RRF_C)) + F.col("_rk").cast("double"))
+            ),
+            9,
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_Q162_TOPK)
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "bm25_rk", "dense_rk", "rrf_score", "rk")
+    )

@@ -4361,12 +4361,21 @@ def test_cms_layout_additive_refresh(spark, tmp_path):
     plain = sorted(
         map(tuple, T.q160_cms_point_query(spark, sf).collect())
     )
+    plain158 = sorted(
+        map(tuple, T.q158_cms_heavy_hitters(spark, sf).collect())
+    )
     first = ensure_layouts(spark, sf, layouts=("cms",))
     assert first["cms"] > 0.0
     served = sorted(
         map(tuple, T.q160_cms_point_query(spark, sf).collect())
     )
     assert served == plain
+    # q158's candidate scoring reads the same stored (r,bucket) SUM
+    # (r16): heavy hitters must be identical served vs plain
+    served158 = sorted(
+        map(tuple, T.q158_cms_heavy_hitters(spark, sf).collect())
+    )
+    assert served158 == plain158
 
     synth_staging_files(
         str(tmp_path / "stage"), n_batches=1, rows_per_batch=40,
@@ -4443,3 +4452,314 @@ def test_audio_fingerprints_hand_built_and_strictness(spark):
     )
     with _pytest.raises(Exception, match="expected"):
         audio_fingerprints(bad, frame_w=fw, n_frames=nf).collect()
+
+
+def test_q162_multi_layout_serving_identity(spark, tmp_path):
+    """q162 (round 16) is the first MULTI-layout consumer: with the
+    postings inverted index AND the binary-signature index both
+    provisioned, the sparse leg serves from the stored postings
+    (q155's branch) and the dense leg from the stored signatures
+    (hamming shortlist + exact re-rank) in ONE query — and the fused
+    output is EXACTLY the plain session's (the shortlist is sized ≥
+    the fixture corpus, so the served exact re-rank sees every
+    candidate — identity is structural there; at scale shortlist
+    recall is the measured knob, never silent)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.vector as V
+    from dask_cuml_spark.layouts import ensure_layouts
+    from dask_cuml_spark.queries.text import _postings_tables
+
+    sf = str(tmp_path / "sf")
+    for t in ("documents", "embeddings"):
+        tdir = f"{sf}/{t}.parquet"
+        os.makedirs(tdir)
+        pq_mod.write_table(
+            pq_mod.read_table(f"/root/testdata/sf0.001/{t}.parquet"),
+            os.path.join(tdir, "part-0.parquet"),
+        )
+    plain = sorted(
+        map(tuple, V.q162_hybrid_rrf_retrieval(spark, sf).collect())
+    )
+    assert len(plain) > 0
+    built = ensure_layouts(spark, sf, layouts=("postings", "signs"))
+    assert built["postings"] > 0.0 and built["signs"] > 0.0
+    # both gates really open — the query takes both stored paths
+    ptbl, stbl = _postings_tables(sf)
+    (sig,) = V._sig_tables(sf, V._Q145_NBITS, 7)
+    assert spark.catalog.tableExists(ptbl)
+    assert spark.catalog.tableExists(stbl)
+    assert spark.catalog.tableExists(sig)
+    served = sorted(
+        map(tuple, V.q162_hybrid_rrf_retrieval(spark, sf).collect())
+    )
+    assert served == plain
+
+
+def test_scene_cut_flags_hand_built_and_strict(spark):
+    """scene_cut_flags (q163's operator) on hand-built frame tables:
+    planted cuts recovered exactly — within-shot dHash distance is 0
+    under per-frame brightness shifts AND replication rescales (the
+    two provable invariances), cross-shot distance ≥ 16 via the
+    parity strip — frame 0 is never a cut, and a malformed payload
+    raises (the strict-decode convention)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dask_cuml_spark.operators.multimodal import (
+        _png_encode_gray,
+        scene_cut_flags,
+    )
+    from dask_cuml_spark.queries.pandas_udfs import _q163_pattern
+
+    rows = []
+    # video 7: cut planted at frame 2; brightness varies per frame
+    for f in range(4):
+        shot = 1 if f >= 2 else 0
+        img = (_q163_pattern(7, shot) + (f % 3) * 5).astype(np.uint8)
+        rows.append((7, f, bytearray(_png_encode_gray(img))))
+    # video 8: ONE shot, per-frame replication rescale (sig-invariant)
+    for f in range(3):
+        img = np.repeat(
+            np.repeat(_q163_pattern(8, 0), 1 + f % 2, axis=0), 2, axis=1
+        ).astype(np.uint8)
+        rows.append((8, f, bytearray(_png_encode_gray(img))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, payload binary"
+    )
+    out = {
+        (r.doc_id, r.frame_idx): (r.ham, r.is_cut)
+        for r in scene_cut_flags(
+            df, tau=6, decode_mode="png"
+        ).collect()
+    }
+    assert out[(7, 0)] == (None, False)
+    assert out[(7, 1)] == (0, False)
+    assert out[(7, 2)][0] >= 16 and out[(7, 2)][1]
+    assert out[(7, 3)] == (0, False)
+    assert all(out[(8, f)][0] in (None, 0) for f in range(3))
+    assert not any(out[(8, f)][1] for f in range(3))
+    bad = spark.createDataFrame(
+        [(9, 0, bytearray(b"notapng"))],
+        "doc_id long, frame_idx int, payload binary",
+    )
+    with _pytest.raises(Exception, match="PNG|png|decode|signature"):
+        scene_cut_flags(bad, decode_mode="png").collect()
+
+
+def test_ingest_stream_all_eight_layouts_chaos(spark, tmp_path):
+    """r16 verdict task 5: ALL EIGHT stored layouts driven through
+    ingest streams in one test, with interleaved refresh modes in a
+    single run — a partially-built layout (its sidecar dropped) must
+    fall back to its FULL writer while every other layout refreshes
+    incrementally (their full writers are poisoned to prove it), with
+    write-marker files (_SUCCESS, .crc, underscore-named parquet)
+    dropped into both corpus dirs mid-stream (markers must be skipped
+    by the append detector and by every reader, never consumed into a
+    manifest as real data). Afterwards every layout's stored state
+    equals a fresh derivation over the grown corpus."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    import dask_cuml_spark.queries.pandas_udfs as P
+    import dask_cuml_spark.queries.relational as R
+    import dask_cuml_spark.queries.text as T
+    import dask_cuml_spark.queries.vector as V
+    from dask_cuml_spark.io import load_table as lt
+    from dask_cuml_spark.layouts import ensure_layouts
+    from dask_cuml_spark.operators.binhash import (
+        hyperplanes,
+        sign_signatures,
+    )
+    from dask_cuml_spark.operators.dedup import hashed_shingles
+    from dask_cuml_spark.streaming.ingest import (
+        run_ingest_stream,
+        synth_staging_files,
+    )
+
+    sf = str(tmp_path / "sf")
+    srcs = {}
+    for t in ("documents", "embeddings", "orders", "lineitem"):
+        tdir = f"{sf}/{t}.parquet"
+        os.makedirs(tdir)
+        srcs[t] = pq_mod.read_table(
+            f"/root/testdata/sf0.001/{t}.parquet"
+        )
+        pq_mod.write_table(
+            srcs[t], os.path.join(tdir, "part-0.parquet")
+        )
+    ddir, edir = f"{sf}/documents.parquet", f"{sf}/embeddings.parquet"
+    eight = (
+        "q02", "grams", "q112", "pq", "signs", "pack", "postings",
+        "cms",
+    )
+    first = ensure_layouts(spark, sf, layouts=eight)
+    assert all(first[n] > 0.0 for n in eight)
+
+    start = 1 + max(
+        srcs["documents"].column("doc_id").to_pylist()
+        + srcs["embeddings"].column("vec_id").to_pylist()
+    )
+    # stream A: clean append — every corpus layout incremental, q02
+    # (orders/lineitem untouched by ingest) a 0.0 no-op
+    synth_staging_files(
+        str(tmp_path / "stageA"), n_batches=1, rows_per_batch=40,
+        start_doc_id=start,
+    )
+    stats_a = run_ingest_stream(
+        spark, sf, str(tmp_path / "stageA"),
+        str(tmp_path / "ckptA"), layouts=eight,
+    )
+    assert [s["rows"] for s in stats_a] == [40]
+    assert set(stats_a[0]["refresh_sec"]) == set(eight)
+    assert stats_a[0]["refresh_sec"]["q02"] == 0.0
+
+    # chaos before stream B: (1) partial build — drop the postings
+    # STATS sidecar only; (2) write-marker litter in both corpus dirs
+    _ppt, _pst = T._postings_tables(sf)
+    spark.sql(f"DROP TABLE IF EXISTS {_pst}")
+    open(os.path.join(ddir, "_SUCCESS"), "w").close()
+    with open(os.path.join(ddir, ".stray.crc"), "w") as fh:
+        fh.write("junk")
+    with open(os.path.join(ddir, "_hidden.parquet"), "w") as fh:
+        fh.write("not parquet at all")
+    open(os.path.join(edir, "_SUCCESS"), "w").close()
+
+    # stream B: postings MUST take its full writer (spied), every
+    # other corpus layout MUST stay incremental (poisoned)
+    calls = {"postings": 0}
+    real_postings = T.postings_layout
+
+    def _spy(sp, sd):
+        calls["postings"] += 1
+        return real_postings(sp, sd)
+
+    def _boom(*_a, **_k):
+        raise AssertionError("poisoned full writer ran during stream B")
+
+    synth_staging_files(
+        str(tmp_path / "stageB"), n_batches=1, rows_per_batch=40,
+        start_doc_id=start + 40,
+    )
+    saved = (
+        T.gram_layout, V.signature_layout, V.pq_layout, T.pack_layout,
+        T.cms_layout, P.q112_index_layout, R.q02_bucketed_layout,
+        T.postings_layout,
+    )
+    T.gram_layout = V.signature_layout = V.pq_layout = _boom
+    T.pack_layout = T.cms_layout = _boom
+    P.q112_index_layout = R.q02_bucketed_layout = _boom
+    T.postings_layout = _spy
+    try:
+        stats_b = run_ingest_stream(
+            spark, sf, str(tmp_path / "stageB"),
+            str(tmp_path / "ckptB"), layouts=eight,
+        )
+    finally:
+        (T.gram_layout, V.signature_layout, V.pq_layout, T.pack_layout,
+         T.cms_layout, P.q112_index_layout, R.q02_bucketed_layout,
+         T.postings_layout) = saved
+    assert [s["rows"] for s in stats_b] == [40]
+    assert calls["postings"] >= 1  # the fallback full rebuild ran
+
+    d_grown = lt(spark, sf, "documents")
+    e_grown = lt(spark, sf, "embeddings")
+    assert d_grown.count() == srcs["documents"].num_rows + 80
+    assert e_grown.count() == srcs["embeddings"].num_rows + 80
+
+    # --- per-layout stored ≡ fresh over the grown corpus ---
+    # grams
+    stored = sorted(
+        map(tuple, spark.table(T._gram_table(sf)).collect())
+    )
+    fresh = sorted(
+        map(tuple, T._positioned_grams(spark, sf).collect())
+    )
+    assert stored == fresh and len(stored) > 0
+    # signs
+    e_ne = e_grown.select("vec_id", "embedding")
+    dim = len(
+        e_ne.filter(F.col("embedding").isNotNull()).first()["embedding"]
+    )
+    fresh_sigs = sorted(
+        (r[0], list(r[1]))
+        for r in sign_signatures(
+            e_ne, "vec_id", "embedding", hyperplanes(128, dim, 7)
+        ).collect()
+    )
+    (st,) = V._sig_tables(sf)
+    stored_sigs = sorted(
+        (r[0], list(r[1])) for r in spark.table(st).collect()
+    )
+    assert stored_sigs == fresh_sigs and len(stored_sigs) > 0
+    # pq: serving contract reads the refreshed store, full coverage
+    _cb, _ct, coded, from_layout = V._pq_serving(spark, sf)
+    assert from_layout and coded.count() == e_grown.count()
+    # pack
+    stored_pack = sorted(
+        map(tuple, spark.table(T._pack_tables(sf)[0]).collect())
+    )
+    fresh_pack = sorted(
+        map(tuple, T._placements_plain(spark, sf).collect())
+    )
+    assert stored_pack == fresh_pack and len(stored_pack) > 0
+    # postings (rebuilt from scratch mid-chaos): table ≡ fresh AND the
+    # stats sidecar sums to the grown corpus truth again
+    pptbl, pstbl = T._postings_tables(sf)
+    stored_post = sorted(map(tuple, spark.table(pptbl).collect()))
+    fresh_post = sorted(
+        map(tuple, T._postings_frame(spark, sf).collect())
+    )
+    assert stored_post == fresh_post and len(stored_post) > 0
+    srow = spark.table(pstbl).agg(
+        F.sum("n_docs"), F.sum("sum_dl")
+    ).first()
+    struth = T._postings_stats_delta(d_grown).first()
+    assert (srow[0], srow[1]) == (struth[0], struth[1])
+    # cms: summed stored deltas ≡ a from-scratch recount
+    (ctbl,) = T._cms_tables(sf)
+    stored_cms = sorted(
+        map(
+            tuple,
+            spark.table(ctbl)
+            .groupBy("r", "bucket")
+            .agg(F.sum("c").alias("c"))
+            .collect(),
+        )
+    )
+    fresh_cms = sorted(
+        map(tuple, T._cms_counters(spark, sf).collect())
+    )
+    assert stored_cms == fresh_cms and len(stored_cms) > 0
+    # q112: stored shingle index ≡ fresh derivation (its corpus slice)
+    _bt, q112_st = P._q112_index_tables(sf)
+    stored_sh = sorted(
+        (r[0], sorted(r[1]))
+        for r in spark.table(q112_st).collect()
+    )
+    fresh_sh = sorted(
+        (r[0], sorted(r[1]))
+        for r in hashed_shingles(
+            d_grown.filter(F.col("doc_id") % 2 == 0).select(
+                "doc_id", "text"
+            ),
+            "text",
+            P._Q112_PARAMS["n"],
+        ).select("doc_id", "shingles").collect()
+    )
+    assert stored_sh == fresh_sh and len(stored_sh) > 0
+    # q02: bucketed tables still serve the (unchanged) fact tables
+    bo, bl = R._q02_bucket_tables(sf)
+    assert spark.table(bo).count() == srcs["orders"].num_rows
+    assert spark.table(bl).count() == srcs["lineitem"].num_rows
+    assert stats_b[0]["refresh_sec"]["q02"] == 0.0
+
+    # cleanup: drop every layout table + manifest for this tmp corpus
+    for tname in (
+        T._gram_table(sf), st, *V._pq_tables(sf), T._pack_tables(sf)[0],
+        pptbl, pstbl, ctbl, _bt, q112_st, bo, bl,
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")

@@ -404,3 +404,21 @@ def test_q158_cms_broadcast_counters_plan(spark):
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "Exchange rangepartitioning" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q162_rrf_fusion_plan(spark):
+    """The RRF fusion must not JOIN the legs: each leg ends in a
+    TakeOrderedAndProject (already one partition), the two ≤50-row
+    rank lists meet in a Union feeding ONE tiny hash aggregate, and
+    the fused top-20 is another TakeOrderedAndProject. No
+    SortMergeJoin, no rangepartitioning, and the only SinglePartition
+    exchange is the BM25 corpus-stats scalar aggregate (q155's
+    allowance); every join inside the legs is broadcast (1-query NLJ
+    + the D9 semi join)."""
+    plan = _plan(spark, "q162_hybrid_rrf_retrieval")
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+    assert "Union" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
