@@ -104,6 +104,7 @@ _PRIORITY = [
     #    MUST lead the r17 window, before the r13 leftovers.
     "q162_hybrid_rrf_retrieval",
     "q163_video_scene_cuts",
+    "q164_retrieval_metrics",
     # -- r13-evidence leftovers (47 rows, 43 slots): lead r17 after
     #    any r16-registered queries
     "q147_perplexity_buckets",

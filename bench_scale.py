@@ -124,6 +124,7 @@ TABLES_FOR = {
     "q155_bm25_retrieval": {"documents"},
     "q162_hybrid_rrf_retrieval": {"documents", "embeddings"},
     "q163_video_scene_cuts": {"documents"},
+    "q164_retrieval_metrics": {"documents"},
     "q156_triplet_mining_ann": {"embeddings"},
     "q157_weighted_sample": {"documents"},
     "q158_cms_heavy_hitters": {"documents"},

@@ -4460,3 +4460,185 @@ def q160_cms_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_n")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — retrieval evaluation metrics (round 16; completes the D5
+# retrieval family q155 → ANN → q162 fusion with the step every RAG
+# pipeline runs on every index build: MRR, nDCG@10, precision@10,
+# recall@10 — Järvelin & Kekäläinen 2002 for nDCG, the classic
+# rank-metric suite otherwise) over the BM25 ranking, against a
+# GENERATIVE binary relevance label (rel(d) = doc_id % 7 == 3 — the
+# q152/q161/q163 closed-form-truth convention: the METRIC arithmetic
+# is what's under test, and DuckDB replays label + ranking + metric
+# in full).
+#
+# Determinism: ranks are exact ints from q155's ROUND(,6)-score
+# ordering; each DCG term is 1/log2(rk+1) — engine log2 may differ in
+# the last ulp and the ≤10-term sum order is engine-chosen, so
+# results agree to ~1e-15 and the ROUND(...,6) emitted values are
+# identical (9 orders of margin). IDCG folds over
+# sequence(1, min(R,10)) where R = corpus relevant count.
+#
+# Scale shape: the ranking leg is q155's (postings-served when
+# provisioned, Θ(postings(q))); the label join is a column expression
+# on the ≤20-row ranked frame; the corpus relevant count is ONE
+# map-side-combinable scalar agg; everything downstream touches ≤ 2
+# broadcast 1-row frames. Evaluating a retrieval stack at 100 TB
+# costs one ranking + one count — the metric math is free.
+# ---------------------------------------------------------------------------
+_Q164_K = 10
+_Q164_RANK_DEPTH = 20
+
+
+@register(
+    "q164_retrieval_metrics",
+    oracle=f"""
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         t.term AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE t.term IN ('vector', 'fast', 'dup')
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, dl, term
+), dfr AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           LN(1 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (tf.tf * ({_Q155_K1} + 1))
+           / (tf.tf + {_Q155_K1}
+              * (1 - {_Q155_B} + {_Q155_B} * tf.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfr USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), bm AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+              AS INTEGER) AS rk
+  FROM scored ORDER BY score DESC, doc_id LIMIT {_Q164_RANK_DEPTH}
+), lab AS (
+  SELECT rk, CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS rel
+  FROM bm
+), relcnt AS (
+  SELECT COUNT(*) AS n_rel FROM documents WHERE doc_id % 7 = 3
+), aggs AS (
+  SELECT COUNT(*) AS n_ranked,
+         MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+         SUM(CASE WHEN rel = 1 AND rk <= {_Q164_K}
+             THEN 1 ELSE 0 END) AS hits,
+         SUM(CASE WHEN rel = 1 AND rk <= {_Q164_K}
+             THEN CAST(1 AS DOUBLE) / log2(CAST(rk + 1 AS DOUBLE))
+             ELSE 0 END) AS dcg
+  FROM lab
+), idcg AS (
+  SELECT n_rel,
+         COALESCE(list_sum(list_transform(
+           range(1, LEAST(n_rel, {_Q164_K}) + 1),
+           i -> CAST(1 AS DOUBLE) / log2(CAST(i + 1 AS DOUBLE))
+         )), 0) AS ideal
+  FROM relcnt
+)
+SELECT CAST(n_ranked AS BIGINT) AS n_ranked,
+       CAST(n_rel AS BIGINT) AS n_relevant,
+       ROUND(COALESCE(CAST(1 AS DOUBLE) / first_rel, 0), 6) AS mrr,
+       ROUND(CASE WHEN ideal > 0 THEN dcg / ideal ELSE 0 END, 6)
+         AS ndcg_at_k,
+       ROUND(CAST(hits AS DOUBLE) / {_Q164_K}, 6) AS precision_at_k,
+       ROUND(CASE WHEN n_rel > 0
+             THEN CAST(hits AS DOUBLE) / n_rel ELSE 0 END, 6)
+         AS recall_at_k
+FROM aggs CROSS JOIN idcg
+""",
+)
+def q164_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _Q164_K
+    d = load_table(spark, sf_dir, "documents")
+    ptbl, stbl = _postings_tables(sf_dir)
+    if spark.catalog.tableExists(ptbl) and spark.catalog.tableExists(stbl):
+        bm = _bm25_from_postings(
+            spark, sf_dir, _Q155_TERMS, top_k=_Q164_RANK_DEPTH
+        )
+    else:
+        bm = bm25_rank(d, _Q155_TERMS, top_k=_Q164_RANK_DEPTH)
+    lab = bm.select(
+        "rk",
+        (F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+        .cast("int")
+        .alias("rel"),
+    )
+    one = F.lit(1.0)
+    aggs = lab.agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum(
+            F.when(
+                (F.col("rel") == 1) & (F.col("rk") <= k), 1
+            ).otherwise(0)
+        ).alias("hits"),
+        F.sum(
+            F.when(
+                (F.col("rel") == 1) & (F.col("rk") <= k),
+                one / F.log2(F.col("rk").cast("double") + F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg"),
+    )
+    relcnt = d.agg(
+        F.sum(
+            (F.pmod(F.col("doc_id"), F.lit(7)) == 3).cast("long")
+        ).alias("n_rel")
+    )
+    idcg = relcnt.select(
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0,
+            F.aggregate(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.col("n_rel"), F.lit(k)).cast("int"),
+                ),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + one / F.log2(i.cast("double") + F.lit(1.0)),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ideal"),
+    )
+    return (
+        aggs.crossJoin(F.broadcast(idcg))
+        .select(
+            F.col("n_ranked").cast("long").alias("n_ranked"),
+            F.col("n_rel").cast("long").alias("n_relevant"),
+            F.round(
+                F.coalesce(
+                    one / F.col("first_rel").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.when(
+                    F.col("ideal") > 0, F.col("dcg") / F.col("ideal")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg_at_k"),
+            F.round(
+                F.col("hits").cast("double") / F.lit(float(k)), 6
+            ).alias("precision_at_k"),
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.col("hits").cast("double")
+                    / F.col("n_rel").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
