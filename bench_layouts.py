@@ -138,6 +138,10 @@ def duck_timed(sf_dir, name, tables):
 def drop_layout(spark, layout, sf):
     import dask_cuml_spark.queries.vector as V
 
+    if isinstance(layout, tuple):
+        for one in layout:
+            drop_layout(spark, one, sf)
+        return
     tables = {
         "q02": rel._q02_bucket_tables(sf),
         "grams": (T._gram_table(sf),),
@@ -164,18 +168,25 @@ def bench_consumers(spark, sf, layout, consumers, out, factor=1):
 
     drop_layout(spark, layout, sf)
     plain = {}
-    for name, tables, expect_branch in consumers:
+    for name, *_rest in consumers:
         plain[name] = timed3(
             lambda n=name: QUERIES[n](spark, sf).collect(), f"{name} plain"
         )
-    w = ensure_layouts(spark, sf, layouts=(layout,))[layout]
-    print(f"{layout} layout write: {w:.1f} s", flush=True)
-    for name, tables, expect_branch in consumers:
+    # a tuple-valued leg provisions SEVERAL layouts for one consumer
+    # (r16: q162 serves its sparse leg from postings AND its dense leg
+    # from signs in ONE query — the multi-layout A/B sums the writes)
+    leg_layouts = layout if isinstance(layout, tuple) else (layout,)
+    built = ensure_layouts(spark, sf, layouts=leg_layouts)
+    w = sum(built[one] for one in leg_layouts)
+    disp = "+".join(leg_layouts)
+    print(f"{disp} layout write: {w:.1f} s", flush=True)
+    for name, tables, expect_branch, *rest in consumers:
+        compare = rest[0] if rest else "exact"
         if expect_branch is not None:
             branch = rel.q02_plan_branch(spark, sf)
             assert branch in expect_branch, branch
         else:
-            branch = f"{layout}-layout"
+            branch = f"{disp}-layout"
         t_cold, rows_cold = timed_once(
             lambda n=name: QUERIES[n](spark, sf).collect(), f"{name} cold"
         )
@@ -183,8 +194,21 @@ def bench_consumers(spark, sf, layout, consumers, out, factor=1):
             lambda n=name: QUERIES[n](spark, sf).collect(), f"{name} {branch}"
         )
         t_plain, rows_plain = plain[name]
-        _assert_rows_close(rows_plain, rows_lay, name)
-        _assert_rows_close(rows_plain, rows_cold, name)
+        overlap = None
+        if compare == "approx_topk":
+            # the served shape is declared APPROXIMATE at this scale
+            # (q162's signs-served dense leg: the hamming shortlist is
+            # Θ(shortlist) re-rank cost, recall is the measured knob —
+            # identity holds only when shortlist ≥ corpus, the fixture
+            # pytest's structural case). Record the top-k id overlap,
+            # never silently pass: a broken serving path craters it.
+            a = {r[0] for r in rows_plain}
+            b = {r[0] for r in rows_lay}
+            overlap = round(len(a & b) / max(len(a), 1), 3)
+            assert overlap >= 0.6, f"{name} served overlap {overlap}"
+        else:
+            _assert_rows_close(rows_plain, rows_lay, name)
+            _assert_rows_close(rows_plain, rows_cold, name)
         alt = None
         if layout == "q02":
             # same-invocation A/B of the two layout join shapes (r9
@@ -230,7 +254,7 @@ def bench_consumers(spark, sf, layout, consumers, out, factor=1):
         suffix = {
             "q02": "bucketed", "grams": "gram", "q112": "index", "pq": "pq",
             "signs": "signs", "pack": "pack", "postings": "postings",
-            "cms": "cms",
+            "cms": "cms", ("postings", "signs"): "hybrid",
         }[layout]
         out[f"{name}_{suffix}_layout"] = {
             "branch": branch,
@@ -242,6 +266,10 @@ def bench_consumers(spark, sf, layout, consumers, out, factor=1):
             "layout_write_once_sec": round(w, 1),
             "layout_consumers_here": len(consumers),
         }
+        if overlap is not None:
+            out[f"{name}_{suffix}_layout"]["served_topk_id_overlap"] = (
+                overlap
+            )
         if duck_note is not None:
             out[f"{name}_{suffix}_layout"]["note"] = duck_note
         if alt is not None:
@@ -362,6 +390,18 @@ def main() -> None:
                 ("q160_cms_point_query", ["documents"], None),
                 ("q158_cms_heavy_hitters", ["documents"], None),
             ],
+        ),
+        # r16: the first MULTI-layout consumer — q162 serves its
+        # sparse leg from the stored postings index AND its dense leg
+        # from the stored binary-signature index in one query
+        "hybrid": (
+            ("postings", "signs"),
+            [(
+                "q162_hybrid_rrf_retrieval",
+                ["documents", "embeddings"],
+                None,
+                "approx_topk",
+            )],
         ),
     }
     for key, (layout, consumers) in legs.items():
