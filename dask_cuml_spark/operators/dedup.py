@@ -565,6 +565,7 @@ def semantic_dedup(
     max_iter: int = 4,
     rows_per_cluster: int = 5000,
     return_model: bool = False,
+    n_rows: int | None = None,
 ):
     """SemDeDup (Abbas et al., arXiv:2303.09540) as a library operator:
     cluster the embedding space, scan pairs ONLY within clusters, drop
@@ -600,11 +601,17 @@ def semantic_dedup(
     src = df.select(id_col, vec_col)
     if n_clusters == "auto":
         # one count() action; at scale this is a cached metadata-cheap
-        # scan of one column and the k it buys bounds ALL pair work
-        k = max(16, src.count() // rows_per_cluster)
+        # scan of one column and the k it buys bounds ALL pair work.
+        # Callers that already hold the count pass n_rows to skip the
+        # duplicate job (q125 counts the same frame for its k check).
+        k = max(16, (n_rows if n_rows is not None else src.count())
+                // rows_per_cluster)
     else:
         k = int(n_clusters)
-    km = KMeans(k=k, max_iter=max_iter).fit(src, vec_col, id_col)
+    # final_inertia skipped: SemDeDup consumes centers only (r16)
+    km = KMeans(k=k, max_iter=max_iter).fit(
+        src, vec_col, id_col, final_inertia=False
+    )
     # assign feeds BOTH the pair scan and the final kept-join, so the
     # assignment pass runs twice — deliberately NOT persisted:
     # persist_for_reuse was A/B'd at 300x and LOSES (26.2 s vs 17.6 s;

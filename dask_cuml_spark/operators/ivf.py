@@ -86,7 +86,7 @@ class IVFIndex:
         else:
             self.n_cells_ = int(self.n_cells)
         km = KMeans(k=self.n_cells_, max_iter=self.kmeans_iters).fit(
-            candidates, vec_col=vec_col, id_col=id_col
+            candidates, vec_col=vec_col, id_col=id_col, final_inertia=False
         )
         self.centers_ = km.cluster_centers_
         # assignment via the gated primitive: the expr fold at fixture

@@ -88,11 +88,18 @@ def nearest_centers(
     if strategy == "auto":
         from dask_cuml_spark.plans.cost import plan_size_bytes
 
-        # bytes×k proxy for fold ops; 16 MB × k=8 fixture scale stays
-        # expr (measured equal-or-better there), 100×-scale flips gemm
+        # bytes×k proxy for fold ops. Crossover re-measured r16 on the
+        # sf0.1 semantic-dedup assignment (2 010 rows × 64 dims, k=80,
+        # bytes×k = 73 MB): expr 1.76 s/evaluation (interpreted
+        # CodegenFallback fold) vs gemm 0.35 s, identical assignments
+        # row-for-row — the old 256 MB gate left a 5× regression band
+        # between the k≤16 oracle-mirrored fixture paths (≤15 MB here)
+        # and where gemm used to kick in. 32 MB keeps every SQL-replay
+        # path (q108 k=16: 14.6 MB; IVF cell fits k=8: 7.3 MB) on the
+        # bit-identical expr plan and flips auto-k/large-k work to BLAS.
         strategy = (
             "gemm"
-            if plan_size_bytes(df) * centers.shape[0] >= (256 << 20)
+            if plan_size_bytes(df) * centers.shape[0] >= (32 << 20)
             else "expr"
         )
     if strategy == "expr":
@@ -252,6 +259,7 @@ class KMeans:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         initial_centers: np.ndarray | None = None,
+        final_inertia: bool = True,
     ) -> "KMeans":
         df = df.select(id_col, vec_col).cache()
         try:
@@ -293,11 +301,17 @@ class KMeans:
             self.cluster_centers_ = centers
             # one extra pass: SSE under the FINAL centers (sklearn/cuML
             # inertia_ semantics) — also ≤ inertia_history_[-1] by the
-            # M-step guarantee, closing the monotone chain.
-            self.inertia_ = sum(
-                row["sse"]
-                for row in _partial_sums(df, vec_col, centers).collect()
-            )
+            # M-step guarantee, closing the monotone chain. Skippable
+            # (final_inertia=False) for callers that only consume the
+            # centers/history — semantic_dedup, the IVF cell fit, the
+            # m per-subspace PQ fits — where it is one pure-overhead
+            # Spark job per fit (r16 measurement: ~0.15-0.25 s each on
+            # the fixture suite, ×(m+2) fits on the q137 first run).
+            if final_inertia:
+                self.inertia_ = sum(
+                    row["sse"]
+                    for row in _partial_sums(df, vec_col, centers).collect()
+                )
             return self
         finally:
             df.unpersist()

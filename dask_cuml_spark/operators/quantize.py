@@ -255,10 +255,13 @@ def pq_fit(
     for s in range(m):
         sl = F.slice(F.col(vec_col), s * sub + 1, sub)
         km = KMeans(k=k, max_iter=max_iter)
+        # final_inertia skipped: PQ consumers read codebooks and the
+        # in-loop inertia_history_ only (q137 monotone check) — r16
         km.fit(
             train.select(F.col(id_col).alias(id_col), sl.alias("_sv")),
             vec_col="_sv",
             id_col=id_col,
+            final_inertia=False,
         )
         codebooks.append(km.cluster_centers_)
         models.append(km)

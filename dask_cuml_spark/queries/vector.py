@@ -902,17 +902,21 @@ def q125_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
     )
     aug = e.unionByName(copies)
+    # ONE count serves both the auto-k resolution inside semantic_dedup
+    # and the k_exp check below (r16: was two identical count jobs)
+    n_aug = aug.count()
     out, km = semantic_dedup(
         aug,
         n_clusters="auto",
         rows_per_cluster=_Q125_RPC,
         return_model=True,
+        n_rows=n_aug,
     )
     # one materialization feeds four aggregate consumers (the q115
     # convention); the frame is (id, cluster, kept) — never vectors
     out = out.localCheckpoint()
     k_res = int(km.cluster_centers_.shape[0])
-    k_exp = max(16, aug.count() // _Q125_RPC)
+    k_exp = max(16, n_aug // _Q125_RPC)
     stats = out.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("cluster_id").alias("_cmin"),
