@@ -44,10 +44,25 @@ def connected_components(
     ``edges`` is treated as undirected; duplicates and self-loops are
     harmless. label = min member id of the component (deterministic).
     """
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
     spark = edges.sparkSession
-    n_edges = edges.count()
     id_t = dict(edges.dtypes)["id_a"]
+    # Persist the caller's edge pipeline before the strategy-count: the
+    # previous count()-then-collect() (and, on the distributed path,
+    # count → local_map → all_roots) evaluated it up to three times —
+    # for q135 that pipeline is the whole uncached LSH verify stage
+    # (r16; guide §7.2 duplicated subtrees / §5 reuse). A first cut used
+    # limit(max+1).collect() to decide-and-feed in one pass, but
+    # CollectLimitExec's incremental partition scale-up re-ran the
+    # upstream joins per attempt — measured q120 4.3 s → 19.8 s. The
+    # persisted count is one full evaluation; everything after is a
+    # block read. (Edges are 2 ids/row — narrow — and the distributed
+    # path previously re-derived them from lineage per consumer anyway.)
+    edges = persist_for_reuse(edges)
+    n_edges = edges.count()
     if n_edges == 0:
+        edges.unpersist()
         return spark.createDataFrame([], f"id {id_t}, label {id_t}")
     if n_edges <= union_find_max_edges:
         parent: dict = {}
@@ -58,7 +73,9 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
+        probe = edges.collect()
+        edges.unpersist()
+        for r in probe:
             ra, rb = find(r["id_a"]), find(r["id_b"])
             if ra != rb:
                 # min-root union → component id = min member id
@@ -119,7 +136,14 @@ def connected_components(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
         )
     ).localCheckpoint()
-    all_roots = local_map.select("root").distinct()
+    # id_roots is checkpointed; every edge consumer below derives from
+    # it, so the persisted edge blocks can go now. all_roots reads the
+    # checkpoint too (every local root appears in some _roots set) —
+    # previously it re-evaluated local_map per consumer (r16).
+    edges.unpersist()
+    all_roots = id_roots.select(
+        F.explode("_roots").alias("root")
+    ).distinct()
     n_c = cedges.count() // 2  # symmetrized above
     if n_c <= union_find_max_edges:
         parent: dict = {}

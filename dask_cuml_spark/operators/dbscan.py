@@ -70,9 +70,21 @@ def _eps_pairs(
         .filter(F.col("dist_sq") <= eps * eps)
         .select("id_a", "id_b")
     )
-    return pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    # symmetrize by exploding each undirected pair into both directions
+    # INSIDE one evaluation — the previous self-union duplicated the
+    # whole GEMM+join subtree (Catalyst re-evaluates both union
+    # branches), doubling the ε-join's work per action (r16; guide §7.2
+    # "duplicated subtrees")
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a"), F.col("id_b")),
+                F.struct(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.id_a", "_e.id_b")
 
 
 def _eps_pairs_cell_blocked(
