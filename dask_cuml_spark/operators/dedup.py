@@ -206,7 +206,13 @@ def minhash_lsh_candidates(
     defaults (b=12, r=3) put the knee at J=0.683 and p(0.8)=0.9998;
     tests/test_lsh_margin.py recomputes the exact fixture pair
     distribution every run and asserts the margin holds."""
-    banded = band_buckets(sigs, id_col, bands, rows_per_band)
+    # the bucket join is a SELF-join: without a persist both aliases
+    # re-run the whole signature aggregate (and everything under it) —
+    # one cached fill halves the candidate stage (r16; guide §7.2
+    # duplicated subtrees, same class as minhash_near_dup's sh persist)
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    banded = persist_for_reuse(band_buckets(sigs, id_col, bands, rows_per_band))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

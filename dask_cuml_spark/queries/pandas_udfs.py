@@ -1221,6 +1221,13 @@ def q151_paragraph_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pid"),
         F.col("b.sh").alias("sh"),
     )
+    # blocks feeds FOUR consumers (signature agg, both verify sides,
+    # per-doc paragraph counts) — without the persist the explode +
+    # per-block shingle expression re-runs for each (r16; the same
+    # multi-consumer persist minhash_near_dup has carried since r1)
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    blocks = persist_for_reuse(blocks)
     sigs = minhash_signatures(
         blocks.select("pid", "sh"),
         id_col="pid",
