@@ -488,6 +488,42 @@ def _dhash_of(img: np.ndarray) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+def _dhash_batch(imgs: list) -> np.ndarray:
+    """Vectorized _dhash_of over a batch of decoded images → int64
+    array, bit-identical to the scalar loop (same integer reduceat /
+    cross-multiply arithmetic, applied along a stacked axis).
+
+    Why: the scalar hash is ~12 tiny-numpy-call dispatches per image
+    (~34 µs on the fixture's 18×16 frames — r16 measurement), which at
+    80 k frames/run is numpy CALL overhead, not arithmetic. Images are
+    grouped by shape (the reduceat boundaries are shape-dependent) and
+    each group hashes as ONE stacked operation; order is restored by
+    index."""
+    out = np.empty(len(imgs), dtype=np.int64)
+    by_shape: dict = {}
+    for i, im in enumerate(imgs):
+        h, w = im.shape
+        if h < 8 or w < 9:
+            raise ValueError(f"dhash needs an image >= 9x8, got {w}x{h}")
+        by_shape.setdefault((h, w), []).append(i)
+    for (h, w), idxs in by_shape.items():
+        A = np.stack([imgs[i] for i in idxs]).astype(np.int64)
+        rb = (np.arange(8) * h) // 8
+        cb = (np.arange(9) * w) // 9
+        S = np.add.reduceat(
+            np.add.reduceat(A, rb, axis=1), cb, axis=2
+        )
+        rn = np.diff(np.append(rb, h))
+        cn = np.diff(np.append(cb, w))
+        N = (rn[:, None] * cn[None, :])[None, :, :]
+        bits = (S[:, :, :8] * N[:, :, 1:]) > (S[:, :, 1:] * N[:, :, :8])
+        packed = np.packbits(
+            bits.reshape(len(idxs), 64), axis=1, bitorder="little"
+        )
+        out[np.asarray(idxs)] = packed.view("<i8").ravel()
+    return out
+
+
 def dhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -503,14 +539,17 @@ def dhash_signatures(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = resolve_decoder(decode_mode)
         for pdf in it:
-            rows = [
+            # decode stays per-row (PNG parse is inherently per-payload);
+            # the hash runs once per shape-grouped stack (_dhash_batch)
+            imgs = [decode(bytes(p)) for p in pdf[binary_col]]
+            yield pd.DataFrame(
                 {
-                    "doc_id": int(doc_id),
-                    "sig": _dhash_of(decode(bytes(payload))),
+                    "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "sig": _dhash_batch(imgs)
+                    if imgs
+                    else np.empty(0, dtype=np.int64),
                 }
-                for doc_id, payload in zip(pdf[id_col], pdf[binary_col])
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "sig"])
+            )
 
     return df.select(id_col, binary_col).mapInPandas(batches, DHASH_SCHEMA)
 
@@ -634,18 +673,18 @@ def scene_cut_flags(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = resolve_decoder(decode_mode)
         for pdf in it:
-            rows = [
-                {
-                    "doc_id": int(d),
-                    "frame_idx": int(fi),
-                    "sig": _dhash_of(decode(bytes(p))),
-                }
-                for d, fi, p in zip(
-                    pdf[id_col], pdf[frame_col], pdf[binary_col]
-                )
-            ]
+            # per-row decode, shape-grouped stacked hash (_dhash_batch —
+            # r16: the scalar hash was numpy-dispatch-bound at ~34 µs
+            # per tiny frame), array-built output frame
+            imgs = [decode(bytes(p)) for p in pdf[binary_col]]
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "sig"]
+                {
+                    "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "frame_idx": pdf[frame_col].to_numpy(dtype=np.int32),
+                    "sig": _dhash_batch(imgs)
+                    if imgs
+                    else np.empty(0, dtype=np.int64),
+                }
             )
 
     sigs = frames.select(id_col, frame_col, binary_col).mapInPandas(

@@ -34,8 +34,17 @@ def salted_join(
     Correct for inner/left joins on an equi-key; result equals
     left.join(right, on, how) row-for-row.
     """
+    # Deterministic salt (r16; guide §2.5 / SPARK-38388): rand(seed) is
+    # only replay-stable while the scan's row order is — after a fetch
+    # failure re-runs part of a map stage downstream of any shuffle,
+    # re-drawn values can duplicate or lose rows. Hashing the whole row
+    # is retry-stable; identical full rows share a salt (harmless for
+    # key-spreading — hot KEYS still scatter because payloads vary).
     salted_left = left.withColumn(
-        "_salt", (F.rand(seed) * salt).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*left.columns, F.lit(seed)), F.lit(salt)).cast(
+            "int"
+        ),
     )
     salted_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -56,8 +65,14 @@ def salted_global_agg(
     """Two-phase agg: groupBy(key, salt) partial, then groupBy(key)
     merge. `merge` must be the combiner for `agg_col` ('sum','min',
     'max')."""
+    # deterministic salt — same SPARK-38388 rationale as salted_join
     partial = (
-        df.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*df.columns, F.lit(seed)), F.lit(salt)).cast(
+                "int"
+            ),
+        )
         .groupBy(key, "_salt")
         .agg(agg_col.alias("_partial"))
     )

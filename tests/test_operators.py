@@ -3490,6 +3490,28 @@ def test_q149_bloom_no_false_negatives(spark):
     assert all(r.n_key_hits <= r.n_bloom_hits for r in xx.values())
 
 
+def test_dhash_batch_matches_scalar():
+    """_dhash_batch (r16 — the shape-grouped stacked hash the decode
+    kernels now call) must be BIT-identical to the scalar _dhash_of on
+    mixed shapes, restore input order, and raise on undersized images
+    exactly like the scalar path."""
+    import pytest
+
+    from dask_cuml_spark.operators.multimodal import _dhash_batch, _dhash_of
+
+    rng = np.random.RandomState(7)
+    imgs = [
+        rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        for h, w in rng.choice([8, 9, 16, 18, 24, 27], size=(500, 2))
+        if h >= 8 and w >= 9
+    ]
+    batch = _dhash_batch(imgs)
+    assert batch.dtype == np.int64
+    assert [int(v) for v in batch] == [_dhash_of(im) for im in imgs]
+    with pytest.raises(ValueError, match="9x8"):
+        _dhash_batch([imgs[0], np.zeros((4, 4), dtype=np.uint8)])
+
+
 def test_dhash_invariance_and_margins():
     """The two provable invariances q152's generative oracle leans on
     (numpy-level, no Spark): a constant brightness offset and a pixel-
