@@ -113,14 +113,24 @@ def pairwise_similarity_above(
     a_blocks: int | None = None,
     b_blocks: int = 4,
     dtype=np.float64,
-    broadcast_b: bool = False,
+    broadcast_b: bool | str = "auto",
     max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """All pairs (id_a, id_b, sim=dot) with sim >= threshold between df
     (A side) and `other` (B side; defaults to df for the self-join case).
 
-    Default strategy is the blocked cogroup GEMM (no driver collect);
-    pass broadcast_b=True only when B is model-state-sized.
+    broadcast_b='auto' (r16) picks the strategy with the repo's standard
+    cost gate — the knn.classwise_nearest pattern: a B side whose
+    Catalyst size estimate is under 64 MB is model-state-sized, so it
+    broadcasts and A streams through ONE mapInPandas (no replicate
+    exchange, no cogroup shuffle — measured q45 1.26 s → 0.33 s at
+    sf0.1); anything larger takes the blocked cogroup GEMM (no driver
+    collect — the r2 anti-pattern fix). Belt-and-braces: if the estimate
+    lied and the collect exceeds max_broadcast_rows, auto FALLS BACK to
+    blocked instead of raising (broadcast_b=True keeps the hard raise
+    for callers that assert model-state-sized B). Pair values are
+    identical either way — each (a, b) dot is one contiguous inner
+    product in both layouts.
     """
     spark = df.sparkSession
     # float32 mode narrows the vector column BEFORE the replicate+shuffle
@@ -137,7 +147,18 @@ def pairwise_similarity_above(
         F.col(id_col).alias("_id"), vec_expr.alias("_v")
     )
 
-    if broadcast_b:
+    if broadcast_b == "auto":
+        from dask_cuml_spark.plans.cost import plan_size_bytes
+
+        if plan_size_bytes(b) <= (64 << 20):
+            try:
+                return _broadcast_b_path(
+                    a, b, threshold, upper_triangle, dtype,
+                    max_broadcast_rows,
+                )
+            except ValueError:
+                pass  # estimate lied: B is fact-scale — use blocked
+    elif broadcast_b:
         return _broadcast_b_path(
             a, b, threshold, upper_triangle, dtype, max_broadcast_rows
         )
