@@ -201,6 +201,79 @@ def int8_quantize(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def _partial_sums_multi(
+    df: DataFrame, vec_col: str, active: list, sub: int
+):
+    """kmeans._partial_sums generalized to MANY subspaces in ONE pass:
+    ``active`` is a list of (s, centers) for the subspaces still
+    iterating; each Arrow batch slices the full vector once per
+    subspace (ascontiguousarray → the same (rows × sub) @ (sub × k)
+    BLAS call the per-subspace fit made) and emits (s, cid, n,
+    vec_sum, sse) partial rows. Per-(s, cid) float accumulation order
+    on the driver matches the sequential path exactly (same batches,
+    same within-batch row order), so the combined loop is bit-identical
+    to m independent fits — pinned by the parity pytest."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("s", IntegerType()),
+            StructField("cid", IntegerType()),
+            StructField("n", LongType()),
+            StructField("vec_sum", ArrayType(DoubleType())),
+            StructField("sse", DoubleType()),
+        ]
+    )
+    bc = df.sparkSession.sparkContext.broadcast(
+        [(s, np.asarray(C, dtype=np.float64)) for s, C in active]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        subs = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            rows = []
+            for s, C in subs:
+                Xs = np.ascontiguousarray(X[:, s * sub:(s + 1) * sub])
+                c_norms = (C * C).sum(axis=1)
+                scores = c_norms[None, :] - 2.0 * (Xs @ C.T)
+                assign = scores.argmin(axis=1)
+                min_score = scores.min(axis=1)
+                x_norms = (Xs * Xs).sum(axis=1)
+                for cid in range(C.shape[0]):
+                    mask = assign == cid
+                    n = int(mask.sum())
+                    if n:
+                        rows.append(
+                            {
+                                "s": s,
+                                "cid": cid,
+                                "n": n,
+                                "vec_sum": Xs[mask].sum(axis=0).tolist(),
+                                "sse": float(
+                                    (min_score[mask] + x_norms[mask]).sum()
+                                ),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=["s", "cid", "n", "vec_sum", "sse"]
+            )
+
+    return df.select(vec_col).mapInPandas(kernel, schema)
+
+
 def pq_fit(
     df: DataFrame,
     m: int = 8,
@@ -231,10 +304,6 @@ def pq_fit(
     hold for any cap."""
     from dask_cuml_spark.operators.kmeans import KMeans
 
-    head = df.select(vec_col).first()
-    dim = len(head[0])
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    sub = dim // m
     train = df
     if max_train_rows is not None:
         n = df.count()
@@ -251,18 +320,72 @@ def pq_fit(
             # localCheckpoint materializes it ONCE (sample-sized, the
             # whole point of the cap)
             train = train.localCheckpoint()
+    # ALL m subspace fits share one Lloyd loop (r16 optimization): the
+    # sequential form cost m × (init collect + max_iter kernel jobs)
+    # ≈ 48 Spark jobs at m=8 — pure scheduling overhead, since every
+    # fit scans the SAME rows. One init collect (the k lowest-id full
+    # vectors, sliced per subspace — the rows each per-subspace
+    # orderBy/limit would have collected) + one _partial_sums_multi job
+    # per iteration covering every still-active subspace. Arithmetic is
+    # per-subspace identical (same batches, same contiguous (rows×sub)
+    # GEMM, same driver reduce order), so codebooks / histories /
+    # n_iter_ are bit-identical to the sequential fits — pinned by
+    # tests/test_operators.py::test_pq_fit_combined_matches_sequential.
+    base = train.select(id_col, vec_col).cache()
+    try:
+        first = (
+            base.orderBy(id_col).limit(k).select(vec_col).collect()
+        )
+        dim = len(first[0][0])
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        sub = dim // m
+        init = np.array([r[0] for r in first], dtype=np.float64)
+        centers = {
+            s: init[:, s * sub:(s + 1) * sub].copy() for s in range(m)
+        }
+        tol = KMeans.tol
+        history: dict[int, list[float]] = {s: [] for s in range(m)}
+        n_iter = dict.fromkeys(range(m), 0)
+        active = list(range(m))
+        for it in range(max_iter):
+            if not active:
+                break
+            sums = _partial_sums_multi(
+                base, vec_col, [(s, centers[s]) for s in active], sub
+            ).collect()
+            still = []
+            for s in active:
+                C = centers[s]
+                new_centers = C.copy()
+                totals = np.zeros(k)
+                vec_sums = np.zeros((k, sub))
+                sse = 0.0
+                for row in sums:
+                    if row["s"] != s:
+                        continue
+                    totals[row["cid"]] += row["n"]
+                    vec_sums[row["cid"]] += np.asarray(row["vec_sum"])
+                    sse += row["sse"]
+                history[s].append(sse)
+                for cid in range(k):
+                    if totals[cid] > 0:
+                        new_centers[cid] = vec_sums[cid] / totals[cid]
+                shift = float(
+                    np.max(np.linalg.norm(new_centers - C, axis=1))
+                )
+                centers[s] = new_centers
+                n_iter[s] = it + 1
+                if shift >= tol:
+                    still.append(s)
+            active = still
+    finally:
+        base.unpersist()
     codebooks, models = [], []
     for s in range(m):
-        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
         km = KMeans(k=k, max_iter=max_iter)
-        # final_inertia skipped: PQ consumers read codebooks and the
-        # in-loop inertia_history_ only (q137 monotone check) — r16
-        km.fit(
-            train.select(F.col(id_col).alias(id_col), sl.alias("_sv")),
-            vec_col="_sv",
-            id_col=id_col,
-            final_inertia=False,
-        )
+        km.cluster_centers_ = centers[s]
+        km.inertia_history_ = history[s]
+        km.n_iter_ = n_iter[s]
         codebooks.append(km.cluster_centers_)
         models.append(km)
     return codebooks, models

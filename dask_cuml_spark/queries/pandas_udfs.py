@@ -579,13 +579,13 @@ def q82_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-4: the previous 4 driver actions + eager collect cost
     # ~0.15 s scheduling each; the driver's own materialize is the one
     # action this query needs)
-    lsh = lsh_knn(q, c, dim=64, k=5, n_planes=6, n_tables=4).localCheckpoint()
+    lsh = lsh_knn(q, c, dim=64, k=5, n_planes=6, n_tables=4).localCheckpoint(eager=False)
     # strategy='expr': the rank-domination check compares the LSH side's
     # expression-fold distances against this baseline's at equality
     # boundaries, so both must use the SAME summation order (the GEMM
     # strategy differs in the last ulp — 12 spurious violations at
     # sf0.01 when it became the default in round 5)
-    exact = brute_force_knn(q, c, k=5, strategy="expr").localCheckpoint()
+    exact = brute_force_knn(q, c, k=5, strategy="expr").localCheckpoint(eager=False)
     hits = lsh.join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).agg(F.count(F.lit(1)).alias("_n_hits"))
@@ -828,7 +828,7 @@ def q112_index_refresh(spark: SparkSession, sf_dir: str) -> float | None:
         sh = (
             hashed_shingles(batch, "text", p["n"])
             .select("doc_id", "shingles")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         (
             sh.repartition(_buckets_of(spark_, old_st), F.col("doc_id"))

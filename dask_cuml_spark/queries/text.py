@@ -423,7 +423,7 @@ def q87_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     class_term = (
         tok.groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("n_wc"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     class_tot = class_term.groupBy("lang").agg(F.sum("n_wc").alias("n_c"))
     vocab_terms = class_term.select("term").distinct()
@@ -2843,7 +2843,7 @@ def q144_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.xxhash64("tok").alias("h"), (fold % _Q144_B).alias("bucket")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rows = rows.join(F.broadcast(vb), "h")
     stats = rows.groupBy("bucket").agg(

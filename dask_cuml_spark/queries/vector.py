@@ -566,9 +566,9 @@ def q115_ivf_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = (
         _fitted_ivf(spark, sf_dir)
         .search(q, k=5, nprobe=2)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    exact = brute_force_knn(q, c, k=5, strategy="expr").localCheckpoint()
+    exact = brute_force_knn(q, c, k=5, strategy="expr").localCheckpoint(eager=False)
     n_q = approx.agg(
         F.count_distinct("query_id").alias("n_queries"),
         F.count(F.lit(1)).alias("n_results"),
@@ -646,13 +646,13 @@ def q118_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = (
         _fitted_ivf(spark, sf_dir)
         .search(allq, k=5, nprobe=2, strategy="gemm")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sample = allq.filter(F.col("query_id") < 20)
     c = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
-    exact = brute_force_knn(sample, c, k=5, strategy="expr").localCheckpoint()
+    exact = brute_force_knn(sample, c, k=5, strategy="expr").localCheckpoint(eager=False)
     totals = graph.agg(
         F.count_distinct("query_id").alias("n_nodes"),
         F.count(F.lit(1)).alias("n_edges"),
@@ -914,7 +914,7 @@ def q125_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one materialization feeds four aggregate consumers (the q115
     # convention); the frame is (id, cluster, kept) — never vectors
-    out = out.localCheckpoint()
+    out = out.localCheckpoint(eager=False)
     k_res = int(km.cluster_centers_.shape[0])
     k_exp = max(16, n_aug // _Q125_RPC)
     stats = out.agg(
@@ -1286,7 +1286,7 @@ def q138_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", l2_sq("qv", "cv").alias("dist"))
         .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= _Q138_K)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # exclude_same_id matches the PQ shortlist's self-filter (the q40
@@ -1295,7 +1295,7 @@ def q138_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall's attainable ceiling drops to 0.8 (advisor r11)
     exact = brute_force_knn(
         qf, _par(cv), k=_Q138_K, strategy="expr", exclude_same_id=True
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     return _ann_invariants(
         topk, exact, int(_Q138_RECALL_FLOOR * _Q138_NQ * _Q138_K)
@@ -1308,44 +1308,39 @@ def _ann_invariants(topk, exact, min_hits: int):
     neighbors, PROVABLE rank domination (top-k from a candidate SUBSET
     can never beat the exact k-th distance at any rank; topk.dist is
     squared L2, brute_force_knn's is sqrt'd — compared in one unit),
-    and a recall floor in absolute hit count."""
-    stats = topk.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_results"),
+    and a recall floor in absolute hit count.
+
+    Both inputs are ≤ nq×k rows BY CONSTRUCTION (rk <= k filters), so
+    the four check aggregates run driver-side over two bounded Arrow
+    collects (the q137 monotone-flag convention; guide §5 — the driver
+    does no DATA work, only model-state-sized verification). The
+    previous all-Spark form spent ~10 AQE query stages on joins and
+    crossJoins over ≤100-row frames — pure scheduling overhead.
+    Values and schema are identical, including sum-over-empty-join
+    being NULL."""
+    spark = topk.sparkSession
+    tp = topk.select("query_id", "neighbor_id", "dist", "rk").toPandas()
+    ex = exact.select("query_id", "neighbor_id", "dist", "rk").toPandas()
+    n_queries = int(tp["query_id"].nunique())
+    n_results = int(len(tp))
+    n_dup_pairs = int(
+        (tp.groupby(["query_id", "neighbor_id"]).size() > 1).sum()
     )
-    dups = (
-        topk.groupBy("query_id", "neighbor_id")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    rank = tp.merge(
+        ex.assign(ed=ex["dist"] * ex["dist"])[["query_id", "rk", "ed"]],
+        on=["query_id", "rk"],
     )
-    rank = topk.join(
-        exact.select(
-            "query_id", "rk", (F.col("dist") * F.col("dist")).alias("ed")
-        ),
-        ["query_id", "rk"],
-    ).agg(
-        F.sum(
-            (F.col("dist") < F.col("ed") - 1e-9).cast("long")
-        ).alias("n_rank_violations")
+    n_rank_violations = (
+        int((rank["dist"] < rank["ed"] - 1e-9).sum()) if len(rank) else None
     )
-    recall = topk.join(
-        exact.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-    ).agg(
-        (F.count(F.lit(1)) >= F.lit(min_hits)).cast("int").alias("recall_ok")
+    hits = tp.merge(
+        ex[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"]
     )
-    return (
-        stats.crossJoin(dups)
-        .crossJoin(rank)
-        .crossJoin(recall)
-        .select(
-            "n_queries",
-            "n_results",
-            "n_dup_pairs",
-            "n_rank_violations",
-            "recall_ok",
-        )
+    recall_ok = int(len(hits) >= min_hits)
+    return spark.createDataFrame(
+        [(n_queries, n_results, n_dup_pairs, n_rank_violations, recall_ok)],
+        "n_queries long, n_results long, n_dup_pairs long, "
+        "n_rank_violations long, recall_ok int",
     )
 
 
@@ -1707,11 +1702,11 @@ def q141_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", l2_sq("qv", "cv").alias("dist"))
         .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= _Q141_K)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     exact = brute_force_knn(
         qf, _par(cv), k=_Q141_K, strategy="expr", exclude_same_id=True
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return _ann_invariants(
         topk, exact, int(_Q141_RECALL_FLOOR * _Q141_NQ * _Q141_K)
     )
@@ -1820,11 +1815,11 @@ def q145_signhash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", l2_sq("qv", "cv").alias("dist"))
         .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= _Q145_K)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     exact = brute_force_knn(
         qf, _par(cv), k=_Q145_K, strategy="expr", exclude_same_id=True
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return _ann_invariants(
         topk, exact, int(_Q145_RECALL_FLOOR * _Q145_NQ * _Q145_K)
     )
@@ -2038,8 +2033,8 @@ def _serving_certify(spark, e, topk, nq: int, k: int, floor: float):
     )
     exact = brute_force_knn(
         qf, _par(cv), k=k, strategy="expr", exclude_same_id=True
-    ).localCheckpoint()
-    t = topk.localCheckpoint()
+    ).localCheckpoint(eager=False)
+    t = topk.localCheckpoint(eager=False)
     hits = t.join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],

@@ -2725,6 +2725,40 @@ def test_int8_quantize_null_vector_propagates_in_both_strategies(spark):
         assert got[2].q_abs_sum == 64 + 127 + 32, strat
 
 
+def test_pq_fit_combined_matches_sequential(spark):
+    """The r16 combined multi-subspace Lloyd loop (one init collect +
+    one partial-sums kernel per iteration for ALL m subspaces, instead
+    of m independent fits × ~(1 + max_iter) jobs) must be BIT-identical
+    to the sequential per-subspace KMeans fits it replaced: codebooks,
+    inertia histories, and iteration counts all equal, per subspace."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_cuml_spark.io import load_table
+    from dask_cuml_spark.operators.kmeans import KMeans
+    from dask_cuml_spark.operators.quantize import pq_fit
+
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    m, k = 4, 8
+    codebooks, models = pq_fit(e, m=m, k=k)
+    # sequential reference: the exact pre-r16 formulation
+    dim = len(e.select("embedding").first()[0])
+    sub = dim // m
+    for s in range(m):
+        sl = F.slice(F.col("embedding"), s * sub + 1, sub)
+        km = KMeans(k=k, max_iter=5)
+        km.fit(
+            e.select("vec_id", sl.alias("_sv")),
+            vec_col="_sv",
+            id_col="vec_id",
+            final_inertia=False,
+        )
+        assert np.array_equal(km.cluster_centers_, codebooks[s]), s
+        assert km.inertia_history_ == models[s].inertia_history_, s
+        assert km.n_iter_ == models[s].n_iter_, s
+        assert models[s].inertia_ is None
+
+
 def test_pq_fit_sampled_training_keeps_invariants(spark):
     """pq_fit(max_train_rows=...) (r11 verdict: bound the one
     full-corpus model-state path) — codebooks trained on the
