@@ -1091,7 +1091,14 @@ def q137_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twin-salted frame is what gets ENCODED, so every invariant below
     # still checks the real assignment path
     codebooks, models = _fitted_pq(spark, sf_dir, _Q137_M, _Q137_K)
-    coded = pq_encode(aug, codebooks)
+    # persist: coded feeds FOUR subtree evaluations below (stats agg,
+    # recheck scan, and both sides of the twins self-join) — without it
+    # each consumer re-runs the m-argmin encode projection, whose
+    # literal codebook expression alone is ~415 KB of plan (r16; guide
+    # §7.2 duplicated subtrees)
+    from dask_cuml_spark.plans.cost import persist_for_reuse
+
+    coded = persist_for_reuse(pq_encode(aug, codebooks))
     # independent argmin re-derivation: numpy over broadcast codebooks
     # (different float path than the codegen expression fold)
     cb = np.stack(codebooks)  # (m, k, sub)

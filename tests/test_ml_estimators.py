@@ -256,6 +256,44 @@ def test_dbscan_label_prop_path_matches_union_find(spark):
     assert a.equals(b), (a.compare(b) if a.shape == b.shape else (a, b))
 
 
+def test_dbscan_driver_solve_border_and_noise(spark):
+    """The r16 size-gated whole-driver solve (degrees + cores + CC +
+    border in one bounded collect) must keep the exact border/noise
+    semantics of the Spark graph assembly: a border point adjacent to
+    cores of TWO different clusters takes the MIN core-neighbor label,
+    and a point with only non-core neighbors stays noise. Pinned
+    against union_find_max_edges=0 (the pure Spark path) on a
+    handcrafted geometry that exercises both."""
+    rows = [
+        # cluster A: five mutually-within-eps points (deg 4 each ->
+        # core at min_pts=5)
+        (0, [0.0, 0.0]), (1, [0.5, 0.0]), (2, [0.25, 0.4]),
+        (3, [0.25, -0.4]), (4, [-0.25, 0.0]),
+        # cluster B: same shape at x=5
+        (10, [5.0, 0.0]), (11, [5.5, 0.0]), (12, [5.25, 0.4]),
+        (13, [5.25, -0.4]), (14, [5.75, 0.0]),
+        # 20: neighbors {1, 10, 21} -> deg 3 + self = 4 < 5, NOT core;
+        # border of BOTH A (via core 1) and B (via core 10) -> min
+        # label = A's (0)
+        (20, [2.75, 0.0]),
+        # 21: only neighbor is 20 (non-core) -> noise
+        (21, [2.75, 1.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    drv = (
+        dbscan(df, eps=2.4, min_pts=5)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    spk = (
+        dbscan(df, eps=2.4, min_pts=5, union_find_max_edges=0)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert drv.equals(spk), (drv, spk)
+    got = drv.set_index("vec_id")["cluster"]
+    assert got.loc[20] == 0, got  # min over {A=0, B=10}
+    assert got.loc[21] == -1, got
+
+
 def test_dbscan_cells_degenerate_tiny_input(spark):
     """strategy='cells' with n_cells LARGER than the point count: KMeans
     returns fewer centers than requested, and the probe kernel must size
