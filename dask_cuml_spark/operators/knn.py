@@ -498,12 +498,15 @@ def classwise_nearest(
     Callers pinning explicit block counts own that bound themselves.
 
     Both strategies funnel through _classwise_block and the same
-    min(struct(d², id)) final agg, so results agree bit-for-bit in
-    THIS environment (the strategy-agreement pytest pins this
-    container's BLAS; a different BLAS build/threading could produce
-    a last-ulp d² difference that flips the (d², id) struct-min
-    tie-break on near-tie candidates — round d² first if cross-build
-    stability is required). Note the exact self-mining operator
+    min(struct(d², id)) final agg, so results agree exactly on
+    (anchor, side, neighbor_id) and to last-ulp tolerance on d²
+    (measured: this container's BLAS emits a 1-ulp d² delta on ~0.1%
+    of pairs because the strategies batch the candidate axis into
+    different GEMM shapes; the strategy-agreement pytest pins
+    id-exact + 1e-12-relative d². A near-tie candidate pair within
+    that ulp could in principle flip the (d², id) struct-min — round
+    d² first if cross-strategy bit-stability is required; every
+    hashed consumer here rounds to 1e-6). Note the exact self-mining operator
     is Θ(n²) FLOPs by definition — classwise_nearest_ann is the
     Θ(n·shortlist) scale path.
 

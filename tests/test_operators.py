@@ -4072,9 +4072,16 @@ def test_classwise_nearest_hand_built_and_ties(spark):
 
 def test_classwise_nearest_strategy_agreement_and_byte_bound(spark):
     """broadcast and blocked funnel through the same kernel + final
-    agg, so fixture results are BIT-identical; the broadcast guard is
-    a BYTE bound (rows × dim × 8 — advisor r14: a row bound let 6 GB
-    of 768-dim vectors onto the driver), enforced with a raise."""
+    agg: fixture results agree EXACTLY on (vec_id, same, neighbor_id)
+    and to last-ulp tolerance on dist_sq (advisor r15: the per-pair
+    dot is one contiguous GEMM inner product in both strategies, but
+    BLAS picks different SIMD kernels for different GEMM shapes, and
+    the two strategies batch the candidate axis differently — this
+    container's OpenBLAS produces a 1-ulp d² delta on ~0.1% of pairs;
+    every hashed consumer rounds to 1e-6 first, so the contract is
+    id-exact + value-tolerant, not bit-identical). The broadcast guard
+    is a BYTE bound (rows × dim × 8 — advisor r14: a row bound let
+    6 GB of 768-dim vectors onto the driver), enforced with a raise."""
     import pytest as _pytest
 
     from dask_cuml_spark.operators.knn import classwise_nearest
@@ -4088,7 +4095,10 @@ def test_classwise_nearest_strategy_agreement_and_byte_bound(spark):
     k = sorted(
         map(tuple, classwise_nearest(e, strategy="blocked").collect())
     )
-    assert b == k  # bit-identical, not just approximately equal
+    assert len(b) == len(k)
+    for rb, rk in zip(b, k):
+        assert rb[:3] == rk[:3]  # vec_id, same, neighbor_id: exact
+        assert rb[3] == _pytest.approx(rk[3], rel=1e-12, abs=1e-12)
     with _pytest.raises(ValueError, match="MB"):
         # 500 anchors × 64 dims × 8 B = 256 KB > a 64 KB bound
         classwise_nearest(
