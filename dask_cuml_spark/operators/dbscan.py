@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dask_cuml_spark.operators.gemm import pairwise_similarity_above
+from dask_cuml_spark.plans.cost import scoped_cache
 
 
 def _eps_pairs(
@@ -345,16 +346,18 @@ def dbscan(
             # are core — including isolated ones that never appear in the
             # pairs join (sklearn/cuML make them singleton clusters, not
             # noise; advisor finding r2)
-            cores = df.select(F.col(id_col).alias("id")).cache()
+            cores = scoped_cache(df.select(F.col(id_col).alias("id")))
         else:
             degrees = pairs.groupBy("id_a").agg(
                 F.count(F.lit(1)).alias("deg")
             )
             # reference (cuml/sklearn) counts the point in its own
             # ε-neighborhood: core ⇔ deg(excluding self) + 1 >= min_pts
-            cores = degrees.filter(F.col("deg") + 1 >= min_pts).select(
-                F.col("id_a").alias("id")
-            ).cache()
+            cores = scoped_cache(
+                degrees.filter(F.col("deg") + 1 >= min_pts).select(
+                    F.col("id_a").alias("id")
+                )
+            )
         core_edges = (
             pairs.join(cores.withColumnRenamed("id", "id_a"), "id_a")
             .join(
@@ -362,7 +365,8 @@ def dbscan(
                 "id_b",
             )
             .select("id_a", "id_b")
-        ).cache()
+        )
+        core_edges = scoped_cache(core_edges)
 
         # Connected components over the core-core edge graph —
         # the staged strategy (driver union-find / partition-local

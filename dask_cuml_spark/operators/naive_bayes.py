@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dask_cuml_spark.plans.cost import scoped_cache
+
 
 def hashing_tf(
     df: DataFrame,
@@ -83,9 +85,11 @@ class MultinomialNB:
                     / (F.col("n_c") + self.alpha * F.col("v"))
                 ).alias("loglik"),
             )
-            .cache()
         )
-        self.vocab_ = tok.select("term").distinct().cache()
+        # model frames live for the fitting query's invocation only —
+        # scoped so a long-lived session can release them (guide §5)
+        self.model_ = scoped_cache(self.model_)
+        self.vocab_ = scoped_cache(tok.select("term").distinct())
         total_df = df.agg(F.count(F.lit(1)).alias("_n_total"))
         self.priors_ = (
             df.groupBy(F.col(class_col).alias("cls"))
@@ -97,8 +101,8 @@ class MultinomialNB:
                     F.col("n_docs") / F.col("_n_total").cast("double")
                 ).alias("log_prior"),
             )
-            .cache()
         )
+        self.priors_ = scoped_cache(self.priors_)
         self.class_stats_ = (
             class_tot.crossJoin(F.broadcast(vocab))
             .select(
@@ -109,8 +113,8 @@ class MultinomialNB:
                 ).alias("fallback"),
             )
             .join(F.broadcast(self.priors_), "cls")
-            .cache()
         )
+        self.class_stats_ = scoped_cache(self.class_stats_)
         return self
 
     def predict(

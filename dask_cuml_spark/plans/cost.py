@@ -34,7 +34,40 @@ def persist_for_reuse(
     scale, lazy localCheckpoint() above the size threshold."""
     if plan_size_bytes(df) >= threshold:
         return df.localCheckpoint(eager=False)
-    return df.cache()
+    return scoped_cache(df)
+
+
+# Query-scoped cache registry (optimization r16, guide §5 "unpersist
+# when done"): every cache() whose useful life is ONE query invocation
+# is tracked here so a long-lived session (the 157-query bench suite, a
+# serving daemon) can drop it once the query's action has run. Without
+# this, Spark's CacheManager holds a strong reference to every entry
+# forever — storage memory fills with abandoned blocks that compete
+# with execution memory, and plan-cache lookup walks an ever-growing
+# entry list. localCheckpoint frames are NOT tracked: their blocks are
+# lineage-truncating (unpersist would lose data, not recompute it) and
+# the ContextCleaner reclaims them when the frame is garbage collected.
+_SCOPED: list[DataFrame] = []
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    """cache() an intermediate scoped to the current query invocation."""
+    out = df.cache()
+    _SCOPED.append(out)
+    return out
+
+
+def release_scoped_caches() -> None:
+    """Unpersist every query-scoped cache registered since the last
+    release. Safe at any point after the owning query's action has
+    completed; frames cached under a stopped session are skipped."""
+    global _SCOPED
+    scoped, _SCOPED = _SCOPED, []
+    for df in scoped:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session gone / already unpersisted — nothing to free
 
 
 # One shuffle partition per this many bytes of COMPRESSED fact input
