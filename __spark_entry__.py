@@ -32,86 +32,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass records rows for the FIRST 50 entries of
 # this dict. Rounds rotate the window so every query periodically
-# re-enters the hard gate (advisor r2). Round-16 window, in order
-# (WINDOW_r16.md has the per-query evidence trail), exactly as the
-# round-15 verdict mandated:
-#   1. slots 1-7: q155-q161 — registered in r15 at positions 51-57
-#      (every r15 slot was rotation-mandated), the ONLY queries that
-#      have NEVER had a driver row (the q147-q149/q153-q154
-#      late-registration precedent binds: they lead this window);
-#   2. slots 8-50: the 43 LOWEST-numbered r13-evidence queries
-#      (latest driver row = round 13), lowest number first.
-# After this round no query's driver evidence is older than round 13,
-# and every registered query has at least one driver row except the
-# four r13-evidence leftovers (q147/q148/q149/q150 — 47 r13 rows, only
-# 43 slots) and queries REGISTERED this round; both groups sit at 51+
-# and MUST lead the r17 window, new registrations first.
+# re-enters the hard gate (advisor r2). Round-17 window, in order
+# (WINDOW_r17.md has the per-query evidence trail), exactly as the
+# round-16 verdict mandated (item 8):
+#   1. slots 1-3: q162/q163/q164 — registered in the interrupted r16
+#      build phase, the ONLY queries that have NEVER had a driver row;
+#   2. slots 4-7: q147-q150 — the four r13-evidence leftovers the r16
+#      window couldn't fit (47 rows, 43 slots);
+#   3. slots 8-50: the 43 LOWEST-numbered r14-evidence queries
+#      (latest driver row = round 14), lowest number first.
+# After this round every registered query has a driver row, no query's
+# driver evidence is older than round 14 except the seven r14-evidence
+# leftovers (q136/q138/q139/q140/q141/q151/q152 — 50 r14 rows, only 43
+# slots), which sit at 51+ and MUST lead the next window.
 _PRIORITY = [
-    # -- (1) slots 1-7: first-ever driver rows (registered r15)
-    "q155_bm25_retrieval",
-    "q156_triplet_mining_ann",
-    "q157_weighted_sample",
-    "q158_cms_heavy_hitters",
-    "q159_bpe_apply",
-    "q160_cms_point_query",
-    "q161_audio_fingerprint",
-    # -- (2) slots 8-50: 43 lowest-numbered r13-evidence queries
-    "q05_string_ops",
-    "q12_quantiles_histogram",
-    "q13_semi_anti_join",
-    "q14_range_join_bands",
-    "q15_global_topk",
-    "q16_project_cast_case",
-    "q17_rolling_avg",
-    "q18_lag_lead",
-    "q20_sessionization",
-    "q21_funnel",
-    "q22_json_extract",
-    "q23_retention",
-    "q57_metrics",
-    "q58_gram_matrix",
-    "q60_asof_join",
-    "q61_cube",
-    "q62_partitioned_write",
-    "q63_multiformat_roundtrip",
-    "q64_map_functions",
-    "q66_language_id",
-    "q67_token_count",
-    "q68_knn_regressor",
-    "q72_map_partitions",
-    "q73_grouped_normalize",
-    "q74_grouped_agg_udf",
-    "q75_pivot",
-    "q76_kmeans_fit",
-    "q80_range_window",
-    "q81_one_hot",
-    "q84_merge_upsert",
-    "q85_grouping_sets",
-    "q86_profile_table",
-    "q88_group_quantiles",
-    "q89_unpivot_melt",
-    "q92_interval_join",
-    "q99_kmeans_parallel_fit",
-    "q108_semantic_dedup",
-    "q114_ngram_language_id",
-    "q119_contamination_check",
-    "q122_token_budget_mixture",
-    "q130_chunk_documents",
-    "q132_fixed_n_per_stratum",
-    "q146_stratified_split",
-    # ---------------- positions 51+: out of window this round
-    # -- NEW in r16, registered late (slots 1-50 rotation-mandated):
-    #    MUST lead the r17 window, before the r13 leftovers.
+    # -- (1) slots 1-7 (r16 verdict item 8, the standing rotation rule):
+    #    queries REGISTERED in r16 lead (never had a driver row), then
+    #    the four r13-evidence leftovers the r16 window couldn't fit.
     "q162_hybrid_rrf_retrieval",
     "q163_video_scene_cuts",
     "q164_retrieval_metrics",
-    # -- r13-evidence leftovers (47 rows, 43 slots): lead r17 after
-    #    any r16-registered queries
     "q147_perplexity_buckets",
     "q148_ngram_novelty",
     "q149_bloom_decontamination",
     "q150_paragraph_dedup",
-    # -- r14-evidence block, lowest number first
+    # -- (2) slots 8-50: the 43 LOWEST-numbered r14-evidence queries
+    #    (latest driver row = round 14), lowest number first.
     "q02_revenue_by_nation",
     "q03_top_orders_per_customer",
     "q04_segment_stats",
@@ -155,6 +101,9 @@ _PRIORITY = [
     "q133_bigram_lm_score",
     "q134_exact_substring_dedup",
     "q135_near_dup_canonicalize",
+    # ---------------- positions 51+: out of window this round
+    # -- r14-evidence leftovers (50 r14 rows, 43 slots): MUST lead the
+    #    next window, per the q147-q150 pigeonhole precedent.
     "q136_apply_span_dedup",
     "q138_pq_adc_search",
     "q139_decontaminate_spans",
@@ -213,6 +162,57 @@ _PRIORITY = [
     "q145_signhash_ann",
     "q153_shuffle_shard",
     "q154_triplet_mining",
+    # -- r16-evidence block (the r16 window), window order
+    "q155_bm25_retrieval",
+    "q156_triplet_mining_ann",
+    "q157_weighted_sample",
+    "q158_cms_heavy_hitters",
+    "q159_bpe_apply",
+    "q160_cms_point_query",
+    "q161_audio_fingerprint",
+    "q05_string_ops",
+    "q12_quantiles_histogram",
+    "q13_semi_anti_join",
+    "q14_range_join_bands",
+    "q15_global_topk",
+    "q16_project_cast_case",
+    "q17_rolling_avg",
+    "q18_lag_lead",
+    "q20_sessionization",
+    "q21_funnel",
+    "q22_json_extract",
+    "q23_retention",
+    "q57_metrics",
+    "q58_gram_matrix",
+    "q60_asof_join",
+    "q61_cube",
+    "q62_partitioned_write",
+    "q63_multiformat_roundtrip",
+    "q64_map_functions",
+    "q66_language_id",
+    "q67_token_count",
+    "q68_knn_regressor",
+    "q72_map_partitions",
+    "q73_grouped_normalize",
+    "q74_grouped_agg_udf",
+    "q75_pivot",
+    "q76_kmeans_fit",
+    "q80_range_window",
+    "q81_one_hot",
+    "q84_merge_upsert",
+    "q85_grouping_sets",
+    "q86_profile_table",
+    "q88_group_quantiles",
+    "q89_unpivot_melt",
+    "q92_interval_join",
+    "q99_kmeans_parallel_fit",
+    "q108_semantic_dedup",
+    "q114_ngram_language_id",
+    "q119_contamination_check",
+    "q122_token_budget_mixture",
+    "q130_chunk_documents",
+    "q132_fixed_n_per_stratum",
+    "q146_stratified_split",
 ]
 
 

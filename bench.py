@@ -39,6 +39,26 @@ from dask_cuml_spark.registry import QUERIES  # noqa: E402
 from dask_cuml_spark.session import get_spark  # noqa: E402
 
 
+def warm_up(spark, queries, warm_dir: str) -> dict[str, str]:
+    """Run every query once on the warm-up fixture. A warm-up failure
+    must never sink the bench (round-3 lesson) but must not be SILENT
+    either (r16 verdict item 10: after the scoped-cache release landed
+    inside this loop, a real init failure would surface only as a
+    mysteriously slow first timed run) — log each to stderr and return
+    them so a test can assert the behavior."""
+    from dask_cuml_spark.plans.cost import scoped_caches
+
+    failures: dict[str, str] = {}
+    for name in sorted(queries):
+        try:
+            with scoped_caches():
+                materialize(queries[name](spark, warm_dir))
+        except Exception as exc:  # noqa: BLE001 — warm-up keeps going
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench warm-up FAILED for {name}: {failures[name]}", file=sys.stderr)
+    return failures
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -57,26 +77,21 @@ def main() -> None:
     # compilation (the BASELINE protocol likewise reports the warm second
     # run — BASELINE.md). Plan shapes are identical across SFs, so the
     # codegen cache hits at the benched SF.
-    # Release each query's scoped caches once its runs are done
+    # Each query's scoped caches are released once its runs are done
     # (optimization r16, guide §5): without this the 157-query suite
     # abandons one CacheManager entry per persist_for_reuse/model-state
     # cache per query — hundreds of pinned block sets by mid-suite,
     # competing with execution memory and growing every plan-cache
     # lookup. Session-lived state (the base-table scan cache, memoized
-    # IVF/PQ model frames) is NOT scoped and survives. Runs OUTSIDE the
-    # timed region: within one query's three timed runs the caches
-    # behave exactly as before.
-    from dask_cuml_spark.plans.cost import release_scoped_caches
-
+    # IVF/PQ model frames) is NOT scoped and survives. r17: the release
+    # is the per-query `with scoped_caches():` scope exit (inside
+    # warm_up and the timed loop below) instead of a process-global
+    # release — same frames freed at the same points, but a concurrent
+    # driver can no longer unpersist another query's in-flight caches.
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in sorted(QUERIES):
-        try:
-            materialize(QUERIES[name](spark, warm_dir))
-        except Exception:
-            pass  # warm-up must never sink the bench
-        release_scoped_caches()
+    warm_up(spark, QUERIES, warm_dir)
 
     # BASELINE protocol parity: the DuckDB baseline reports the second
     # (warm) run of each query; we run three timed runs and report the
@@ -87,21 +102,27 @@ def main() -> None:
     # Failure isolation (round-3 lesson: one broken query crashed the
     # harness at q20 and zeroed the whole round's bench signal): a query
     # that raises is recorded under "errors" and the suite keeps going.
+    # Each query's three timed runs own ONE cache scope (r16 advisor:
+    # the scope, not a process-global release, is what makes the
+    # between-queries unpersist safe for any concurrent work); the
+    # scope exit runs OUTSIDE the timed region, so within a query's
+    # runs the caches behave exactly as before.
+    from dask_cuml_spark.plans.cost import scoped_caches
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         best = float("inf")
         try:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                materialize(QUERIES[name](spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
+            with scoped_caches():
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    materialize(QUERIES[name](spark, sf_dir))
+                    best = min(best, time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — keep the suite alive
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            release_scoped_caches()
             continue
         timings[name] = round(best, 4)
-        release_scoped_caches()
 
     total = round(sum(timings.values()), 4)
 
@@ -120,23 +141,27 @@ def main() -> None:
         "q11": "q22_json_extract",
         "q12": "q45_cosine_near_dup",
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "sf": sf,
-                "n_queries": len(timings),
-                "total_sec": total,
-                "queries": timings,
-                "errors": errors,
-                "baseline_map": baseline_map,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    # Per-cpus detail file (r16 verdict item 2): the driver runs the
+    # bench at MORE THAN ONE core count per round (32-core headline +
+    # 8-core scaling), and a single BENCH_DETAIL.json meant the second
+    # run clobbered the first — r16's 32-core per-query record was
+    # lost. One file per core count preserves both; BENCH_DETAIL.json
+    # stays as the latest-run copy for older tooling.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 0)
+    detail_name = f"BENCH_DETAIL_c{cpus}.json"
+    here = os.path.dirname(os.path.abspath(__file__))
+    payload = {
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "total_sec": total,
+        "queries": timings,
+        "errors": errors,
+        "baseline_map": baseline_map,
+    }
+    for fname in (detail_name, "BENCH_DETAIL.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
 
     headline = {
         bq: timings[name]
@@ -154,7 +179,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "queries": headline,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
     )

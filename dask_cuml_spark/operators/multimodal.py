@@ -361,22 +361,53 @@ def extract_image_stats(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _decode = resolve_decoder(decode_mode)
+        cols = [f.name for f in IMAGE_STATS_SCHEMA]
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
-                img = _decode(bytes(payload))
-                hist = np.histogram(img, bins=n_bins, range=(0, 256))[0]
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "width": int(img.shape[1]),
-                        "height": int(img.shape[0]),
-                        "luma_sum": int(img.astype(np.int64).sum()),
-                        "luma_hist": [int(c) for c in hist],
-                    }
-                )
+            # per-row decode (inherent), then ONE stacked stats pass
+            # over the concatenated pixel stream (r16 verdict item 4 —
+            # the _dhash_batch §4.2 pattern: the per-row dict/DataFrame
+            # assembly, not the arithmetic, dominated this kernel).
+            # Batch/scalar bit-parity is pytest-pinned
+            # (test_image_stats_batch_matches_scalar).
+            imgs = [_decode(bytes(p)) for p in pdf[binary_col]]
+            n = len(imgs)
+            if n == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            sizes = np.fromiter(
+                (im.size for im in imgs), dtype=np.int64, count=n
+            )
+            flat = np.concatenate(
+                [im.reshape(-1) for im in imgs]
+            ).astype(np.int64)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(sizes[:-1], out=starts[1:])
+            luma_sum = np.add.reduceat(flat, starts)
+            # np.histogram(bins=n_bins, range=(0,256)) semantics:
+            # right-open uniform bins, last bin closed at 256
+            bin_idx = np.minimum(
+                (flat * n_bins) >> 8
+                if (256 % n_bins) == 0
+                else (flat * n_bins) // 256,
+                n_bins - 1,
+            )
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), sizes)
+            hist = np.bincount(
+                row_idx * n_bins + bin_idx, minlength=n * n_bins
+            ).reshape(n, n_bins)
             yield pd.DataFrame(
-                rows, columns=[f.name for f in IMAGE_STATS_SCHEMA]
+                {
+                    "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "width": np.fromiter(
+                        (im.shape[1] for im in imgs), np.int32, n
+                    ),
+                    "height": np.fromiter(
+                        (im.shape[0] for im in imgs), np.int32, n
+                    ),
+                    "luma_sum": luma_sum,
+                    "luma_hist": list(hist),
+                },
+                columns=cols,
             )
 
     return df.select(id_col, binary_col).mapInPandas(

@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dask_cuml_spark.plans.cost import scoped_cache
 
 
 def hashing_tf(
@@ -86,10 +85,16 @@ class MultinomialNB:
                 ).alias("loglik"),
             )
         )
-        # model frames live for the fitting query's invocation only —
-        # scoped so a long-lived session can release them (guide §5)
-        self.model_ = scoped_cache(self.model_)
-        self.vocab_ = scoped_cache(tok.select("term").distinct())
+        # Estimator state is SESSION-lived, plain .cache() (r16 advisor:
+        # an estimator is library surface with a fit-once/predict-many
+        # contract — query-scoping it meant any release_scoped_caches()
+        # silently dropped a still-held model's caching and every later
+        # predict() re-ran the full tokenize+aggregate fit lineage;
+        # IVFIndex/KMeans already follow this convention). Callers that
+        # fit-and-discard inside one query can wrap the fit in
+        # `with scoped_caches():` themselves; no registered query does.
+        self.model_ = self.model_.cache()
+        self.vocab_ = tok.select("term").distinct().cache()
         total_df = df.agg(F.count(F.lit(1)).alias("_n_total"))
         self.priors_ = (
             df.groupBy(F.col(class_col).alias("cls"))
@@ -102,7 +107,7 @@ class MultinomialNB:
                 ).alias("log_prior"),
             )
         )
-        self.priors_ = scoped_cache(self.priors_)
+        self.priors_ = self.priors_.cache()
         self.class_stats_ = (
             class_tot.crossJoin(F.broadcast(vocab))
             .select(
@@ -114,7 +119,7 @@ class MultinomialNB:
             )
             .join(F.broadcast(self.priors_), "cls")
         )
-        self.class_stats_ = scoped_cache(self.class_stats_)
+        self.class_stats_ = self.class_stats_.cache()
         return self
 
     def predict(

@@ -8,6 +8,10 @@ pre-aggregation, cache-vs-checkpoint for multi-consumer frames).
 
 from __future__ import annotations
 
+import threading as _threading
+import weakref as _weakref
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import DataFrame
 
 # Above this estimated input size, a multi-consumer frame switches from
@@ -38,32 +42,101 @@ def persist_for_reuse(
 
 
 # Query-scoped cache registry (optimization r16, guide §5 "unpersist
-# when done"): every cache() whose useful life is ONE query invocation
-# is tracked here so a long-lived session (the 157-query bench suite, a
-# serving daemon) can drop it once the query's action has run. Without
-# this, Spark's CacheManager holds a strong reference to every entry
-# forever — storage memory fills with abandoned blocks that compete
-# with execution memory, and plan-cache lookup walks an ever-growing
-# entry list. localCheckpoint frames are NOT tracked: their blocks are
-# lineage-truncating (unpersist would lose data, not recompute it) and
-# the ContextCleaner reclaims them when the frame is garbage collected.
-_SCOPED: list[DataFrame] = []
+# when done"; reworked r17 per the r16 advisor): every cache() whose
+# useful life is ONE query invocation is tracked so a long-lived
+# session (the 157-query bench suite, a serving daemon) can drop it
+# once the query's action has run. Without this, Spark's CacheManager
+# holds a strong reference to every entry forever — storage memory
+# fills with abandoned blocks that compete with execution memory, and
+# plan-cache lookup walks an ever-growing entry list. localCheckpoint
+# frames are NOT tracked: their blocks are lineage-truncating
+# (unpersist would lose data, not recompute it) and the ContextCleaner
+# reclaims them when the frame is garbage collected.
+#
+# Scoping is REAL now (r16 advisor, medium): a `with scoped_caches():`
+# block owns every scoped_cache() registered on the SAME THREAD while
+# it is open, so a concurrent driver (serving daemon, thread-pooled
+# jobs — guide §2.6) releasing one query's caches can never unpersist
+# another in-flight query's frames. scoped_cache() outside any open
+# scope falls back to a lock-guarded process-global scope holding WEAK
+# references (r16 advisor, low: a process that never releases — the
+# pytest suite, library users — must not pin every frame forever;
+# dead entries are pruned on append/release, and the JVM CacheManager
+# entry for a dropped frame is reclaimed at session stop exactly as it
+# was before scoping existed). release_scoped_caches() drains only
+# that global fallback scope.
+
+
+class CacheScope:
+    """Explicit registry of cached frames with one owner. Strong refs:
+    the owner's lifetime bounds the pin (a bench query's three timed
+    runs; one serving request)."""
+
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> None:
+        self._frames.append(df)
+
+    def release(self) -> None:
+        frames, self._frames = self._frames, []
+        for df in frames:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session gone / already unpersisted — nothing to free
+
+
+_TL = _threading.local()
+
+
+@_contextmanager
+def scoped_caches():
+    """Own every scoped_cache() registered on this thread inside the
+    block; unpersist them all on exit (normal or exceptional). Nestable:
+    the innermost open scope wins."""
+    scope = CacheScope()
+    stack = getattr(_TL, "stack", None)
+    if stack is None:
+        stack = _TL.stack = []
+    stack.append(scope)
+    try:
+        yield scope
+    finally:
+        stack.pop()
+        scope.release()
+
+
+_GLOBAL_LOCK = _threading.Lock()
+_GLOBAL_WEAK: list = []  # weakref.ref(DataFrame), pruned as they die
 
 
 def scoped_cache(df: DataFrame) -> DataFrame:
-    """cache() an intermediate scoped to the current query invocation."""
+    """cache() an intermediate scoped to the current query invocation.
+    Registered with the innermost scoped_caches() block open on this
+    thread, else with the process-global weak fallback scope that
+    release_scoped_caches() drains."""
     out = df.cache()
-    _SCOPED.append(out)
+    stack = getattr(_TL, "stack", None)
+    if stack:
+        stack[-1].add(out)
+    else:
+        with _GLOBAL_LOCK:
+            _GLOBAL_WEAK[:] = [r for r in _GLOBAL_WEAK if r() is not None]
+            _GLOBAL_WEAK.append(_weakref.ref(out))
     return out
 
 
 def release_scoped_caches() -> None:
-    """Unpersist every query-scoped cache registered since the last
-    release. Safe at any point after the owning query's action has
-    completed; frames cached under a stopped session are skipped."""
-    global _SCOPED
-    scoped, _SCOPED = _SCOPED, []
-    for df in scoped:
+    """Unpersist every still-live frame in the global fallback scope.
+    Only frames registered OUTSIDE any scoped_caches() block land here,
+    so a concurrent query running inside its own scope is untouched."""
+    with _GLOBAL_LOCK:
+        refs, _GLOBAL_WEAK[:] = list(_GLOBAL_WEAK), []
+    for r in refs:
+        df = r()
+        if df is None:
+            continue
         try:
             df.unpersist(blocking=False)
         except Exception:

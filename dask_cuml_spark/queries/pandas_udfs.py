@@ -1008,9 +1008,13 @@ def q128_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                dd = int(doc_id)
+            # columnar output assembly (r17): the payload encode is
+            # inherently per-row; the frame is built from flat column
+            # arrays, not a list of per-row dicts
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = []
+            for dd in ids:
+                dd = int(dd)
                 w, h = 8 + dd % 5, 8 + dd % 3
                 i = np.arange(w * h, dtype=np.int64)
                 if dd % 2 == 1:
@@ -1028,8 +1032,8 @@ def q128_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 else:
                     arr = ((dd + i) % 256).reshape(h, w).astype(np.uint8)
-                rows.append({"doc_id": dd, "payload": _png_encode(arr)})
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+                payloads.append(_png_encode(arr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     payloads = d.mapInPandas(gen, "doc_id long, payload binary")
     # decode_mode="png": the strict pure-Python PNG branch — a payload
@@ -1658,9 +1662,13 @@ def q163_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat_cache: dict = {}
         cut_cache: dict = {}
         for pdf in it:
-            rows = []
-            for doc_id, fi in zip(pdf["doc_id"], pdf["frame_idx"]):
-                dd, f = int(doc_id), int(fi)
+            # columnar output assembly (r17, as q128): per-row encode,
+            # flat column arrays out
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            fis = pdf["frame_idx"].to_numpy(dtype=np.int32)
+            payloads = []
+            for dd, f in zip(ids, fis):
+                dd, f = int(dd), int(f)
                 cuts = cut_cache.get(dd)
                 if cuts is None:
                     stride = 4 + dd % 5
@@ -1680,15 +1688,9 @@ def q163_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.repeat(np.repeat(pat, sy, axis=0), sx, axis=1)
                     + off
                 ).astype(np.uint8)
-                rows.append(
-                    {
-                        "doc_id": dd,
-                        "frame_idx": f,
-                        "payload": _png_encode_gray(img),
-                    }
-                )
+                payloads.append(_png_encode_gray(img))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "payload"]
+                {"doc_id": ids, "frame_idx": fis, "payload": payloads}
             )
 
     frames = d.mapInPandas(

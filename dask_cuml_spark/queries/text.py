@@ -3271,6 +3271,26 @@ def q149_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(spark, sf_dir, key_mode="portable")
 
 
+def _q149_mask_words(bits: DataFrame) -> list:
+    """Fold the Bloom bit-position frame into an m-bit mask literal:
+    1024 signed int64 words (8 KB). Bounded BY CONSTRUCTION — positions
+    live in [0, m = 2^16); corpus/eval growth never widens it (that
+    corpus-independence is the operator's reason to exist). One bounded
+    collect replaces two broadcast-hash-join builds (r16 verdict item
+    5, guide §2.4: membership in a fixed 8 KB set is an expression, not
+    a join)."""
+    words = [0] * (_Q149_M >> 6)
+    for (p,) in bits.collect():
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _q149_bit_set(words: list, col):
+    """Boolean column: bit `col` (∈ [0, m)) set in the mask literal."""
+    word = F.element_at(F.lit(words), (F.shiftright(col, 6) + 1).cast("int"))
+    return F.getbit(word, F.pmod(col, F.lit(64))) == 1
+
+
 def bloom_decontaminate(
     spark: SparkSession,
     sf_dir: str,
@@ -3332,26 +3352,14 @@ def bloom_decontaminate(
             .distinct()
         )
         ev = ev_rows.select("gk").distinct()
+        words = _q149_mask_words(bits)
         train = (
             keyed.filter(F.col("doc_id") % 97 != 0)
-            .join(
-                F.broadcast(
-                    bits.select(F.col("p").alias("p1"), F.lit(1).alias("_m1"))
-                ),
-                "p1",
-                "left",
-            )
-            .join(
-                F.broadcast(
-                    bits.select(F.col("p").alias("p2"), F.lit(1).alias("_m2"))
-                ),
-                "p2",
-                "left",
-            )
             .join(F.broadcast(ev.withColumn("_me", F.lit(1))), "gk", "left")
             .select(
                 "doc_id",
-                (F.col("_m1").isNotNull() & F.col("_m2").isNotNull())
+                (_q149_bit_set(words, F.col("p1"))
+                 & _q149_bit_set(words, F.col("p2")))
                 .cast("bigint")
                 .alias("_bloom"),
                 F.col("_me").isNotNull().cast("bigint").alias("_key"),
@@ -3440,25 +3448,13 @@ def bloom_decontaminate(
         .distinct()
     )
     ev = ev_keys.select("gk").distinct()
+    words = _q149_mask_words(bits)
     flagged_map = (
-        gmap.join(
-            F.broadcast(
-                bits.select(F.col("p").alias("p1"), F.lit(1).alias("_b1"))
-            ),
-            "p1",
-            "left",
-        )
-        .join(
-            F.broadcast(
-                bits.select(F.col("p").alias("p2"), F.lit(1).alias("_b2"))
-            ),
-            "p2",
-            "left",
-        )
-        .join(F.broadcast(ev.withColumn("_e", F.lit(1))), "gk", "left")
+        gmap.join(F.broadcast(ev.withColumn("_e", F.lit(1))), "gk", "left")
         .select(
             "xh",
-            (F.col("_b1").isNotNull() & F.col("_b2").isNotNull())
+            (_q149_bit_set(words, F.col("p1"))
+             & _q149_bit_set(words, F.col("p2")))
             .cast("bigint")
             .alias("_bloom"),
             F.col("_e").isNotNull().cast("bigint").alias("_key"),

@@ -81,6 +81,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"),
         )
     )
+    # Deployment codec branch (r16 verdict item 7, guide §2.3/§6):
+    # SPARK_GRAFT_CODECS=zstd flips shuffle AND parquet-write codecs in
+    # one env knob so the cluster recipe is a tested branch, not prose.
+    # Default stays Spark's lz4/snappy — the sealed layouts and the
+    # driver's bench are written/measured under the defaults, and at
+    # bench SF the shuffles are KB-sized so the codec is unmeasurable
+    # there; the 100x shuffle-codec A/B lives in SCALEBENCH.json.
+    codec = os.environ.get("SPARK_GRAFT_CODECS")
+    if codec:
+        builder = builder.config(
+            "spark.io.compression.codec", codec
+        ).config("spark.sql.parquet.compression.codec", codec)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

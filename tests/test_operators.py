@@ -3546,6 +3546,47 @@ def test_dhash_batch_matches_scalar():
         _dhash_batch([imgs[0], np.zeros((4, 4), dtype=np.uint8)])
 
 
+def test_image_stats_batch_matches_scalar(spark):
+    """extract_image_stats' stacked columnar pass (r17 — the r16
+    verdict's item 4, same §4.2 pattern as _dhash_batch) must be
+    BIT-identical to the per-row np.histogram/sum reference on mixed
+    shapes, both decode paths (gray + RGB), and a non-power-of-two
+    n_bins (the integer bin formula vs np.histogram's float edges)."""
+    from dask_cuml_spark.operators.multimodal import (
+        _png_decode,
+        _png_encode,
+        extract_image_stats,
+    )
+
+    rng = np.random.RandomState(11)
+    imgs = [
+        rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        for h, w in rng.choice([8, 9, 16, 31], size=(40, 2))
+    ]
+    # RGB payloads exercise the ITU-R 601 luma path ahead of the stats
+    imgs += [
+        rng.randint(0, 256, size=(9, 13, 3)).astype(np.uint8)
+        for _ in range(10)
+    ]
+    rows = [(i, bytearray(_png_encode(im))) for i, im in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    lumas = [_png_decode(bytes(p)) for _i, p in rows]
+    for n_bins in (8, 7):
+        got = {
+            r.doc_id: r
+            for r in extract_image_stats(
+                df, decode_mode="png", n_bins=n_bins
+            ).collect()
+        }
+        assert len(got) == len(imgs)
+        for i, im in enumerate(lumas):
+            hist = np.histogram(im, bins=n_bins, range=(0, 256))[0]
+            r = got[i]
+            assert (r.width, r.height) == (im.shape[1], im.shape[0])
+            assert r.luma_sum == int(im.astype(np.int64).sum())
+            assert list(r.luma_hist) == [int(c) for c in hist]
+
+
 def test_dhash_invariance_and_margins():
     """The two provable invariances q152's generative oracle leans on
     (numpy-level, no Spark): a constant brightness offset and a pixel-
