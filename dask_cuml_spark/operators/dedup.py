@@ -622,7 +622,11 @@ def semantic_dedup(
     # assignment pass runs twice — deliberately NOT persisted:
     # persist_for_reuse was A/B'd at 300x and LOSES (26.2 s vs 17.6 s;
     # materializing 600k embedding rows costs more than re-running the
-    # one cheap BLAS assignment pass over the warm parquet scan)
+    # one cheap BLAS assignment pass over the warm parquet scan).
+    # RE-A/B'd r17 (r16 verdict item 6) with scoped_cache AND the
+    # 32 MB GEMM gate moving the operating point: unpersisted still
+    # wins — 100x interleaved best-of-2 pairs 23.7 vs 29.8 s and
+    # 12.4 vs 14.7 s; 300x 32.2 vs 33.4 s; identical kept counts.
     assign = (
         nearest_centers(src, vec_col, km.cluster_centers_)
         .withColumn(

@@ -420,6 +420,12 @@ def q87_naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copy of the subtree (plan audit r3 found 11 explodes / 14 scans and
     # zero ReusedExchange without it); the checkpointed frame is
     # model-state-sized (distinct lang×term).
+    # r17 re-A/B (r16 verdict item 3), 3 interleaved process rounds at
+    # 32 cores, warm best-of-5: lazy localCheckpoint 2.20/1.58/1.26 s
+    # vs eager 8.49/2.32/1.60 s vs scoped cache 5.16/2.01/1.81 s —
+    # lazy wins every round; the driver's 1.86 s r16 reading was the
+    # high-steal regime (OPTIMIZATION_r17.md "stall diagnosis"), not
+    # the checkpoint flavor.
     class_term = (
         tok.groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("n_wc"))
