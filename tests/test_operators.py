@@ -4130,6 +4130,29 @@ def test_classwise_nearest_strategy_agreement_and_byte_bound(spark):
     e = load_table(spark, SF, "embeddings").select(
         "vec_id", "label", "embedding"
     )
+    # Pre-flight (advisor r16): the id-exact assertion below is only
+    # sound if no anchor has a cross-candidate near-tie within the
+    # strategies' 1-ulp d² divergence — otherwise the (d², id)
+    # struct-min could legitimately flip between BLAS kernel shapes
+    # and the test would flake. Prove the fixture is tie-free by a
+    # margin >> 1 ulp: per (anchor, same-flag), winner and runner-up
+    # d² differ by more than 1e-9 relative.
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    labs = np.array([r.label for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    sq = (X * X).sum(1)
+    D = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
+    same = labs[:, None] == labs[None, :]
+    min_rel_gap = np.inf
+    for i in range(len(ids)):
+        for mask in (same[i], ~same[i]):
+            m = mask.copy()
+            m[i] = False
+            d = np.sort(D[i, m])
+            if len(d) >= 2 and d[1] > 0:
+                min_rel_gap = min(min_rel_gap, (d[1] - d[0]) / d[1])
+    assert min_rel_gap > 1e-9, f"fixture near-tie: rel gap {min_rel_gap}"
     b = sorted(
         map(tuple, classwise_nearest(e, strategy="broadcast").collect())
     )
